@@ -1,0 +1,243 @@
+"""Coding-tree and CU-level CABAC syntax — writer/reader pair.
+
+TPU-native analog of the reference's CU syntax coding
+(`/root/reference/source/Lib/EncoderLib/CABACWriter.cpp` →
+coding_tree_unit / coding_tree / coding_unit / intra_luma_pred_modes /
+intra_chroma_pred_modes; `source/Lib/DecoderLib/CABACReader.cpp` mirror;
+MPM derivation: CommonLib/UnitTools.cpp → PU::getIntraMPMs; split
+legality: CommonLib/UnitPartitioner.cpp).  OpenVVC counterpart:
+libovvc/vcl_ctu.c, vcl_cu.c, drv_intra.c.
+
+Round-1 scope (SURVEY.md §7.2 S2): I-slice, single tree, QT-only
+partitioning (sps max MTT depth 0), one TU per CU, luma intra mode with
+6-entry MPM, chroma locked to DM.  Blocks crossing the picture boundary
+split implicitly without a flag (spec 7.4.11: implicit qt split).
+
+Writer and reader share the neighbour-derivation helpers and update the
+same CodingState maps, so context indices can never diverge.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from vvc.common.types import PLANAR_IDX, DC_IDX, HOR_IDX, VER_IDX
+from vvc.model.frame import Leaf, CodingState
+from vvc.cabac.residual import write_residual, read_residual
+
+
+def mpm_list(left_mode: int, above_mode: int):
+    """6-entry MPM list, [0] always planar (reference: PU::getIntraMPMs).
+
+    [verify] against the reference once mounted; writer/reader symmetry is
+    what correctness rests on meanwhile.
+    """
+    def adj(m, d):
+        return 2 + ((m - 2 + d) % 65)
+
+    l = left_mode if left_mode >= 0 else PLANAR_IDX
+    a = above_mode if above_mode >= 0 else PLANAR_IDX
+    if l == a:
+        if l > DC_IDX:
+            lst = [l, adj(l, -1), adj(l, 1), adj(l, -2), adj(l, 2)]
+        else:
+            lst = [DC_IDX, VER_IDX, HOR_IDX, VER_IDX - 4, VER_IDX + 4]
+    elif l > DC_IDX and a > DC_IDX:
+        lst = [l, a]
+        mx, mn = max(l, a), min(l, a)
+        if mx - mn == 1:
+            lst += [adj(mn, -1), adj(mx, 1), adj(mn, -2)]
+        elif mx - mn >= 62:
+            lst += [adj(mn, 1), adj(mx, -1), adj(mn, 2)]
+        elif mx - mn == 2:
+            lst += [adj(mn, 1), adj(mn, -1), adj(mx, 1)]
+        else:
+            lst += [adj(mn, -1), adj(mn, 1), adj(mx, -1)]
+    elif l > DC_IDX or a > DC_IDX:
+        m = max(l, a)
+        lst = [m, adj(m, -1), adj(m, 1), adj(m, -2), adj(m, 2)]
+    else:
+        lst = [DC_IDX, VER_IDX, HOR_IDX, VER_IDX - 4, VER_IDX + 4]
+    return [PLANAR_IDX] + lst
+
+
+def _tb_write(enc, x: int, n: int):
+    """Truncated binary code (spec 9.3.3.7), bypass bins."""
+    k = (n).bit_length() - 1
+    u = (1 << (k + 1)) - n
+    if x < u:
+        enc.encode_bins_ep(x, k)
+    else:
+        enc.encode_bins_ep(x + u, k + 1)
+
+
+def _tb_read(dec, n: int) -> int:
+    k = (n).bit_length() - 1
+    u = (1 << (k + 1)) - n
+    v = dec.decode_bins_ep(k) if k else 0
+    if v >= u:
+        v = (v << 1) | dec.decode_bin_ep()
+        v -= u
+    return v
+
+
+class TreeCoder:
+    """Shared walking/derivation logic; subclassed by writer and reader."""
+
+    def __init__(self, ctxs, state: CodingState, width: int, height: int,
+                 ctu_size: int = 64, min_cu: int = 8):
+        self.ctxs = ctxs
+        self.state = state
+        self.w = width
+        self.h = height
+        self.ctu = ctu_size
+        self.min_cu = min_cu
+        self.max_depth = (ctu_size.bit_length() - 1) - (min_cu.bit_length() - 1)
+
+    def _split_ctx(self, x0: int, y0: int, size: int) -> int:
+        d = (self.ctu.bit_length() - 1) - (size.bit_length() - 1)
+        dl = self.state.depth_at(x0 - 1, y0)
+        da = self.state.depth_at(x0, y0 - 1)
+        return (1 if dl > d else 0) + (1 if da > d else 0)
+
+    def _neighbor_modes(self, x0: int, y0: int, size: int):
+        left = self.state.mode_at(x0 - 1, y0 + size - 1)
+        # above neighbour only within the same CTU row (line-buffer rule)
+        if (y0 % self.ctu) == 0:
+            above = -1
+        else:
+            above = self.state.mode_at(x0 + size - 1, y0 - 1)
+        return left, above
+
+
+class TreeWriter(TreeCoder):
+    def __init__(self, enc, ctxs, state, width, height, split_map, leaf_map,
+                 ctu_size=64, min_cu=8):
+        super().__init__(ctxs, state, width, height, ctu_size, min_cu)
+        self.enc = enc
+        self.split_map = split_map    # {(x0,y0,size): bool}
+        self.leaf_map = leaf_map      # {(x0,y0,size): Leaf}
+
+    def write_ctu(self, ctu_x: int, ctu_y: int):
+        self._tree(ctu_x, ctu_y, self.ctu)
+
+    def _tree(self, x0: int, y0: int, size: int):
+        if x0 >= self.w or y0 >= self.h:
+            return
+        inside = (x0 + size <= self.w) and (y0 + size <= self.h)
+        if not inside:
+            split = True          # implicit split, no flag
+        elif size <= self.min_cu:
+            split = False
+        else:
+            split = bool(self.split_map[(x0, y0, size)])
+            self.enc.encode_bin(1 if split else 0,
+                                self.ctxs("SPLIT_CU_FLAG", self._split_ctx(x0, y0, size)))
+        if split:
+            half = size >> 1
+            for (dx, dy) in ((0, 0), (half, 0), (0, half), (half, half)):
+                self._tree(x0 + dx, y0 + dy, half)
+        else:
+            self._cu(self.leaf_map[(x0, y0, size)])
+
+    def _cu(self, leaf: Leaf):
+        enc, ctxs = self.enc, self.ctxs
+        x0, y0, size, mode = leaf.x0, leaf.y0, leaf.size, leaf.luma_mode
+        # intra_luma_ref_idx (always reference line 0)
+        if (y0 % self.ctu) > 0:
+            enc.encode_bin(0, ctxs("INTRA_LUMA_REF_IDX", 0))
+        left, above = self._neighbor_modes(x0, y0, size)
+        mpm = mpm_list(left, above)
+        if mode in mpm:
+            idx = mpm.index(mode)
+            enc.encode_bin(1, ctxs("INTRA_LUMA_MPM_FLAG", 0))
+            enc.encode_bin(0 if idx == 0 else 1, ctxs("INTRA_LUMA_NOT_PLANAR", 0))
+            if idx > 0:
+                # truncated-unary of idx-1, cMax 4, bypass
+                for i in range(idx - 1):
+                    enc.encode_bin_ep(1)
+                if idx - 1 < 4:
+                    enc.encode_bin_ep(0)
+        else:
+            enc.encode_bin(0, ctxs("INTRA_LUMA_MPM_FLAG", 0))
+            rem = sorted(set(range(67)) - set(mpm))
+            _tb_write(enc, rem.index(mode), len(rem))
+        # chroma: DM only (bin 1 = DM)
+        enc.encode_bin(1, ctxs("INTRA_CHROMA_PRED_MODE", 0))
+        # CBFs (order: cb, cr, luma — reference CABACWriter order)
+        cbf_cb, cbf_cr, cbf_y = leaf.cbf_cb, leaf.cbf_cr, leaf.cbf_y
+        enc.encode_bin(cbf_cb, ctxs("CBF_CB", 0))
+        enc.encode_bin(cbf_cr, ctxs("CBF_CR", cbf_cb))
+        enc.encode_bin(cbf_y, ctxs("CBF_LUMA", 0))
+        if cbf_cb:
+            write_residual(enc, ctxs, leaf.lev_cb, is_luma=False)
+        if cbf_cr:
+            write_residual(enc, ctxs, leaf.lev_cr, is_luma=False)
+        if cbf_y:
+            write_residual(enc, ctxs, leaf.lev_y, is_luma=True)
+        d = (self.ctu.bit_length() - 1) - (size.bit_length() - 1)
+        self.state.set_cu(x0, y0, size, mode, d)
+        self.state.mark_coded(x0, y0, size)
+
+
+class TreeReader(TreeCoder):
+    def __init__(self, dec, ctxs, state, width, height, ctu_size=64, min_cu=8):
+        super().__init__(ctxs, state, width, height, ctu_size, min_cu)
+        self.dec = dec
+        self.leaves: list[Leaf] = []
+
+    def read_ctu(self, ctu_x: int, ctu_y: int):
+        self._tree(ctu_x, ctu_y, self.ctu)
+
+    def _tree(self, x0: int, y0: int, size: int):
+        if x0 >= self.w or y0 >= self.h:
+            return
+        inside = (x0 + size <= self.w) and (y0 + size <= self.h)
+        if not inside:
+            split = True
+        elif size <= self.min_cu:
+            split = False
+        else:
+            split = bool(self.dec.decode_bin(
+                self.ctxs("SPLIT_CU_FLAG", self._split_ctx(x0, y0, size))))
+        if split:
+            half = size >> 1
+            for (dx, dy) in ((0, 0), (half, 0), (0, half), (half, half)):
+                self._tree(x0 + dx, y0 + dy, half)
+        else:
+            self._cu(x0, y0, size)
+
+    def _cu(self, x0: int, y0: int, size: int):
+        dec, ctxs = self.dec, self.ctxs
+        if (y0 % self.ctu) > 0:
+            ref_idx_bin = dec.decode_bin(ctxs("INTRA_LUMA_REF_IDX", 0))
+            assert ref_idx_bin == 0, "multi-ref-line not supported yet"
+        left, above = self._neighbor_modes(x0, y0, size)
+        mpm = mpm_list(left, above)
+        if dec.decode_bin(ctxs("INTRA_LUMA_MPM_FLAG", 0)):
+            if dec.decode_bin(ctxs("INTRA_LUMA_NOT_PLANAR", 0)):
+                idx = 1
+                while idx - 1 < 4 and dec.decode_bin_ep():
+                    idx += 1
+                mode = mpm[idx]
+            else:
+                mode = mpm[0]
+        else:
+            rem = sorted(set(range(67)) - set(mpm))
+            mode = rem[_tb_read(dec, len(rem))]
+        dm = dec.decode_bin(ctxs("INTRA_CHROMA_PRED_MODE", 0))
+        assert dm == 1, "non-DM chroma not supported yet"
+        cbf_cb = dec.decode_bin(ctxs("CBF_CB", 0))
+        cbf_cr = dec.decode_bin(ctxs("CBF_CR", cbf_cb))
+        cbf_y = dec.decode_bin(ctxs("CBF_LUMA", 0))
+        leaf = Leaf(x0, y0, size, mode)
+        cs = size >> 1
+        if cbf_cb:
+            leaf.lev_cb = read_residual(dec, ctxs, cs, is_luma=False)
+        if cbf_cr:
+            leaf.lev_cr = read_residual(dec, ctxs, cs, is_luma=False)
+        if cbf_y:
+            leaf.lev_y = read_residual(dec, ctxs, size, is_luma=True)
+        d = (self.ctu.bit_length() - 1) - (size.bit_length() - 1)
+        self.state.set_cu(x0, y0, size, mode, d)
+        self.state.mark_coded(x0, y0, size)
+        self.leaves.append(leaf)

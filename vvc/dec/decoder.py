@@ -1,0 +1,89 @@
+"""Decoder driver: Annex-B bitstream → frames.
+
+TPU-native analog of the reference's decoder stack
+(`/root/reference/source/Lib/DecoderLib/DecLib.cpp` → DecLib::decode NAL
+dispatch / xActivateParameterSets; DecSlice.cpp → decompressSlice;
+DecCu.cpp → decompressCtu; hash check: DecLib calcAndPrintHashStatus).
+OpenVVC counterpart: libovvc/ovdec.c submit/receive, slicedec.c, ctudec.c.
+
+Two-phase per picture (the OpenVVC drv/rcn split, SURVEY.md §3.3): parse
+the whole slice's syntax into a leaf list (host CABAC), then reconstruct
+in z-order with the *same* kernel path the encoder used
+(vvc.model.recon.reconstruct_leaves) — guaranteeing bit-exactness.
+"""
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from vvc.common.types import NalUnitType
+from vvc.io.nal import read_annexb
+from vvc.io.yuv import Frame
+from vvc.hls.parse import parse_sps, parse_pps, parse_slice_header
+from vvc.cabac.engine import BinDecoder
+from vvc.cabac.ctx import SliceContexts
+from vvc.cabac.cu_syntax import TreeReader
+from vvc.model.frame import CodingState
+from vvc.model.recon import reconstruct_leaves
+
+
+class HashMismatch(Exception):
+    pass
+
+
+def decode_stream(data: bytes, verify_hash: bool = True):
+    """Decode an Annex-B byte stream → (frames, info dict)."""
+    sps = None
+    pps = None
+    frames = []
+    hash_status = []
+    for nal in read_annexb(data):
+        if nal.nal_type == NalUnitType.SPS:
+            sps = parse_sps(nal.payload)
+        elif nal.nal_type == NalUnitType.PPS:
+            pps = parse_pps(nal.payload)
+        elif nal.nal_type in (NalUnitType.IDR_N_LP, NalUnitType.IDR_W_RADL,
+                              NalUnitType.TRAIL, NalUnitType.CRA):
+            assert sps is not None and pps is not None, "slice before SPS/PPS"
+            frames.append(_decode_slice(nal.payload, sps, pps))
+        elif nal.nal_type == NalUnitType.SUFFIX_SEI:
+            st = _check_hash_sei(nal.payload, frames[-1]) if frames else None
+            hash_status.append(st)
+            if verify_hash and st is False:
+                raise HashMismatch(f"picture {len(frames) - 1} hash mismatch")
+    return frames, {"sps": sps, "pps": pps, "hash_ok": hash_status}
+
+
+def _decode_slice(rbsp: bytes, sps, pps) -> Frame:
+    sh, payload = parse_slice_header(rbsp, pps.init_qp)
+    dec = BinDecoder(payload)
+    ctxs = SliceContexts(sh.qp)
+    state = CodingState(sps.width, sps.height)
+    reader = TreeReader(dec, ctxs, state, sps.width, sps.height,
+                        sps.ctu_size, sps.min_cu_size)
+    for cy in range(0, sps.height, sps.ctu_size):
+        for cx in range(0, sps.width, sps.ctu_size):
+            reader.read_ctu(cx, cy)
+    assert dec.decode_bin_trm() == 1, "end_of_slice termination missing"
+
+    recon = (np.zeros((sps.height, sps.width), dtype=np.int32),
+             np.zeros((sps.height // 2, sps.width // 2), dtype=np.int32),
+             np.zeros((sps.height // 2, sps.width // 2), dtype=np.int32))
+    reconstruct_leaves(reader.leaves, recon, sh.qp, sps.bit_depth)
+    return Frame(*recon, sps.bit_depth)
+
+
+def _check_hash_sei(payload: bytes, frame: Frame):
+    if payload[0] != 132:  # decoded_picture_hash
+        return None
+    body = payload[2:2 + payload[1]]
+    if body[0] != 0:  # MD5
+        return None
+    ok = True
+    off = 1
+    for p in frame.planes():
+        digest = hashlib.md5(np.ascontiguousarray(p.astype(np.uint8)).tobytes()).digest()
+        ok &= digest == body[off:off + 16]
+        off += 16
+    return bool(ok)

@@ -1,0 +1,212 @@
+"""Batched intra RDO: enumerate–mask–reduce partition/mode search.
+
+TPU-native analog of the reference's recursive CU search
+(`/root/reference/source/Lib/EncoderLib/EncCu.cpp` → xCompressCU;
+IntraSearch.cpp → estIntraPredLumaQT with its SATD prescreen + RD
+shortlist; EncModeCtrl.cpp heuristics).  Per SURVEY.md §7.0 tenet 2 the
+depth-first recursion is replaced by:
+
+  1. For every QT candidate size (8..CTU), evaluate ALL blocks of the
+     frame at that size in one batched device pass: 67-mode prediction
+     (vvc.kernels.intra), SATD prescreen (vvc.kernels.satd), top-K full
+     RD (transform → quant → dequant → inverse → SSE + rate estimate).
+  2. A bottom-up dynamic program over the size pyramid picks split/leaf
+     per node (child-sum + split-bit cost vs leaf cost) — the masked
+     segmented arg-min that replaces xCheckModeSplit recursion.
+
+RDO references use *original* neighbours (classic fast-search
+approximation; the final reconstruction pass re-predicts from true
+reconstructed samples).  Distortion SSE + rate estimates are heuristic
+(SURVEY.md §7.0 tenet 5: floats allowed outside normative paths).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vvc.kernels.intra import predict_all_modes_batch
+from vvc.kernels.satd import satd_batch
+from vvc.kernels.transform import fwd_transform_batch, inv_transform_batch
+from vvc.kernels.quant import quant_batch, dequant_batch
+from vvc.model.frame import Leaf
+
+RD_SHORTLIST = 3  # full-RD candidates after SATD prescreen (EncModeCtrl analog)
+
+# approximate mode signalling cost in bits (MPM statistics analog)
+_MODE_BITS = np.full((67,), 7.0, dtype=np.float32)
+_MODE_BITS[0] = 2.5   # planar (MPM[0])
+_MODE_BITS[1] = 4.0   # DC
+_MODE_BITS[18] = 5.0
+_MODE_BITS[50] = 5.0
+
+
+def rd_lambda(qp: int) -> float:
+    """λ for intra RD (reference: EncSlice::setUpLambda, SURVEY.md §3.5)."""
+    return 0.57 * (2.0 ** ((qp - 12) / 3.0))
+
+
+def build_ref_lines_orig(plane: np.ndarray, xs: np.ndarray, ys: np.ndarray,
+                         size: int, bit_depth: int) -> np.ndarray:
+    """Vectorized reference lines from the *original* plane for N blocks.
+
+    Availability is approximated by edge clamping (equivalent to the spec's
+    substitution for frame borders; interior z-order nuances don't apply to
+    original samples).  Returns [N, 4S+3] int32.
+    """
+    h, w = plane.shape
+    n = xs.shape[0]
+    s = size
+    c = np.empty((n, 4 * s + 3), dtype=np.int32)
+    mid = 1 << (bit_depth - 1)
+    k = np.arange(2 * s)
+    # left column (x0-1), rows y0..y0+2s-1 (clamped)
+    lx = np.clip(xs - 1, 0, w - 1)
+    lyy = np.clip(ys[:, None] + k[None, :], 0, h - 1)
+    left = plane[lyy, lx[:, None]]
+    # top row (y0-1), cols x0..x0+2s-1 (clamped)
+    ty = np.clip(ys - 1, 0, h - 1)
+    txx = np.clip(xs[:, None] + k[None, :], 0, w - 1)
+    top = plane[ty[:, None], txx]
+    corner = plane[ty, lx]
+    # frame-top / frame-left: replace by substitution value chain
+    top = np.where((ys > 0)[:, None], top, np.where((xs > 0)[:, None],
+                                                    left[:, :1], mid))
+    corner = np.where(ys > 0, corner, np.where(xs > 0, left[:, 0], mid))
+    left = np.where((xs > 0)[:, None], left, np.where((ys > 0)[:, None],
+                                                      top[:, :1], mid))
+    c[:, :2 * s] = left[:, ::-1]
+    c[:, 2 * s] = corner
+    c[:, 2 * s + 1:4 * s + 1] = top
+    c[:, 4 * s + 1] = top[:, -1]
+    c[:, 4 * s + 2] = top[:, -1]
+    return c
+
+
+@partial(jax.jit, static_argnames=("size", "bit_depth", "qp"))
+def eval_blocks(orig: jax.Array, refs: jax.Array, size: int, qp: int,
+                bit_depth: int = 8):
+    """[N,S,S] originals + [N,4S+3] refs → (best_cost [N] f32, best_mode [N] i32).
+
+    SATD prescreen over 67 modes, then full RD on the shortlist.
+    """
+    lam = rd_lambda(qp)
+    sqrt_lam = math.sqrt(lam)
+    n, s, _ = orig.shape
+    preds = predict_all_modes_batch(refs, size, bit_depth)      # [N,67,S,S]
+    o = orig[:, None]                                           # [N,1,S,S]
+    satd = satd_batch(
+        preds.reshape(-1, s, s),
+        jnp.broadcast_to(o, preds.shape).reshape(-1, s, s)).reshape(n, 67)
+    mode_bits = jnp.asarray(_MODE_BITS)
+    pre_cost = satd.astype(jnp.float32) + sqrt_lam * mode_bits[None, :]
+    _, short = jax.lax.top_k(-pre_cost, RD_SHORTLIST)           # [N,K]
+
+    cand = jnp.take_along_axis(preds, short[:, :, None, None], axis=1)  # [N,K,S,S]
+    resi = (orig[:, None] - cand).reshape(-1, s, s)
+    coeff = fwd_transform_batch(resi, bit_depth)
+    lev = quant_batch(coeff, qp, bit_depth, intra=True)
+    deq = dequant_batch(lev, qp, bit_depth)
+    rec_resi = inv_transform_batch(deq, bit_depth)
+    rec = jnp.clip(cand.reshape(-1, s, s) + rec_resi, 0, (1 << bit_depth) - 1)
+    d = (rec - orig[:, None].repeat(RD_SHORTLIST, 1).reshape(-1, s, s)).astype(jnp.float32)
+    sse = jnp.sum(d * d, axis=(1, 2))
+    la = jnp.abs(lev).astype(jnp.float32)
+    rate = jnp.sum(jnp.where(la > 0, 2.0 * jnp.log2(la + 1.0) + 1.0, 0.02),
+                   axis=(1, 2))
+    cost = (sse + lam * (rate + mode_bits[short].reshape(-1))).reshape(n, RD_SHORTLIST)
+    best_k = jnp.argmin(cost, axis=1)
+    best_cost = jnp.take_along_axis(cost, best_k[:, None], axis=1)[:, 0]
+    best_mode = jnp.take_along_axis(short, best_k[:, None], axis=1)[:, 0]
+    return best_cost, best_mode
+
+
+SPLIT_BITS = 1.5  # approximate split_cu_flag cost
+
+
+def rdo_partition(y_plane: np.ndarray, qp: int, bit_depth: int = 8,
+                  ctu_size: int = 64, min_cu: int = 8, chunk: int = 4096):
+    """Full-frame partition + mode decision.
+
+    Returns (split_map, leaf_map, leaves_zorder) consumed by the syntax
+    writer and the reconstruction pass.
+    """
+    h, w = y_plane.shape
+    assert w % min_cu == 0 and h % min_cu == 0, "pad input to min-CU multiple"
+    lam = rd_lambda(qp)
+    sizes = []
+    s = min_cu
+    while s <= ctu_size:
+        sizes.append(s)
+        s <<= 1
+
+    cost = {}
+    mode = {}
+    for s in sizes:
+        nx, ny = w // s, h // s
+        cost[s] = np.full((ny, nx), np.inf, dtype=np.float64)
+        mode[s] = np.zeros((ny, nx), dtype=np.int32)
+        if nx == 0 or ny == 0:
+            continue
+        ys, xs = np.meshgrid(np.arange(ny) * s, np.arange(nx) * s, indexing="ij")
+        xs = xs.reshape(-1)
+        ys = ys.reshape(-1)
+        blocks = np.stack([y_plane[y:y + s, x:x + s] for x, y in zip(xs, ys)])
+        refs = build_ref_lines_orig(y_plane, xs, ys, s, bit_depth)
+        bc = np.empty((len(xs),), dtype=np.float32)
+        bm = np.empty((len(xs),), dtype=np.int32)
+        for i in range(0, len(xs), chunk):
+            c_, m_ = eval_blocks(jnp.asarray(blocks[i:i + chunk]),
+                                 jnp.asarray(refs[i:i + chunk]), s, qp, bit_depth)
+            bc[i:i + chunk] = np.asarray(c_)
+            bm[i:i + chunk] = np.asarray(m_)
+        cost[s][:] = bc.reshape(ny, nx)
+        mode[s][:] = bm.reshape(ny, nx)
+
+    # bottom-up DP
+    best = {min_cu: cost[min_cu].copy()}
+    use_split = {}
+    for s in sizes[1:]:
+        half = s // 2
+        ny, nx = h // s, w // s
+        ch = best[half]
+        child_sum = (ch[0::2, 0::2][:ny, :nx] + ch[0::2, 1::2][:ny, :nx]
+                     + ch[1::2, 0::2][:ny, :nx] + ch[1::2, 1::2][:ny, :nx])
+        split_cost = child_sum + lam * SPLIT_BITS
+        leaf_cost = cost[s][:ny, :nx] + lam * SPLIT_BITS  # leaf also signals flag
+        use_split[s] = split_cost < leaf_cost
+        best[s] = np.where(use_split[s], split_cost, leaf_cost)
+
+    # backtrack in z-order over the CTU grid (implicit splits at borders)
+    split_map = {}
+    leaf_map = {}
+    leaves = []
+
+    def walk(x0, y0, s):
+        if x0 >= w or y0 >= h:
+            return
+        inside = x0 + s <= w and y0 + s <= h
+        if not inside:
+            half = s // 2
+            for dx, dy in ((0, 0), (half, 0), (0, half), (half, half)):
+                walk(x0 + dx, y0 + dy, half)
+            return
+        if s > min_cu and use_split[s][y0 // s, x0 // s]:
+            split_map[(x0, y0, s)] = True
+            half = s // 2
+            for dx, dy in ((0, 0), (half, 0), (0, half), (half, half)):
+                walk(x0 + dx, y0 + dy, half)
+        else:
+            if s > min_cu:
+                split_map[(x0, y0, s)] = False
+            leaf = Leaf(x0, y0, s, int(mode[s][y0 // s, x0 // s]))
+            leaf_map[(x0, y0, s)] = leaf
+            leaves.append(leaf)
+
+    for cy in range(0, h, ctu_size):
+        for cx in range(0, w, ctu_size):
+            walk(cx, cy, ctu_size)
+    return split_map, leaf_map, leaves

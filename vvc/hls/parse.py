@@ -1,0 +1,47 @@
+"""HLS parsers — exact mirrors of vvc.hls.write.
+
+TPU-native analog of the reference's HLSyntaxReader
+(`/root/reference/source/Lib/DecoderLib/VLCReader.cpp` → parseSPS /
+parsePPS / parseSliceHeader).  OpenVVC counterpart: libovvc/nvcl_sps.c etc.
+"""
+from __future__ import annotations
+
+from vvc.io.bitio import BitReader
+from vvc.hls.ps import SPS, PPS, SliceHeader
+
+
+def parse_sps(rbsp: bytes) -> SPS:
+    br = BitReader(rbsp)
+    sps_id = br.read(4)
+    chroma = br.read(2)
+    width = br.read_ue()
+    height = br.read_ue()
+    bit_depth = br.read_ue() + 8
+    ctu = 1 << (br.read_ue() + 5)
+    min_cu = 1 << (br.read_ue() + 2)
+    mtt = br.read_ue()
+    flags = [bool(br.read_flag()) for _ in range(11)]
+    return SPS(sps_id, width, height, bit_depth, chroma, ctu, min_cu, mtt, *flags)
+
+
+def parse_pps(rbsp: bytes) -> PPS:
+    br = BitReader(rbsp)
+    pps_id = br.read(6)
+    sps_id = br.read(4)
+    init_qp = br.read_se() + 26
+    cb_off = br.read_se()
+    cr_off = br.read_se()
+    cols = br.read_ue() + 1
+    rows = br.read_ue() + 1
+    return PPS(pps_id, sps_id, init_qp, cb_off, cr_off, cols, rows)
+
+
+def parse_slice_header(rbsp: bytes, init_qp: int):
+    """Returns (SliceHeader, cabac_payload_bytes)."""
+    br = BitReader(rbsp)
+    pps_id = br.read(6)
+    stype = br.read_ue()
+    poc = br.read(16)
+    qp = br.read_se() + init_qp
+    br.byte_align()
+    return SliceHeader(pps_id, stype, poc, qp), br.bytes_remaining_from_aligned()

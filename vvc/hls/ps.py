@@ -1,0 +1,59 @@
+"""High-level syntax parameter sets (SPS/PPS/slice header) as frozen
+dataclasses.
+
+TPU-native analog of the reference's parameter-set model
+(`/root/reference/source/Lib/CommonLib/Slice.h` → SPS/PPS/Slice;
+EncoderLib/EncLib.cpp → xInitSPS/xInitPPS).  Per SURVEY.md §5.6 the config
+is "compiled into parameter sets"; these objects are hashable/static so
+they can be closed over by jitted device code.
+
+Round-1 field subset: enough to describe the All-Intra QT-only operating
+point.  The writers in vvc.hls.write serialize a spec-shaped (but not yet
+spec-complete [verify]) RBSP; vvc.hls.parse mirrors them exactly.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class SPS:
+    sps_id: int = 0
+    width: int = 0
+    height: int = 0
+    bit_depth: int = 8
+    chroma_format_idc: int = 1        # 4:2:0
+    ctu_size: int = 64
+    min_cu_size: int = 8              # min QT leaf (luma)
+    max_mtt_depth_intra: int = 0      # QT-only round 1
+    # tool flags (default off in round 1; listed so cfg parsing has a home)
+    mip: bool = False
+    isp: bool = False
+    mrl: bool = False
+    cclm: bool = False
+    mts_intra: bool = False
+    lfnst: bool = False
+    dep_quant: bool = False
+    sao: bool = False
+    alf: bool = False
+    lmcs: bool = False
+    deblocking: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class PPS:
+    pps_id: int = 0
+    sps_id: int = 0
+    init_qp: int = 32
+    cb_qp_offset: int = 0
+    cr_qp_offset: int = 0
+    num_tile_cols: int = 1
+    num_tile_rows: int = 1
+
+
+@dataclasses.dataclass
+class SliceHeader:
+    pps_id: int = 0
+    slice_type: int = 2               # I
+    poc: int = 0
+    qp: int = 32

@@ -1,0 +1,55 @@
+"""HLS writers: SPS/PPS/slice-header RBSP serialization.
+
+TPU-native analog of the reference's HLSWriter
+(`/root/reference/source/Lib/EncoderLib/VLCWriter.cpp` → codeSPS / codePPS /
+codeSliceHeader).  Field order follows the spec shape where implemented;
+fields not yet supported are simply absent and the parser mirrors that
+([verify] — to be made spec-complete as tools land).
+"""
+from __future__ import annotations
+
+from vvc.io.bitio import BitWriter
+from vvc.hls.ps import SPS, PPS, SliceHeader
+
+
+def write_sps(sps: SPS) -> bytes:
+    bw = BitWriter()
+    bw.write(sps.sps_id, 4)
+    bw.write(sps.chroma_format_idc, 2)
+    bw.write_ue(sps.width)
+    bw.write_ue(sps.height)
+    bw.write_ue(sps.bit_depth - 8)
+    bw.write_ue((sps.ctu_size.bit_length() - 1) - 5)       # log2_ctu_size_minus5
+    bw.write_ue((sps.min_cu_size.bit_length() - 1) - 2)    # log2_min_cu_minus2
+    bw.write_ue(sps.max_mtt_depth_intra)
+    for flag in (sps.mip, sps.isp, sps.mrl, sps.cclm, sps.mts_intra,
+                 sps.lfnst, sps.dep_quant, sps.sao, sps.alf, sps.lmcs,
+                 sps.deblocking):
+        bw.write_flag(flag)
+    bw.byte_align()
+    return bw.get_bytes()
+
+
+def write_pps(pps: PPS) -> bytes:
+    bw = BitWriter()
+    bw.write(pps.pps_id, 6)
+    bw.write(pps.sps_id, 4)
+    bw.write_se(pps.init_qp - 26)
+    bw.write_se(pps.cb_qp_offset)
+    bw.write_se(pps.cr_qp_offset)
+    bw.write_ue(pps.num_tile_cols - 1)
+    bw.write_ue(pps.num_tile_rows - 1)
+    bw.byte_align()
+    return bw.get_bytes()
+
+
+def write_slice_header(sh: SliceHeader, init_qp: int) -> bytes:
+    """Slice header RBSP bits (byte-aligned); CABAC payload is appended by
+    the caller (slice_data starts at a byte boundary, spec 7.3.7)."""
+    bw = BitWriter()
+    bw.write(sh.pps_id, 6)
+    bw.write_ue(sh.slice_type)
+    bw.write(sh.poc & 0xFFFF, 16)
+    bw.write_se(sh.qp - init_qp)
+    bw.byte_align()
+    return bw.get_bytes()

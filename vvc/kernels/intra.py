@@ -1,0 +1,276 @@
+"""Intra prediction: planar, DC, 65 angular modes (+PDPC).
+
+TPU-native analog of the reference's IntraPrediction
+(`/root/reference/source/Lib/CommonLib/IntraPrediction.cpp` →
+predIntraAng / xPredIntraPlanar / xPredIntraDc / initIntraPatternChType;
+OpenVVC: libovvc/rcn_intra*.c, drv_intra.c).
+
+Design (SURVEY.md §2.2): "All 65 angular modes = gather + linear interp
+along rows → batched gather kernel."  The reference computes one block at a
+time from a freshly assembled reference array; here the reference L-shape
+is flattened into one line C of length 4S+3:
+
+    C = [ left[2S], ..., left[1], corner, top[1], ..., top[2S], pad, pad ]
+          index 0              2S-1   2S   2S+1        4S        (+2 pad)
+
+and every angular mode m becomes a *static* pair of gather-index matrices
+IDX/IDX2 plus fraction weights FACT into C (negative-angle projections via
+invAngle folded in at table-build time).  The batched JAX path evaluates
+all modes × all blocks of one size in a single gather+FMA — MXU/VPU
+friendly, no data-dependent control flow.
+
+Round-1 simplifications (self-consistent, shared by encoder and decoder;
+flagged for later spec alignment): 2-tap linear interpolation (the spec
+uses 4-tap fC/fG for luma), no reference smoothing, PDPC applied to
+planar/DC only, square blocks only (QT round 1 ⇒ no wide-angle remap).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vvc.common.types import PLANAR_IDX, DC_IDX, VER_IDX, HOR_IDX, DIA_IDX
+
+# spec 8.4.5.2.12 intraPredAngle table, indexed by |mode - 50| (or |18-mode|)
+_ABS_ANG = [0, 1, 2, 3, 4, 6, 8, 10, 12, 14, 16, 18, 20, 23, 26, 29, 32]
+
+
+def pred_angle(mode: int) -> int:
+    """Signed intraPredAngle for the vertical family (mode in [34, 66])."""
+    idx = mode - VER_IDX  # -16..16
+    return int(np.sign(idx)) * _ABS_ANG[abs(idx)]
+
+
+def inv_angle(angle: int) -> int:
+    assert angle != 0
+    a = abs(angle)
+    return (512 * 32 + a // 2) // a
+
+
+# ---------------------------------------------------------------------------
+# Reference line construction (oracle; reference: initIntraPatternChType)
+# ---------------------------------------------------------------------------
+
+
+def build_ref_line(plane: np.ndarray, coded: np.ndarray, x0: int, y0: int,
+                   size: int, bit_depth: int = 8, log2_unit: int = 2) -> np.ndarray:
+    """Build the flattened reference line C (length 4S+3) for an S×S block
+    at (x0, y0) of `plane`, honoring availability.
+
+    `coded` is a per-(1<<log2_unit) boolean map of already-reconstructed
+    units (kept identically by encoder and decoder, so availability —
+    including above-right/below-left in z-order — is exact and symmetric).
+    """
+    s = size
+    h, w = plane.shape
+    n = 4 * s + 3
+    c = np.empty(n, dtype=np.int32)
+    avail = np.zeros(n, dtype=bool)
+
+    def unit_coded(px: int, py: int) -> bool:
+        if px < 0 or py < 0 or px >= w or py >= h:
+            return False
+        return bool(coded[py >> log2_unit, px >> log2_unit])
+
+    # left samples: C[2s-1-k] = plane[y0+k, x0-1], k = 0..2s-1
+    for k in range(2 * s):
+        px, py = x0 - 1, y0 + k
+        if unit_coded(px, py):
+            c[2 * s - 1 - k] = plane[py, px]
+            avail[2 * s - 1 - k] = True
+    # corner
+    if unit_coded(x0 - 1, y0 - 1):
+        c[2 * s] = plane[y0 - 1, x0 - 1]
+        avail[2 * s] = True
+    # top samples: C[2s+1+k] = plane[y0-1, x0+k], k = 0..2s-1
+    for k in range(2 * s):
+        px, py = x0 + k, y0 - 1
+        if unit_coded(px, py):
+            c[2 * s + 1 + k] = plane[py, px]
+            avail[2 * s + 1 + k] = True
+
+    # substitution (spec 8.4.5.2.8): if none available → mid-grey; else
+    # propagate from the first available sample scanning C upward.
+    if not avail.any():
+        c[:] = 1 << (bit_depth - 1)
+    else:
+        first = int(np.argmax(avail))
+        c[:first] = c[first]
+        for i in range(first + 1, 4 * s + 1):
+            if not avail[i]:
+                c[i] = c[i - 1]
+    c[4 * s + 1] = c[4 * s]  # pad
+    c[4 * s + 2] = c[4 * s]
+    return c
+
+
+# ---------------------------------------------------------------------------
+# Static per-mode gather tables
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def angular_tables(size: int, mode: int):
+    """(IDX, IDX2, FACT) int32 [S, S] matrices into C for a vertical-family
+    mode (34..66).  pred[y, x] = ((32-F)*C[IDX] + F*C[IDX2] + 16) >> 5."""
+    assert DIA_IDX <= mode <= 66
+    s = size
+    angle = pred_angle(mode)
+    idx = np.empty((s, s), dtype=np.int32)
+    idx2 = np.empty((s, s), dtype=np.int32)
+    fact = np.empty((s, s), dtype=np.int32)
+    ia = inv_angle(angle) if angle < 0 else 0
+
+    def c_pos(k: int) -> int:  # E-space -> C-space
+        if k >= 0:
+            return min(2 * s + k, 4 * s + 2)
+        i = -k
+        return 2 * s - ((i * ia + 256) >> 9)
+
+    for y in range(s):
+        off = ((y + 1) * angle) >> 5
+        f = ((y + 1) * angle) & 31
+        for x in range(s):
+            idx[y, x] = c_pos(x + off + 1)
+            idx2[y, x] = c_pos(x + off + 2)
+            fact[y, x] = f
+    return idx, idx2, fact
+
+
+# ---------------------------------------------------------------------------
+# Oracle prediction (numpy, one block) — used by sequential recon paths
+# ---------------------------------------------------------------------------
+
+
+def _pdpc_planar_dc(pred: np.ndarray, c: np.ndarray, size: int) -> np.ndarray:
+    s = size
+    left = c[2 * s - 1::-1][:s]     # left[y], y = 0..s-1
+    top = c[2 * s + 1: 2 * s + 1 + s]  # top[x]
+    scale = ((2 * int(np.log2(s)) - 2) >> 2)
+    xs = np.arange(s)
+    wl = 32 >> np.minimum(31, (2 * xs) >> scale)   # [x]
+    wt = 32 >> np.minimum(31, (2 * xs) >> scale)   # [y]
+    out = (wl[None, :] * left[:, None] + wt[:, None] * top[None, :]
+           + (64 - wl[None, :] - wt[:, None]) * pred + 32) >> 6
+    return out
+
+
+def predict_intra(c: np.ndarray, mode: int, size: int, bit_depth: int = 8,
+                  pdpc: bool = True) -> np.ndarray:
+    """Predict one S×S block from its reference line C.  Returns int32 [S, S]."""
+    s = size
+    log2s = int(np.log2(s))
+    left = c[2 * s - 1::-1][:2 * s]  # left[k] = sample at (x0-1, y0+k)
+    top = c[2 * s + 1:4 * s + 1]     # top[k] = sample at (x0+k, y0-1)
+
+    if mode == PLANAR_IDX:
+        xs = np.arange(s)
+        ys = np.arange(s)
+        pred_v = ((s - 1 - ys)[:, None] * top[None, :s]
+                  + (ys + 1)[:, None] * left[s][None, None]) << log2s
+        pred_h = ((s - 1 - xs)[None, :] * left[:s][:, None]
+                  + (xs + 1)[None, :] * top[s][None, None]) << log2s
+        pred = (pred_v + pred_h + s * s) >> (2 * log2s + 1)
+    elif mode == DC_IDX:
+        dc = (int(top[:s].sum()) + int(left[:s].sum()) + s) >> (log2s + 1)
+        pred = np.full((s, s), dc, dtype=np.int32)
+    else:
+        if mode >= DIA_IDX:
+            idx, idx2, fact = angular_tables(s, mode)
+            pred = ((32 - fact) * c[idx] + fact * c[idx2] + 16) >> 5
+        else:
+            # horizontal family = transpose of vertical mode 68-m on the
+            # reversed reference line (left/top swap roles)
+            idx, idx2, fact = angular_tables(s, 68 - mode)
+            ct = c[:4 * s + 1][::-1]
+            ct = np.concatenate([ct, ct[-1:], ct[-1:]])
+            pred = (((32 - fact) * ct[idx] + fact * ct[idx2] + 16) >> 5).T
+        pred = pred.astype(np.int32)
+
+    if pdpc and mode in (PLANAR_IDX, DC_IDX) and s >= 4:
+        pred = _pdpc_planar_dc(pred, c, s)
+    return np.clip(pred, 0, (1 << bit_depth) - 1).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Batched JAX prediction — all modes × all blocks of one size, for RDO
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _stacked_tables(size: int):
+    """Stack per-mode tables for the vertical family (modes 34..66):
+    IDX/[33,S,S], IDX2, FACT int32 arrays."""
+    mats = [angular_tables(size, m) for m in range(DIA_IDX, 67)]
+    idx = np.stack([m[0] for m in mats])
+    idx2 = np.stack([m[1] for m in mats])
+    fact = np.stack([m[2] for m in mats])
+    return idx, idx2, fact
+
+
+def predict_all_modes_batch(c_batch: jax.Array, size: int, bit_depth: int = 8) -> jax.Array:
+    """[N, 4S+3] reference lines → [N, 67, S, S] predictions for all modes.
+
+    Mode axis order = mode index (0=planar, 1=DC, 2..66 angular).
+    """
+    s = size
+    log2s = int(np.log2(s))
+    n = c_batch.shape[0]
+    idx, idx2, fact = _stacked_tables(size)
+    idx = jnp.asarray(idx)
+    idx2 = jnp.asarray(idx2)
+    fact = jnp.asarray(fact)
+
+    left = c_batch[:, 2 * s - 1::-1]          # [N, 2S]
+    top = c_batch[:, 2 * s + 1:4 * s + 1]     # [N, 2S]
+
+    # planar
+    xs = jnp.arange(s)
+    ys = jnp.arange(s)
+    below_left = left[:, s][:, None, None]   # L[S]
+    above_right = top[:, s][:, None, None]   # T[S]
+    pred_v = ((s - 1 - ys)[None, :, None] * top[:, None, :s]
+              + (ys + 1)[None, :, None] * below_left) << log2s
+    pred_h = ((s - 1 - xs)[None, None, :] * left[:, :s, None]
+              + (xs + 1)[None, None, :] * above_right) << log2s
+    planar = (pred_v + pred_h + s * s) >> (2 * log2s + 1)
+
+    # DC
+    dc = (jnp.sum(top[:, :s], axis=1) + jnp.sum(left[:, :s], axis=1) + s) >> (log2s + 1)
+    dc_pred = jnp.broadcast_to(dc[:, None, None], (n, s, s))
+
+    # PDPC for planar/DC
+    scale = (2 * log2s - 2) >> 2
+    wl = (32 >> jnp.minimum(31, (2 * xs) >> scale))[None, None, :]
+    wt = (32 >> jnp.minimum(31, (2 * ys) >> scale))[None, :, None]
+    lcol = left[:, :s, None]   # [N, S, 1]
+    trow = top[:, None, :s]    # [N, 1, S]
+
+    def pdpc(p):
+        return (wl * lcol + wt * trow + (64 - wl - wt) * p + 32) >> 6
+
+    planar = pdpc(planar)
+    dc_pred = pdpc(dc_pred)
+
+    # vertical family (34..66): gather from C with the stacked static tables
+    gv1 = c_batch[:, idx]    # [N, 33, S, S]
+    gv2 = c_batch[:, idx2]
+    pv = ((32 - fact)[None] * gv1 + fact[None] * gv2 + 16) >> 5
+
+    # horizontal family (2..33): prediction of vertical mode 68-m on the
+    # reversed reference line (left/top swapped), then transposed
+    ct = c_batch[:, 4 * s::-1]
+    ct = jnp.concatenate([ct, ct[:, -1:], ct[:, -1:]], axis=1)
+    gh1 = ct[:, idx]
+    gh2 = ct[:, idx2]
+    ph = (((32 - fact)[None] * gh1 + fact[None] * gh2 + 16) >> 5).transpose(0, 1, 3, 2)
+    # table position i holds vertical mode 34+i; horizontal mode m uses
+    # position (68-m)-34 = 34-m, so modes m = 2..33 → positions 32..1
+    hm = ph[:, jnp.arange(32, 0, -1)]
+
+    out = jnp.concatenate(
+        [planar[:, None], dc_pred[:, None], hm, pv], axis=1)
+    return jnp.clip(out, 0, (1 << bit_depth) - 1).astype(jnp.int32)

@@ -46,10 +46,17 @@ def quant_np(coeff: np.ndarray, qp: int, bit_depth: int = 8, intra: bool = True)
     qbits = QUANT_SHIFT + qp // 6 + tshift
     scale = int(QUANT_SCALES[qp % 6])
     offset = (171 if intra else 85) << (qbits - 9)
+    # |coeff| <= 2^15, scale < 2^15 → product < 2^30: int64 never needed
     a = np.abs(coeff.astype(np.int64))
     level = (a * scale + offset) >> qbits
     level = np.clip(level, 0, 32767)
     return (np.sign(coeff) * level).astype(np.int32)
+
+
+# pre-shift magnitude guard for dequant: values beyond this saturate the
+# 16-bit coefficient clip regardless of the final shift, so clamping the
+# intermediate keeps int32 arithmetic exact (shared by np and jax paths)
+_DEQ_GUARD = 1 << 29
 
 
 def dequant_np(level: np.ndarray, qp: int, bit_depth: int = 8) -> np.ndarray:
@@ -57,12 +64,14 @@ def dequant_np(level: np.ndarray, qp: int, bit_depth: int = 8) -> np.ndarray:
     h, w = level.shape
     tshift = transform_shift(_log2(w), _log2(h), bit_depth)
     shift = IQUANT_SHIFT - tshift
-    scale = int(INV_QUANT_SCALES[qp % 6]) << (qp // 6)
-    lv = level.astype(np.int64)
+    scale = int(INV_QUANT_SCALES[qp % 6])
+    sh6 = qp // 6
+    lv = level.astype(np.int64) * scale            # < 2^22, int32-safe too
+    lv = np.clip(lv, -(_DEQ_GUARD >> sh6), _DEQ_GUARD >> sh6) << sh6
     if shift > 0:
-        c = (lv * scale + (1 << (shift - 1))) >> shift
+        c = (lv + (1 << (shift - 1))) >> shift
     else:
-        c = (lv * scale) << (-shift)
+        c = lv << (-shift)
     return np.clip(c, -32768, 32767).astype(np.int32)
 
 
@@ -77,7 +86,8 @@ def quant_batch(coeff: jax.Array, qp: int, bit_depth: int = 8, intra: bool = Tru
     qbits = QUANT_SHIFT + qp // 6 + tshift
     scale = int(QUANT_SCALES[qp % 6])
     offset = (171 if intra else 85) << (qbits - 9)
-    a = jnp.abs(coeff.astype(jnp.int64))
+    # |coeff|*scale < 2^30 — exact in int32 (device default; no x64 needed)
+    a = jnp.abs(coeff)
     level = jnp.clip((a * scale + offset) >> qbits, 0, 32767)
     return (jnp.sign(coeff) * level).astype(jnp.int32)
 
@@ -86,10 +96,12 @@ def dequant_batch(level: jax.Array, qp: int, bit_depth: int = 8) -> jax.Array:
     n, h, w = level.shape
     tshift = transform_shift(_log2(w), _log2(h), bit_depth)
     shift = IQUANT_SHIFT - tshift
-    scale = int(INV_QUANT_SCALES[qp % 6]) << (qp // 6)
-    lv = level.astype(jnp.int64)
+    scale = int(INV_QUANT_SCALES[qp % 6])
+    sh6 = qp // 6
+    lv = level * scale                             # < 2^22, int32-exact
+    lv = jnp.clip(lv, -(_DEQ_GUARD >> sh6), _DEQ_GUARD >> sh6) << sh6
     if shift > 0:
-        c = (lv * scale + (1 << (shift - 1))) >> shift
+        c = (lv + (1 << (shift - 1))) >> shift
     else:
-        c = (lv * scale) << (-shift)
+        c = lv << (-shift)
     return jnp.clip(c, -32768, 32767).astype(jnp.int32)

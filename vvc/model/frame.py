@@ -1,0 +1,86 @@
+"""Frame-level coding state: SoA maps instead of the reference's CU object
+graph.
+
+TPU-native analog of the reference's CodingStructure/Unit data model
+(`/root/reference/source/Lib/CommonLib/CodingStructure.cpp`, Unit.cpp,
+UnitTools.cpp).  Per SURVEY.md §7.0 tenet 1, the CU/PU/TU pointer web
+becomes per-4×4 tensor fields (mode plane, depth plane, coded plane); a
+flat z-order leaf list carries per-block payloads (levels) between the
+syntax and reconstruction phases — the "parse all, then reconstruct"
+split that makes the decoder batchable (OpenVVC's drv/rcn split).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Leaf:
+    """One intra coding unit (single tree: luma + collocated chroma)."""
+
+    x0: int
+    y0: int
+    size: int
+    luma_mode: int = 0
+    # quantized levels; None until reconstruction (encoder) / parse (decoder)
+    lev_y: np.ndarray | None = None
+    lev_cb: np.ndarray | None = None
+    lev_cr: np.ndarray | None = None
+
+    @property
+    def cbf_y(self) -> int:
+        return int(self.lev_y is not None and np.any(self.lev_y))
+
+    @property
+    def cbf_cb(self) -> int:
+        return int(self.lev_cb is not None and np.any(self.lev_cb))
+
+    @property
+    def cbf_cr(self) -> int:
+        return int(self.lev_cr is not None and np.any(self.lev_cr))
+
+
+class CodingState:
+    """Per-4×4 SoA planes consulted by syntax coding and reconstruction.
+
+    Kept identically by encoder and decoder so context derivations and
+    reference-sample availability can never diverge.
+    """
+
+    def __init__(self, width: int, height: int):
+        self.w4 = (width + 3) >> 2
+        self.h4 = (height + 3) >> 2
+        self.mode_map = np.full((self.h4, self.w4), -1, dtype=np.int16)
+        self.depth_map = np.zeros((self.h4, self.w4), dtype=np.int8)
+        self.coded_map = np.zeros((self.h4, self.w4), dtype=bool)       # luma units
+        self.coded_map_c = np.zeros(((height // 2 + 3) >> 2, (width // 2 + 3) >> 2),
+                                    dtype=bool)                          # chroma units
+
+    def set_cu(self, x0: int, y0: int, size: int, mode: int, depth: int):
+        s4 = size >> 2
+        self.mode_map[y0 >> 2:(y0 >> 2) + s4, x0 >> 2:(x0 >> 2) + s4] = mode
+        self.depth_map[y0 >> 2:(y0 >> 2) + s4, x0 >> 2:(x0 >> 2) + s4] = depth
+
+    def mark_coded(self, x0: int, y0: int, size: int):
+        s4 = size >> 2
+        self.coded_map[y0 >> 2:(y0 >> 2) + s4, x0 >> 2:(x0 >> 2) + s4] = True
+        cs4 = max(1, size >> 3)
+        self.coded_map_c[y0 >> 3:(y0 >> 3) + cs4, x0 >> 3:(x0 >> 3) + cs4] = True
+
+    def mode_at(self, x: int, y: int) -> int:
+        """Intra mode of the 4×4 unit containing luma sample (x, y); -1 if
+        out of frame or not yet coded."""
+        if x < 0 or y < 0 or (x >> 2) >= self.w4 or (y >> 2) >= self.h4:
+            return -1
+        if not self.coded_map[y >> 2, x >> 2]:
+            return -1
+        return int(self.mode_map[y >> 2, x >> 2])
+
+    def depth_at(self, x: int, y: int) -> int:
+        if x < 0 or y < 0 or (x >> 2) >= self.w4 or (y >> 2) >= self.h4:
+            return -1
+        if not self.coded_map[y >> 2, x >> 2]:
+            return -1
+        return int(self.depth_map[y >> 2, x >> 2])

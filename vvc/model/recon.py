@@ -1,0 +1,97 @@
+"""Sequential z-order reconstruction — the single code path shared by the
+encoder (which also derives quantized levels here) and the decoder.
+
+TPU-native analog of the reference's reconstruction drivers
+(`/root/reference/source/Lib/DecoderLib/DecCu.cpp` → xReconIntraQT /
+xIntraRecBlk; encoder side IntraSearch::xIntraCodingTUBlock).  Keeping one
+implementation enforces the CommonLib invariant (SURVEY.md §1.1): the
+encoder's reconstruction IS the decoder's output, so
+decode(encode(x)) == encoder_recon holds bit-exactly by construction.
+
+This is the intentionally-serial path (intra prediction consumes
+reconstructed neighbours).  The batched wavefront (lax.scan over CTU
+anti-diagonals, SURVEY.md §7.3 item 3) replaces the inner loop in a later
+stage; the kernels called here are the same ones the batch path uses.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from vvc.kernels.intra import build_ref_line, predict_intra
+from vvc.kernels.transform import fwd_transform_np, inv_transform_np
+from vvc.kernels.quant import quant_np, dequant_np
+
+
+def chroma_qp(qp: int) -> int:
+    """Luma→chroma QP mapping.  [verify]: identity placeholder for the VVC
+    default ChromaQpTable (near-identity below QP 35); reference:
+    Slice.h → ChromaQpMappingTable."""
+    return min(qp, 63)
+
+
+def _recon_block(plane, orig, coded, x0, y0, size, mode, qp, bit_depth, levels):
+    """Predict + (inverse-)transform one block in `plane`.
+
+    If `levels` is None (encode), derives them from `orig`; returns levels.
+    """
+    c = build_ref_line(plane, coded, x0, y0, size, bit_depth)
+    pred = predict_intra(c, mode, size, bit_depth)
+    if levels is None:
+        resi = orig[y0:y0 + size, x0:x0 + size].astype(np.int32) - pred
+        coeff = fwd_transform_np(resi, bit_depth)
+        levels = quant_np(coeff, qp, bit_depth, intra=True)
+    if np.any(levels):
+        rec_resi = inv_transform_np(dequant_np(levels, qp, bit_depth), bit_depth)
+        rec = np.clip(pred + rec_resi, 0, (1 << bit_depth) - 1)
+    else:
+        rec = pred
+    plane[y0:y0 + size, x0:x0 + size] = rec
+    return levels
+
+
+def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
+                       orig_planes=None):
+    """Reconstruct all leaves in z-order into recon_planes (y, cb, cr).
+
+    Encoder mode: orig_planes given, leaf.lev_* are None → derives and
+    stores levels on each leaf.  Decoder mode: leaf.lev_* already parsed.
+    Availability maps are (re)built here so they always reflect recon
+    progress, independent of any syntax-phase state.
+    """
+    y_pl, cb_pl, cr_pl = recon_planes
+    h, w = y_pl.shape
+    coded_y = np.zeros(((h + 3) >> 2, (w + 3) >> 2), dtype=bool)
+    coded_c = np.zeros(((h // 2 + 3) >> 2, (w // 2 + 3) >> 2), dtype=bool)
+    qpc = chroma_qp(qp)
+    encode_mode = orig_planes is not None
+    o_y, o_cb, o_cr = orig_planes if encode_mode else (None, None, None)
+
+    def dec_levels(lv, size):
+        return lv if lv is not None else np.zeros((size, size), dtype=np.int32)
+
+    for leaf in leaves:
+        s = leaf.size
+        x0, y0 = leaf.x0, leaf.y0
+        lev = _recon_block(y_pl, o_y, coded_y, x0, y0, s, leaf.luma_mode,
+                           qp, bit_depth,
+                           None if encode_mode else dec_levels(leaf.lev_y, s))
+        if encode_mode:
+            leaf.lev_y = lev if np.any(lev) else None
+        # chroma (single tree, DM mode = luma mode), half resolution
+        cs = s >> 1
+        cx, cy = x0 >> 1, y0 >> 1
+        lev = _recon_block(cb_pl, o_cb, coded_c, cx, cy, cs, leaf.luma_mode,
+                           qpc, bit_depth,
+                           None if encode_mode else dec_levels(leaf.lev_cb, cs))
+        if encode_mode:
+            leaf.lev_cb = lev if np.any(lev) else None
+        lev = _recon_block(cr_pl, o_cr, coded_c, cx, cy, cs, leaf.luma_mode,
+                           qpc, bit_depth,
+                           None if encode_mode else dec_levels(leaf.lev_cr, cs))
+        if encode_mode:
+            leaf.lev_cr = lev if np.any(lev) else None
+        # mark availability
+        s4 = s >> 2
+        coded_y[y0 >> 2:(y0 >> 2) + s4, x0 >> 2:(x0 >> 2) + s4] = True
+        cs4 = max(1, cs >> 2)
+        coded_c[cy >> 2:(cy >> 2) + cs4, cx >> 2:(cx >> 2) + cs4] = True
