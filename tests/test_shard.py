@@ -1,0 +1,61 @@
+"""Sharding-layer tests on the 8-virtual-device CPU mesh
+(SURVEY.md §4: multi-host logic without a cluster)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vvc.shard.mesh import make_mesh, sharded_rdo_step
+from vvc.shard.halo import exchange_tile_halos
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(4, 2)
+    assert mesh.shape == {"tile": 4, "frame": 2}
+
+
+def test_sharded_rdo_matches_single_device():
+    from vvc.enc.rdo import eval_blocks
+    rng = np.random.default_rng(0)
+    size = 8
+    orig = rng.integers(0, 256, size=(16, size, size)).astype(np.int32)
+    refs = rng.integers(0, 256, size=(16, 4 * size + 3)).astype(np.int32)
+    mesh = make_mesh(8, 1)
+    c_sh, m_sh, tot = sharded_rdo_step(mesh, jnp.asarray(orig),
+                                       jnp.asarray(refs), size, 32)
+    c_1, m_1 = eval_blocks(jnp.asarray(orig), jnp.asarray(refs), size, 32, 8)
+    np.testing.assert_array_equal(np.asarray(m_sh), np.asarray(m_1))
+    np.testing.assert_allclose(np.asarray(c_sh), np.asarray(c_1), rtol=1e-6)
+    assert np.isclose(float(tot), float(np.sum(np.asarray(c_1))), rtol=1e-5)
+
+
+def test_halo_exchange():
+    mesh = make_mesh(8, 1)
+    rng = np.random.default_rng(1)
+    stripes = rng.integers(0, 256, size=(8, 16, 16)).astype(np.int32)
+    lh, rh = exchange_tile_halos(mesh, jnp.asarray(stripes), halo=4)
+    lh, rh = np.asarray(lh), np.asarray(rh)
+    for i in range(8):
+        if i == 0:
+            assert (lh[i] == 0).all()
+        else:
+            np.testing.assert_array_equal(lh[i], stripes[i - 1][:, -4:])
+        if i == 7:
+            assert (rh[i] == 0).all()
+        else:
+            np.testing.assert_array_equal(rh[i], stripes[i + 1][:, :4])
+
+
+def test_graft_entry_single():
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    cost, mode = jax.jit(fn)(*args)
+    assert cost.shape == (64,)
+
+
+def test_graft_entry_multichip():
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
