@@ -21,8 +21,8 @@ def main():
     from vvc.enc.encoder import encode_sequence
 
     frames = [synth_frame(W, H, t) for t in range(FRAMES)]
-    # warmup: compile all RDO kernels on one frame
-    encode_sequence(frames[:1], qp=QP)
+    # warmup: compile all RDO kernels (same shapes as the timed run)
+    encode_sequence(frames, qp=QP)
     t0 = time.perf_counter()
     bitstream, recons, stats = encode_sequence(frames, qp=QP)
     dt = time.perf_counter() - t0

@@ -28,7 +28,7 @@ from vvc.cabac.ctx import SliceContexts
 from vvc.cabac.cu_syntax import TreeWriter
 from vvc.model.frame import CodingState
 from vvc.model.recon import reconstruct_leaves
-from vvc.enc.rdo import rdo_partition
+from vvc.enc.rdo import rdo_partition, rdo_partition_frames
 
 SEI_PIC_HASH_MD5 = 132  # decoded_picture_hash payload type
 
@@ -49,14 +49,17 @@ class Encoder:
         self.sps = sps
         self.pps = pps
 
-    def encode_frame(self, frame: Frame, poc: int):
-        """Returns (nal_units, recon Frame, stats dict)."""
+    def encode_frame(self, frame: Frame, poc: int, rdo_result=None):
+        """Returns (nal_units, recon Frame, stats dict).
+
+        rdo_result: optional precomputed (split_map, leaf_map, leaves) from
+        the GOP-batched search (rdo_partition_frames)."""
         sps, pps = self.sps, self.pps
         qp = pps.init_qp
         bd = sps.bit_depth
 
-        split_map, leaf_map, leaves = rdo_partition(
-            frame.y, qp, bd, sps.ctu_size, sps.min_cu_size)
+        split_map, leaf_map, leaves = rdo_result if rdo_result is not None \
+            else rdo_partition(frame.y, qp, bd, sps.ctu_size, sps.min_cu_size)
 
         recon = (np.zeros_like(frame.y), np.zeros_like(frame.cb),
                  np.zeros_like(frame.cr))
@@ -100,8 +103,12 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8):
             NalUnit(NalUnitType.PPS, write_pps(pps))]
     recons = []
     stats = []
+    # one device dispatch for the whole sequence's RDO search (AI frames
+    # are independent); host recon/entropy then proceeds per frame
+    rdo_results = rdo_partition_frames([f.y for f in frames], qp, bit_depth,
+                                       sps.ctu_size, sps.min_cu_size)
     for poc, f in enumerate(frames):
-        n, r, s = enc.encode_frame(f, poc)
+        n, r, s = enc.encode_frame(f, poc, rdo_results[poc])
         nals += n
         recons.append(r)
         stats.append(s)

@@ -7,9 +7,12 @@ shortlist; EncModeCtrl.cpp heuristics).  Per SURVEY.md §7.0 tenet 2 the
 depth-first recursion is replaced by:
 
   1. For every QT candidate size (8..CTU), evaluate ALL blocks of the
-     frame at that size in one batched device pass: 67-mode prediction
-     (vvc.kernels.intra), SATD prescreen (vvc.kernels.satd), top-K full
-     RD (transform → quant → dequant → inverse → SSE + rate estimate).
+     frame at that size in ONE device dispatch: the luma plane is uploaded
+     once; block tiling, reference-line assembly (clamp-gather), 67-mode
+     prediction (vvc.kernels.intra), SATD prescreen (vvc.kernels.satd) and
+     top-K full RD (transform → quant → dequant → inverse → SSE + rate
+     estimate) all run on device.  Only [ny,nx] cost/mode grids come back
+     — host↔device traffic is O(pixels), not O(blocks·modes).
   2. A bottom-up dynamic program over the size pyramid picks split/leaf
      per node (child-sum + split-bit cost vs leaf cost) — the masked
      segmented arg-min that replaces xCheckModeSplit recursion.
@@ -49,49 +52,39 @@ def rd_lambda(qp: int) -> float:
     return 0.57 * (2.0 ** ((qp - 12) / 3.0))
 
 
-def build_ref_lines_orig(plane: np.ndarray, xs: np.ndarray, ys: np.ndarray,
-                         size: int, bit_depth: int) -> np.ndarray:
-    """Vectorized reference lines from the *original* plane for N blocks.
+def build_ref_lines_device(plane: jax.Array, xs: jax.Array, ys: jax.Array,
+                           size: int, bit_depth: int) -> jax.Array:
+    """Device-side reference lines from the original plane for N blocks.
 
-    Availability is approximated by edge clamping (equivalent to the spec's
-    substitution for frame borders; interior z-order nuances don't apply to
-    original samples).  Returns [N, 4S+3] int32.
+    Availability approximated by edge clamping (equivalent to spec
+    substitution at frame borders).  plane [H,W] int32 → [N, 4S+3] int32.
     """
     h, w = plane.shape
-    n = xs.shape[0]
     s = size
-    c = np.empty((n, 4 * s + 3), dtype=np.int32)
     mid = 1 << (bit_depth - 1)
-    k = np.arange(2 * s)
-    # left column (x0-1), rows y0..y0+2s-1 (clamped)
-    lx = np.clip(xs - 1, 0, w - 1)
-    lyy = np.clip(ys[:, None] + k[None, :], 0, h - 1)
+    k = jnp.arange(2 * s)
+    lx = jnp.clip(xs - 1, 0, w - 1)
+    lyy = jnp.clip(ys[:, None] + k[None, :], 0, h - 1)
     left = plane[lyy, lx[:, None]]
-    # top row (y0-1), cols x0..x0+2s-1 (clamped)
-    ty = np.clip(ys - 1, 0, h - 1)
-    txx = np.clip(xs[:, None] + k[None, :], 0, w - 1)
+    ty = jnp.clip(ys - 1, 0, h - 1)
+    txx = jnp.clip(xs[:, None] + k[None, :], 0, w - 1)
     top = plane[ty[:, None], txx]
     corner = plane[ty, lx]
-    # frame-top / frame-left: replace by substitution value chain
-    top = np.where((ys > 0)[:, None], top, np.where((xs > 0)[:, None],
-                                                    left[:, :1], mid))
-    corner = np.where(ys > 0, corner, np.where(xs > 0, left[:, 0], mid))
-    left = np.where((xs > 0)[:, None], left, np.where((ys > 0)[:, None],
-                                                      top[:, :1], mid))
-    c[:, :2 * s] = left[:, ::-1]
-    c[:, 2 * s] = corner
-    c[:, 2 * s + 1:4 * s + 1] = top
-    c[:, 4 * s + 1] = top[:, -1]
-    c[:, 4 * s + 2] = top[:, -1]
-    return c
+    top = jnp.where((ys > 0)[:, None], top,
+                    jnp.where((xs > 0)[:, None], left[:, :1], mid))
+    corner = jnp.where(ys > 0, corner, jnp.where(xs > 0, left[:, 0], mid))
+    left = jnp.where((xs > 0)[:, None], left,
+                     jnp.where((ys > 0)[:, None], top[:, :1], mid))
+    return jnp.concatenate(
+        [left[:, ::-1], corner[:, None], top, top[:, -1:], top[:, -1:]], axis=1)
 
 
-@partial(jax.jit, static_argnames=("size", "bit_depth", "qp"))
 def eval_blocks(orig: jax.Array, refs: jax.Array, size: int, qp: int,
                 bit_depth: int = 8):
     """[N,S,S] originals + [N,4S+3] refs → (best_cost [N] f32, best_mode [N] i32).
 
-    SATD prescreen over 67 modes, then full RD on the shortlist.
+    SATD prescreen over 67 modes, then full RD on the shortlist.  Pure
+    (trace-safe) — callers jit it or embed it in larger jitted programs.
     """
     lam = rd_lambda(qp)
     sqrt_lam = math.sqrt(lam)
@@ -124,11 +117,62 @@ def eval_blocks(orig: jax.Array, refs: jax.Array, size: int, qp: int,
     return best_cost, best_mode
 
 
+def eval_size_plane(plane: jax.Array, size: int, qp: int, bit_depth: int,
+                    ny: int, nx: int):
+    """Whole-frame single-size evaluation: plane [H,W] int32 →
+    (cost [ny,nx] f32, mode [ny,nx] i32).  Trace-safe."""
+    s = size
+    blocks = (plane[:ny * s, :nx * s]
+              .reshape(ny, s, nx, s).transpose(0, 2, 1, 3).reshape(-1, s, s))
+    ys = (jnp.repeat(jnp.arange(ny), nx) * s)
+    xs = (jnp.tile(jnp.arange(nx), ny) * s)
+    refs = build_ref_lines_device(plane, xs, ys, s, bit_depth)
+    cost, mode = eval_blocks(blocks, refs, s, qp, bit_depth)
+    return cost.reshape(ny, nx), mode.reshape(ny, nx)
+
+
+def _eval_all_sizes_impl(plane, sizes, qp, bit_depth, w, h):
+    out = {}
+    for s in sizes:
+        ny, nx = h // s, w // s
+        if ny and nx:
+            out[s] = eval_size_plane(plane, s, qp, bit_depth, ny, nx)
+    return out
+
+
+@partial(jax.jit, static_argnames=("sizes", "qp", "bit_depth", "w", "h"))
+def eval_all_sizes(plane: jax.Array, sizes: tuple, qp: int, bit_depth: int,
+                   w: int, h: int):
+    """All candidate sizes in ONE dispatch — a single host↔device round
+    trip per frame (the RDO search is latency-bound on small pictures)."""
+    return _eval_all_sizes_impl(plane, sizes, qp, bit_depth, w, h)
+
+
+@partial(jax.jit, static_argnames=("sizes", "qp", "bit_depth", "w", "h"))
+def eval_all_sizes_frames(planes: jax.Array, sizes: tuple, qp: int,
+                          bit_depth: int, w: int, h: int):
+    """[F,H,W] plane batch → per-size ([F,ny,nx] cost, [F,ny,nx] mode).
+
+    All-Intra frames are independent (SURVEY.md §2.7 P-5 applies with no
+    reference deps), so the whole GOP's search is one device dispatch."""
+    return jax.vmap(
+        lambda p: _eval_all_sizes_impl(p, sizes, qp, bit_depth, w, h))(planes)
+
+
 SPLIT_BITS = 1.5  # approximate split_cu_flag cost
 
 
+def _candidate_sizes(ctu_size: int, min_cu: int):
+    sizes = []
+    s = min_cu
+    while s <= ctu_size:
+        sizes.append(s)
+        s <<= 1
+    return sizes
+
+
 def rdo_partition(y_plane: np.ndarray, qp: int, bit_depth: int = 8,
-                  ctu_size: int = 64, min_cu: int = 8, chunk: int = 4096):
+                  ctu_size: int = 64, min_cu: int = 8):
     """Full-frame partition + mode decision.
 
     Returns (split_map, leaf_map, leaves_zorder) consumed by the syntax
@@ -136,35 +180,41 @@ def rdo_partition(y_plane: np.ndarray, qp: int, bit_depth: int = 8,
     """
     h, w = y_plane.shape
     assert w % min_cu == 0 and h % min_cu == 0, "pad input to min-CU multiple"
-    lam = rd_lambda(qp)
-    sizes = []
-    s = min_cu
-    while s <= ctu_size:
-        sizes.append(s)
-        s <<= 1
+    sizes = _candidate_sizes(ctu_size, min_cu)
+    dev_plane = jax.device_put(jnp.asarray(y_plane, dtype=jnp.int32))
+    results = eval_all_sizes(dev_plane, tuple(sizes), qp, bit_depth, w, h)
+    results = {s: (np.asarray(c), np.asarray(m)) for s, (c, m) in results.items()}
+    return _dp_backtrack(results, w, h, qp, sizes, ctu_size, min_cu)
 
+
+def rdo_partition_frames(y_planes, qp: int, bit_depth: int = 8,
+                         ctu_size: int = 64, min_cu: int = 8):
+    """Batched variant: list of [H,W] planes → list of per-frame
+    (split_map, leaf_map, leaves).  One device dispatch for the whole GOP."""
+    h, w = y_planes[0].shape
+    assert w % min_cu == 0 and h % min_cu == 0, "pad input to min-CU multiple"
+    sizes = _candidate_sizes(ctu_size, min_cu)
+    stack = jax.device_put(jnp.asarray(np.stack(y_planes), dtype=jnp.int32))
+    res = eval_all_sizes_frames(stack, tuple(sizes), qp, bit_depth, w, h)
+    res = {s: (np.asarray(c), np.asarray(m)) for s, (c, m) in res.items()}
+    out = []
+    for f in range(len(y_planes)):
+        per = {s: (c[f], m[f]) for s, (c, m) in res.items()}
+        out.append(_dp_backtrack(per, w, h, qp, sizes, ctu_size, min_cu))
+    return out
+
+
+def _dp_backtrack(results, w, h, qp, sizes, ctu_size, min_cu):
+    lam = rd_lambda(qp)
     cost = {}
     mode = {}
     for s in sizes:
         nx, ny = w // s, h // s
         cost[s] = np.full((ny, nx), np.inf, dtype=np.float64)
         mode[s] = np.zeros((ny, nx), dtype=np.int32)
-        if nx == 0 or ny == 0:
-            continue
-        ys, xs = np.meshgrid(np.arange(ny) * s, np.arange(nx) * s, indexing="ij")
-        xs = xs.reshape(-1)
-        ys = ys.reshape(-1)
-        blocks = np.stack([y_plane[y:y + s, x:x + s] for x, y in zip(xs, ys)])
-        refs = build_ref_lines_orig(y_plane, xs, ys, s, bit_depth)
-        bc = np.empty((len(xs),), dtype=np.float32)
-        bm = np.empty((len(xs),), dtype=np.int32)
-        for i in range(0, len(xs), chunk):
-            c_, m_ = eval_blocks(jnp.asarray(blocks[i:i + chunk]),
-                                 jnp.asarray(refs[i:i + chunk]), s, qp, bit_depth)
-            bc[i:i + chunk] = np.asarray(c_)
-            bm[i:i + chunk] = np.asarray(m_)
-        cost[s][:] = bc.reshape(ny, nx)
-        mode[s][:] = bm.reshape(ny, nx)
+        if s in results:
+            cost[s][:] = results[s][0]
+            mode[s][:] = results[s][1]
 
     # bottom-up DP
     best = {min_cu: cost[min_cu].copy()}
