@@ -16,3 +16,18 @@ Architecture tenets (SURVEY.md §7.0):
 """
 
 __version__ = "0.1.0"
+
+# Platform override hook: the container's sitecustomize force-registers the
+# TPU backend regardless of JAX_PLATFORMS; VVC_JAX_PLATFORM=cpu lets tests
+# and CI subprocesses pin the CPU backend explicitly.
+import os as _os
+
+if _os.environ.get("VVC_JAX_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["VVC_JAX_PLATFORM"])
+if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.environ["JAX_COMPILATION_CACHE_DIR"])

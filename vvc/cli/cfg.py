@@ -1,0 +1,105 @@
+"""Configuration system: VTM-style cfg files + CLI options.
+
+TPU-native analog of the reference's option machinery
+(`/root/reference/source/Lib/Utilities/program_options_lite.cpp` →
+df::program_options_lite (Key: Value files, --Key=Value CLI, nested -c
+includes) and `source/App/EncoderApp/EncAppCfg.cpp` → parseCfg mapping
+~900 options).  Per SURVEY.md §5.6, options compile into frozen parameter
+sets (vvc.hls.ps) and runtime code consults only those.
+
+The reference's CTC cfg files (encoder_intra_vtm.cfg etc.) parse directly:
+unknown keys are collected, not fatal, so the full CTC corpus loads while
+tools land incrementally.
+"""
+from __future__ import annotations
+
+import shlex
+
+
+def parse_cfg_file(path: str) -> dict:
+    """Parse a VTM-style `Key : Value  # comment` file."""
+    out = {}
+    with open(path) as f:
+        for raw in f:
+            line = raw.split("#", 1)[0].strip()
+            if not line:
+                continue
+            if ":" not in line:
+                continue
+            key, val = line.split(":", 1)
+            out[key.strip()] = val.strip()
+    return out
+
+
+def parse_args(argv: list) -> dict:
+    """CLI: -c file.cfg (repeatable, later wins), --Key=Value, -i/-o/-b/-q
+    short options mirroring the reference apps."""
+    opts: dict = {}
+    short = {"-i": "InputFile", "-o": "ReconFile", "-b": "BitstreamFile",
+             "-q": "QP", "-f": "FramesToBeEncoded", "-wdt": "SourceWidth",
+             "-hgt": "SourceHeight", "-fr": "FrameRate"}
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "-c":
+            i += 1
+            opts.update(parse_cfg_file(argv[i]))
+        elif a.startswith("--") and "=" in a:
+            k, v = a[2:].split("=", 1)
+            opts[k] = v
+        elif a in short:
+            i += 1
+            opts[short[a]] = argv[i]
+        else:
+            raise SystemExit(f"unknown option {a}")
+        i += 1
+    return opts
+
+
+_TRUE = {"1", "true", "yes", "on"}
+
+
+def as_bool(v, default=False) -> bool:
+    if v is None:
+        return default
+    return str(v).strip().lower() in _TRUE
+
+
+def as_int(v, default=0) -> int:
+    if v is None:
+        return default
+    return int(str(v).strip())
+
+
+# keys the round-1 encoder consumes; everything else is carried through and
+# reported once (EncAppCfg parity tracking)
+SUPPORTED_KEYS = {
+    "InputFile", "BitstreamFile", "ReconFile", "SourceWidth", "SourceHeight",
+    "InputBitDepth", "InternalBitDepth", "FramesToBeEncoded", "FrameRate",
+    "FrameSkip", "QP", "CTUSize", "IntraPeriod", "DecodingRefreshType",
+    "GOPSize", "Profile", "Level",
+}
+
+
+def build_encoder_config(opts: dict):
+    """opts → (SPS, PPS, io dict, leftover keys)."""
+    from vvc.hls.ps import SPS, PPS
+
+    w = as_int(opts.get("SourceWidth"))
+    h = as_int(opts.get("SourceHeight"))
+    bd = as_int(opts.get("InputBitDepth"), 8)
+    ctu = as_int(opts.get("CTUSize"), 64)
+    if ctu > 64:
+        ctu = 64  # round-1 cap; 128 lands with the MTT stage [verify]
+    sps = SPS(width=w, height=h, bit_depth=bd, ctu_size=ctu)
+    pps = PPS(init_qp=as_int(opts.get("QP"), 32))
+    io = {
+        "input": opts.get("InputFile"),
+        "bitstream": opts.get("BitstreamFile", "out.266"),
+        "recon": opts.get("ReconFile"),
+        "frames": as_int(opts.get("FramesToBeEncoded"), 0),
+        "skip": as_int(opts.get("FrameSkip"), 0),
+        "fps": as_int(opts.get("FrameRate"), 30),
+    }
+    leftover = {k: v for k, v in opts.items() if k not in SUPPORTED_KEYS}
+    return sps, pps, io, leftover
