@@ -4,6 +4,11 @@ TPU-native analog of the reference's context tables
 (`/root/reference/source/Lib/CommonLib/Contexts.cpp` → ContextSetCfg, one
 CtxSet per syntax-element family; ContextModelling.h → CoeffCodingContext).
 
+State is a flat int32 array [n_ctx, 4] = (s0, s1, rate0, rate1) shared
+with the native C++ packer (vvc/packer) — Python and C++ operate on the
+same memory, so mixing per-bin Python syntax with batched native residual
+coding keeps one consistent adaptation state.
+
 [verify]: per-context init values / adaptation rates are uniform
 placeholders until /root/reference is populated (SURVEY.md §0).  Both
 encoder and decoder construct contexts from this registry, so streams stay
@@ -11,7 +16,9 @@ self-consistent; only compression efficiency is affected.
 """
 from __future__ import annotations
 
-from vvc.cabac.engine import ContextModel
+import numpy as np
+
+from vvc.cabac.engine import RATE0, RATE1
 
 # (name, count) — mirrors the CtxSet families of the reference needed for
 # the intra/QT slice (more are added as tools land)
@@ -40,22 +47,78 @@ CTX_SETS = [
     ("GT3_CHROMA", 5),
 ]
 
+_OFFSETS = {}
+_TOTAL = 0
+for _name, _count in CTX_SETS:
+    _OFFSETS[_name] = _TOTAL
+    _TOTAL += _count
+
+# sets consumed by the native residual coder, in the order its C++ enum
+# expects (keep in sync with vvc/packer/cabac_core.cpp ResidualSets)
+RESIDUAL_SET_ORDER = [
+    "LAST_X_LUMA", "LAST_Y_LUMA", "LAST_X_CHROMA", "LAST_Y_CHROMA",
+    "SB_CODED_FLAG_LUMA", "SB_CODED_FLAG_CHROMA",
+    "SIG_LUMA", "SIG_CHROMA", "GT1_LUMA", "GT1_CHROMA",
+    "PAR_LUMA", "PAR_CHROMA", "GT3_LUMA", "GT3_CHROMA",
+]
+
+
+class CtxRef:
+    """View of one context inside the shared state array; implements the
+    same interface as engine.ContextModel."""
+
+    __slots__ = ("_a", "_i")
+
+    def __init__(self, arr: np.ndarray, idx: int):
+        self._a = arr
+        self._i = idx
+
+    @property
+    def s0(self):
+        return int(self._a[self._i, 0])
+
+    @property
+    def s1(self):
+        return int(self._a[self._i, 1])
+
+    def prob(self) -> int:
+        return (int(self._a[self._i, 0]) + int(self._a[self._i, 1])) >> 1
+
+    def mps(self) -> int:
+        return 1 if self.prob() >= (1 << 14) else 0
+
+    def lps_range(self, rng: int) -> int:
+        p = self.prob()
+        q = p if p < (1 << 14) else ((1 << 15) - 1 - p)
+        return (((q >> 9) * (rng >> 5)) >> 1) + 4
+
+    def update(self, bin_val: int):
+        a, i = self._a, self._i
+        target = bin_val << 15
+        a[i, 0] = int(a[i, 0]) + ((target - int(a[i, 0])) >> int(a[i, 2]))
+        a[i, 1] = int(a[i, 1]) + ((target - int(a[i, 1])) >> int(a[i, 3]))
+
 
 class SliceContexts:
-    """All adaptive contexts of one slice (reference: Ctx / CtxStore).
-
-    Access: ctx("SIG_LUMA", 7) → ContextModel.
-    """
+    """All adaptive contexts of one slice (reference: Ctx / CtxStore)."""
 
     def __init__(self, slice_qp: int = 32):
-        self._sets = {}
-        for name, count in CTX_SETS:
-            # placeholder uniform init (state 64 = p=0.5); qp-dependent spec
-            # init tables slot in here [verify]
-            self._sets[name] = [ContextModel(64) for _ in range(count)]
+        self.states = np.empty((_TOTAL, 4), dtype=np.int32)
+        # placeholder uniform init (state 64 → p=0.5); qp-dependent spec
+        # init tables slot in here [verify]
+        self.states[:, 0] = 64 << 8
+        self.states[:, 1] = 64 << 8
+        self.states[:, 2] = RATE0
+        self.states[:, 3] = RATE1
 
-    def __call__(self, name: str, idx: int) -> ContextModel:
-        return self._sets[name][idx]
+    def __call__(self, name: str, idx: int) -> CtxRef:
+        return CtxRef(self.states, _OFFSETS[name] + idx)
+
+    def index(self, name: str, idx: int = 0) -> int:
+        return _OFFSETS[name] + idx
 
     def set_size(self, name: str) -> int:
-        return len(self._sets[name])
+        return dict(CTX_SETS)[name]
+
+    def residual_offsets(self) -> np.ndarray:
+        return np.array([_OFFSETS[n] for n in RESIDUAL_SET_ORDER], dtype=np.int32)

@@ -194,6 +194,8 @@ def read_last_pos(dec, ctxs, log2s: int, is_luma: bool):
 
 def write_residual(enc, ctxs, levels: np.ndarray, is_luma: bool):
     """Encode one S×S block of quantized levels (must contain a nonzero)."""
+    if hasattr(enc, "write_residual"):  # native packer fast path
+        return enc.write_residual(ctxs, levels, is_luma)
     s = int(levels.shape[0])
     log2s = int(s).bit_length() - 1
     scan = full_scan(log2s)
@@ -284,6 +286,8 @@ def write_residual(enc, ctxs, levels: np.ndarray, is_luma: bool):
 
 def read_residual(dec, ctxs, size: int, is_luma: bool) -> np.ndarray:
     """Decode one S×S block of quantized levels."""
+    if hasattr(dec, "read_residual"):  # native packer fast path
+        return dec.read_residual(ctxs, size, is_luma)
     s = size
     log2s = int(s).bit_length() - 1
     scan = full_scan(log2s)

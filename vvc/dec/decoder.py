@@ -22,6 +22,7 @@ from vvc.io.nal import read_annexb
 from vvc.io.yuv import Frame
 from vvc.hls.parse import parse_sps, parse_pps, parse_slice_header
 from vvc.cabac.engine import BinDecoder
+from vvc.packer import native as native_packer
 from vvc.cabac.ctx import SliceContexts
 from vvc.cabac.cu_syntax import TreeReader
 from vvc.model.frame import CodingState
@@ -57,7 +58,8 @@ def decode_stream(data: bytes, verify_hash: bool = True):
 
 def _decode_slice(rbsp: bytes, sps, pps) -> Frame:
     sh, payload = parse_slice_header(rbsp, pps.init_qp)
-    dec = BinDecoder(payload)
+    dec = (native_packer.NativeBinDecoder(payload)
+           if native_packer.available() else BinDecoder(payload))
     ctxs = SliceContexts(sh.qp)
     state = CodingState(sps.width, sps.height)
     reader = TreeReader(dec, ctxs, state, sps.width, sps.height,

@@ -24,6 +24,7 @@ from vvc.io.yuv import Frame, psnr
 from vvc.hls.ps import SPS, PPS, SliceHeader
 from vvc.hls.write import write_sps, write_pps, write_slice_header
 from vvc.cabac.engine import BinEncoder
+from vvc.packer import native as native_packer
 from vvc.cabac.ctx import SliceContexts
 from vvc.cabac.cu_syntax import TreeWriter
 from vvc.model.frame import CodingState
@@ -66,8 +67,9 @@ class Encoder:
         reconstruct_leaves(leaves, recon, qp, bd,
                            orig_planes=(frame.y, frame.cb, frame.cr))
 
-        # entropy pass
-        enc = BinEncoder()
+        # entropy pass (native packer when built; Python oracle otherwise)
+        enc = (native_packer.NativeBinEncoder()
+               if native_packer.available() else BinEncoder())
         ctxs = SliceContexts(qp)
         state = CodingState(sps.width, sps.height)
         writer = TreeWriter(enc, ctxs, state, sps.width, sps.height,

@@ -1,0 +1,100 @@
+"""Native BinEncoder/BinDecoder wrappers — drop-in replacements for the
+Python engine (vvc.cabac.engine) backed by libcabac.so.
+
+Same interface as BinEncoder/BinDecoder plus batched `write_residual` /
+`read_residual` fast paths (the reference's residual_coding hot loop runs
+entirely native, one ctypes call per TB instead of one per bin).  Context
+state lives in the SliceContexts numpy array shared with any Python-side
+syntax coding.
+"""
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from vvc.packer import lib
+
+
+def available() -> bool:
+    return lib() is not None
+
+
+def _ptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.c_void_p)
+
+
+class NativeBinEncoder:
+    def __init__(self):
+        self._l = lib()
+        assert self._l is not None, "native packer unavailable"
+        self._h = self._l.enc_create()
+
+    def encode_bin(self, bin_val: int, ctx):
+        # ctx is a vvc.cabac.ctx.CtxRef — shared state array + index
+        self._l.enc_bin(self._h, _ptr(ctx._a), ctx._i, bin_val)
+
+    def encode_bin_ep(self, bin_val: int):
+        self._l.enc_ep(self._h, bin_val)
+
+    def encode_bins_ep(self, value: int, nbits: int):
+        self._l.enc_eps(self._h, value, nbits)
+
+    def encode_bin_trm(self, bin_val: int):
+        self._l.enc_trm(self._h, bin_val)
+
+    def write_residual(self, ctxs, levels: np.ndarray, is_luma: bool):
+        lv = np.ascontiguousarray(levels, dtype=np.int32)
+        off = np.ascontiguousarray(ctxs.residual_offsets())
+        self._l.enc_residual_c(self._h, _ptr(ctxs.states), _ptr(off),
+                               _ptr(lv), lv.shape[0], int(is_luma))
+
+    def finish(self) -> bytes:
+        cap = 1 << 24
+        buf = (ctypes.c_uint8 * cap)()
+        n = self._l.enc_finish(self._h, buf, cap)
+        assert n >= 0, "packer output exceeded buffer"
+        return bytes(buf[:n])
+
+    @property
+    def bit_count(self) -> int:
+        return int(self._l.enc_bit_count(self._h))
+
+    def __del__(self):
+        if getattr(self, "_h", None) and self._l:
+            self._l.enc_destroy(self._h)
+            self._h = None
+
+
+class NativeBinDecoder:
+    def __init__(self, data: bytes):
+        self._l = lib()
+        assert self._l is not None, "native packer unavailable"
+        self._buf = np.frombuffer(data, dtype=np.uint8).copy()
+        if self._buf.size == 0:
+            self._buf = np.zeros(1, dtype=np.uint8)
+        self._h = self._l.dec_create(_ptr(self._buf), len(data))
+
+    def decode_bin(self, ctx) -> int:
+        return self._l.dec_bin(self._h, _ptr(ctx._a), ctx._i)
+
+    def decode_bin_ep(self) -> int:
+        return self._l.dec_ep(self._h)
+
+    def decode_bins_ep(self, nbits: int) -> int:
+        return int(self._l.dec_eps(self._h, nbits))
+
+    def decode_bin_trm(self) -> int:
+        return self._l.dec_trm(self._h)
+
+    def read_residual(self, ctxs, size: int, is_luma: bool) -> np.ndarray:
+        out = np.zeros((size, size), dtype=np.int32)
+        off = np.ascontiguousarray(ctxs.residual_offsets())
+        self._l.dec_residual_c(self._h, _ptr(ctxs.states), _ptr(off),
+                               _ptr(out), size, int(is_luma))
+        return out
+
+    def __del__(self):
+        if getattr(self, "_h", None) and self._l:
+            self._l.dec_destroy(self._h)
+            self._h = None
