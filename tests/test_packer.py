@@ -124,3 +124,38 @@ def test_encoder_driver_uses_native_and_stays_bit_exact():
     for d, r in zip(dec, recons):
         assert (d.y == r.y).all() and (d.cb == r.cb).all() and (d.cr == r.cr).all()
     assert all(info["hash_ok"])
+
+
+def test_native_recon_matches_numpy_oracle():
+    from vvc.packer import native_recon
+    if not native_recon.available():
+        pytest.skip("native recon not built")
+    from vvc.io.synth import synth_frame
+    from vvc.enc.rdo import rdo_partition
+    from vvc.model.recon import reconstruct_leaves
+    import copy
+    f = synth_frame(96, 64, 0)
+    _, _, leaves = rdo_partition(f.y, 30, 8)
+    leaves_a = copy.deepcopy(leaves)
+    leaves_b = copy.deepcopy(leaves)
+    rec_a = (np.zeros_like(f.y), np.zeros_like(f.cb), np.zeros_like(f.cr))
+    rec_b = (np.zeros_like(f.y), np.zeros_like(f.cb), np.zeros_like(f.cr))
+    reconstruct_leaves(leaves_a, rec_a, 30, 8, (f.y, f.cb, f.cr), use_native=False)
+    reconstruct_leaves(leaves_b, rec_b, 30, 8, (f.y, f.cb, f.cr), use_native=True)
+    for pa, pb in zip(rec_a, rec_b):
+        assert (pa == pb).all()
+    for la, lb in zip(leaves_a, leaves_b):
+        for attr in ("lev_y", "lev_cb", "lev_cr"):
+            va, vb = getattr(la, attr), getattr(lb, attr)
+            assert (va is None) == (vb is None)
+            if va is not None:
+                assert (va == vb).all()
+    # decode mode equality too
+    rec_c = (np.zeros_like(f.y), np.zeros_like(f.cb), np.zeros_like(f.cr))
+    rec_d = (np.zeros_like(f.y), np.zeros_like(f.cb), np.zeros_like(f.cr))
+    reconstruct_leaves(leaves_a, rec_c, 30, 8, None, use_native=False)
+    reconstruct_leaves(leaves_a, rec_d, 30, 8, None, use_native=True)
+    for pc, pd in zip(rec_c, rec_d):
+        assert (pc == pd).all()
+    for pa, pc in zip(rec_a, rec_c):
+        assert (pa == pc).all()

@@ -67,41 +67,39 @@ def build_ref_line(plane: np.ndarray, coded: np.ndarray, x0: int, y0: int,
     s = size
     h, w = plane.shape
     n = 4 * s + 3
-    c = np.empty(n, dtype=np.int32)
+    c = np.zeros(n, dtype=np.int32)
     avail = np.zeros(n, dtype=bool)
 
-    def unit_coded(px: int, py: int) -> bool:
-        if px < 0 or py < 0 or px >= w or py >= h:
-            return False
-        return bool(coded[py >> log2_unit, px >> log2_unit])
-
     # left samples: C[2s-1-k] = plane[y0+k, x0-1], k = 0..2s-1
-    for k in range(2 * s):
-        px, py = x0 - 1, y0 + k
-        if unit_coded(px, py):
-            c[2 * s - 1 - k] = plane[py, px]
-            avail[2 * s - 1 - k] = True
+    ky = y0 + np.arange(2 * s)
+    if x0 > 0:
+        kyc = np.minimum(ky, h - 1)
+        ok = (ky < h) & coded[kyc >> log2_unit, (x0 - 1) >> log2_unit]
+        c[2 * s - 1::-1] = np.where(ok, plane[kyc, x0 - 1], 0)
+        avail[2 * s - 1::-1] = ok
     # corner
-    if unit_coded(x0 - 1, y0 - 1):
+    if x0 > 0 and y0 > 0 and coded[(y0 - 1) >> log2_unit, (x0 - 1) >> log2_unit]:
         c[2 * s] = plane[y0 - 1, x0 - 1]
         avail[2 * s] = True
     # top samples: C[2s+1+k] = plane[y0-1, x0+k], k = 0..2s-1
-    for k in range(2 * s):
-        px, py = x0 + k, y0 - 1
-        if unit_coded(px, py):
-            c[2 * s + 1 + k] = plane[py, px]
-            avail[2 * s + 1 + k] = True
+    kx = x0 + np.arange(2 * s)
+    if y0 > 0:
+        kxc = np.minimum(kx, w - 1)
+        ok = (kx < w) & coded[(y0 - 1) >> log2_unit, kxc >> log2_unit]
+        c[2 * s + 1:4 * s + 1] = np.where(ok, plane[y0 - 1, kxc], 0)
+        avail[2 * s + 1:4 * s + 1] = ok
 
     # substitution (spec 8.4.5.2.8): if none available → mid-grey; else
-    # propagate from the first available sample scanning C upward.
+    # propagate from the first available sample scanning C upward
+    # (vectorized forward fill over the last-available index).
     if not avail.any():
         c[:] = 1 << (bit_depth - 1)
     else:
+        ix = np.where(avail[:4 * s + 1], np.arange(4 * s + 1), -1)
+        np.maximum.accumulate(ix, out=ix)
         first = int(np.argmax(avail))
-        c[:first] = c[first]
-        for i in range(first + 1, 4 * s + 1):
-            if not avail[i]:
-                c[i] = c[i - 1]
+        ix[ix < 0] = first
+        c[:4 * s + 1] = c[:4 * s + 1][ix]
     c[4 * s + 1] = c[4 * s]  # pad
     c[4 * s + 2] = c[4 * s]
     return c

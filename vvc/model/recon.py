@@ -50,14 +50,24 @@ def _recon_block(plane, orig, coded, x0, y0, size, mode, qp, bit_depth, levels):
 
 
 def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
-                       orig_planes=None):
+                       orig_planes=None, use_native: bool = True):
     """Reconstruct all leaves in z-order into recon_planes (y, cb, cr).
 
     Encoder mode: orig_planes given, leaf.lev_* are None → derives and
     stores levels on each leaf.  Decoder mode: leaf.lev_* already parsed.
     Availability maps are (re)built here so they always reflect recon
     progress, independent of any syntax-phase state.
+
+    Dispatches to the native core (vvc.packer.native_recon) when built —
+    bit-exact mirror of this function; pass use_native=False to force the
+    numpy oracle path.
     """
+    if use_native:
+        from vvc.packer import native_recon
+        if native_recon.available():
+            return native_recon.reconstruct_leaves_native(
+                leaves, recon_planes, qp, bit_depth, orig_planes,
+                chroma_qp_fn=chroma_qp)
     y_pl, cb_pl, cr_pl = recon_planes
     h, w = y_pl.shape
     coded_y = np.zeros(((h + 3) >> 2, (w + 3) >> 2), dtype=bool)

@@ -14,19 +14,50 @@ import subprocess
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "cabac_core.cpp")
 _SO = os.path.join(_DIR, "libcabac.so")
+_RSRC = os.path.join(_DIR, "recon_core.cpp")
+_RSO = os.path.join(_DIR, "librecon.so")
 
 _lib = None
 _tried = False
+_rlib = None
+_rtried = False
 
 
-def _build() -> bool:
+def _build(src, so) -> bool:
     try:
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", _SO, _SRC],
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", so, src],
             check=True, capture_output=True, timeout=120)
         return True
     except Exception:
         return False
+
+
+def _fresh(src, so) -> bool:
+    return os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src)
+
+
+def recon_lib():
+    """Native reconstruction core (librecon.so), or None."""
+    global _rlib, _rtried
+    if _rtried:
+        return _rlib
+    _rtried = True
+    if not _fresh(_RSRC, _RSO) and not _build(_RSRC, _RSO):
+        return None
+    try:
+        l = ctypes.CDLL(_RSO)
+    except OSError:
+        return None
+    l.recon_init.argtypes = [ctypes.c_void_p] * 5
+    l.recon_block.restype = ctypes.c_int
+    l.recon_block.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_int]
+    _rlib = l
+    return _rlib
 
 
 def lib():
@@ -34,9 +65,8 @@ def lib():
     if _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-        if not _build():
-            return None
+    if not _fresh(_SRC, _SO) and not _build(_SRC, _SO):
+        return None
     try:
         l = ctypes.CDLL(_SO)
     except OSError:

@@ -1,0 +1,87 @@
+"""Native sequential reconstruction wrapper — mirror of
+vvc.model.recon.reconstruct_leaves backed by librecon.so.
+
+One ctypes call per block; planes and availability maps are numpy buffers
+mutated in place by the C++ core.  Bit-exact equality with the numpy
+oracle is enforced by tests/test_packer.py.
+"""
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+from vvc.packer import recon_lib
+from vvc.rom.transform_mats import dct2_matrix
+
+_initialized = False
+
+
+def available() -> bool:
+    global _initialized
+    l = recon_lib()
+    if l is None:
+        return False
+    if not _initialized:
+        mats = [np.ascontiguousarray(dct2_matrix(n)) for n in (4, 8, 16, 32, 64)]
+        # keep refs alive for the process lifetime (recon_init copies anyway)
+        l.recon_init(*[m.ctypes.data_as(ctypes.c_void_p) for m in mats])
+        _initialized = True
+    return True
+
+
+def _p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def reconstruct_leaves_native(leaves, recon_planes, qp: int, bit_depth: int,
+                              orig_planes=None, chroma_qp_fn=None):
+    assert available()
+    l = recon_lib()
+    y_pl, cb_pl, cr_pl = recon_planes
+    h, w = y_pl.shape
+    y_pl = np.ascontiguousarray(y_pl, dtype=np.int32)
+    cb_pl = np.ascontiguousarray(cb_pl, dtype=np.int32)
+    cr_pl = np.ascontiguousarray(cr_pl, dtype=np.int32)
+    coded_y = np.zeros(((h + 3) >> 2, (w + 3) >> 2), dtype=np.uint8)
+    coded_c = np.zeros(((h // 2 + 3) >> 2, (w // 2 + 3) >> 2), dtype=np.uint8)
+    qpc = chroma_qp_fn(qp) if chroma_qp_fn else min(qp, 63)
+    enc = orig_planes is not None
+    if enc:
+        o_y = np.ascontiguousarray(orig_planes[0], dtype=np.int32)
+        o_cb = np.ascontiguousarray(orig_planes[1], dtype=np.int32)
+        o_cr = np.ascontiguousarray(orig_planes[2], dtype=np.int32)
+
+    def do(plane, ph, pw, coded, cw4, orig, x0, y0, s, mode, q, lev):
+        buf = lev if lev is not None else (
+            np.zeros((s, s), dtype=np.int32) if enc else None)
+        if buf is not None:
+            buf = np.ascontiguousarray(buf, dtype=np.int32)
+        cbf = l.recon_block(_p(plane), ph, pw, _p(coded), cw4,
+                            _p(orig) if orig is not None else None,
+                            x0, y0, s, mode, q, bit_depth, 2,
+                            _p(buf) if buf is not None else None, int(enc))
+        return (buf if cbf else None) if enc else None
+
+    cw4_y = coded_y.shape[1]
+    cw4_c = coded_c.shape[1]
+    for leaf in leaves:
+        s = leaf.size
+        cs = s >> 1
+        r = do(y_pl, h, w, coded_y, cw4_y, o_y if enc else None,
+               leaf.x0, leaf.y0, s, leaf.luma_mode, qp, None if enc else leaf.lev_y)
+        if enc:
+            leaf.lev_y = r
+        r = do(cb_pl, h // 2, w // 2, coded_c, cw4_c, o_cb if enc else None,
+               leaf.x0 >> 1, leaf.y0 >> 1, cs, leaf.luma_mode, qpc,
+               None if enc else leaf.lev_cb)
+        if enc:
+            leaf.lev_cb = r
+        r = do(cr_pl, h // 2, w // 2, coded_c, cw4_c, o_cr if enc else None,
+               leaf.x0 >> 1, leaf.y0 >> 1, cs, leaf.luma_mode, qpc,
+               None if enc else leaf.lev_cr)
+        if enc:
+            leaf.lev_cr = r
+    recon_planes[0][:] = y_pl
+    recon_planes[1][:] = cb_pl
+    recon_planes[2][:] = cr_pl

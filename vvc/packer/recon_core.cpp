@@ -1,0 +1,325 @@
+// Native sequential reconstruction core (intra predict + DCT2 + quant).
+//
+// TPU-native framework's host runtime analog of the reference's native
+// reconstruction loop (/root/reference/source/Lib/DecoderLib/DecCu.cpp →
+// xIntraRecBlk; CommonLib/IntraPrediction.cpp, TrQuant.cpp, Quant.cpp;
+// OpenVVC libovvc/rcn_intra*.c, rcn_transform.c).  The batched TPU kernels
+// (vvc.kernels.*) remain the compute path for the RDO search and the
+// future wavefront decoder; this core services the latency-bound
+// sequential z-order recon exactly like the reference's native loop, and
+// is the bit-exact mirror of vvc/model/recon.py + vvc/kernels/{intra,
+// transform,quant}.py numpy oracles (enforced by tests/test_packer.py).
+//
+// Build: g++ -O2 -shared -fPIC -std=c++17 -o librecon.so recon_core.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int PLANAR = 0, DC = 1, VER = 50, DIA = 34;
+
+const int32_t* g_mats[7] = {nullptr};  // DCT2 matrices by log2 size (2..6)
+
+const int ABS_ANG[17] = {0, 1, 2, 3, 4, 6, 8, 10, 12, 14, 16, 18, 20, 23, 26, 29, 32};
+
+int pred_angle(int mode) {
+  int idx = mode - VER;
+  int a = ABS_ANG[idx < 0 ? -idx : idx];
+  return idx < 0 ? -a : a;
+}
+int inv_angle(int angle) {
+  int a = angle < 0 ? -angle : angle;
+  return (512 * 32 + a / 2) / a;
+}
+
+struct Block {
+  std::vector<int32_t> v;
+  int s;
+  int32_t* data() { return v.data(); }
+};
+
+// ---- reference line (mirror of vvc/kernels/intra.py build_ref_line) ----
+
+void build_ref_line(const int32_t* plane, int h, int w, const uint8_t* coded,
+                    int cw4, int x0, int y0, int s, int bit_depth,
+                    int log2_unit, int32_t* c /*4s+3*/) {
+  int n = 4 * s + 3;
+  std::vector<uint8_t> avail(n, 0);
+  std::memset(c, 0, sizeof(int32_t) * n);
+  if (x0 > 0) {
+    for (int k = 0; k < 2 * s; k++) {
+      int py = y0 + k;
+      if (py < h && coded[(py >> log2_unit) * cw4 + ((x0 - 1) >> log2_unit)]) {
+        c[2 * s - 1 - k] = plane[py * w + x0 - 1];
+        avail[2 * s - 1 - k] = 1;
+      }
+    }
+  }
+  if (x0 > 0 && y0 > 0 &&
+      coded[((y0 - 1) >> log2_unit) * cw4 + ((x0 - 1) >> log2_unit)]) {
+    c[2 * s] = plane[(y0 - 1) * w + x0 - 1];
+    avail[2 * s] = 1;
+  }
+  if (y0 > 0) {
+    for (int k = 0; k < 2 * s; k++) {
+      int px = x0 + k;
+      if (px < w && coded[((y0 - 1) >> log2_unit) * cw4 + (px >> log2_unit)]) {
+        c[2 * s + 1 + k] = plane[(y0 - 1) * w + px];
+        avail[2 * s + 1 + k] = 1;
+      }
+    }
+  }
+  int first = -1;
+  for (int i = 0; i < n; i++)
+    if (avail[i]) {
+      first = i;
+      break;
+    }
+  if (first < 0) {
+    for (int i = 0; i < n; i++) c[i] = 1 << (bit_depth - 1);
+    return;
+  }
+  for (int i = 0; i < first; i++) c[i] = c[first];
+  for (int i = first + 1; i < 4 * s + 1; i++)
+    if (!avail[i]) c[i] = c[i - 1];
+  c[4 * s + 1] = c[4 * s];
+  c[4 * s + 2] = c[4 * s];
+}
+
+// ---- intra prediction (mirror of predict_intra) ----
+
+void predict_intra(const int32_t* c, int mode, int s, int bit_depth,
+                   int32_t* pred /*s*s*/) {
+  int log2s = 0;
+  while ((1 << log2s) < s) log2s++;
+  const int32_t* top = c + 2 * s + 1;  // top[k]
+  // left[k] = c[2s-1-k]
+  auto leftv = [&](int k) { return c[2 * s - 1 - k]; };
+
+  if (mode == PLANAR) {
+    int bl = leftv(s);   // below-left L[s]
+    int ar = top[s];     // above-right T[s]
+    for (int y = 0; y < s; y++)
+      for (int x = 0; x < s; x++) {
+        int pv = ((s - 1 - y) * top[x] + (y + 1) * bl) << log2s;
+        int ph = ((s - 1 - x) * leftv(y) + (x + 1) * ar) << log2s;
+        pred[y * s + x] = (pv + ph + s * s) >> (2 * log2s + 1);
+      }
+  } else if (mode == DC) {
+    int64_t sum = 0;
+    for (int k = 0; k < s; k++) sum += top[k] + leftv(k);
+    int dc = (int)((sum + s) >> (log2s + 1));
+    for (int i = 0; i < s * s; i++) pred[i] = dc;
+  } else {
+    bool vertical = mode >= DIA;
+    int m = vertical ? mode : 68 - mode;
+    int angle = pred_angle(m);
+    int ia = angle < 0 ? inv_angle(angle) : 0;
+    std::vector<int32_t> ct;
+    const int32_t* cc = c;
+    if (!vertical) {
+      // reversed line (left/top swap), +2 pad — mirror of the oracle
+      ct.resize(4 * s + 3);
+      for (int i = 0; i <= 4 * s; i++) ct[i] = c[4 * s - i];
+      ct[4 * s + 1] = ct[4 * s];
+      ct[4 * s + 2] = ct[4 * s];
+      cc = ct.data();
+    }
+    auto c_pos = [&](int k) -> int {
+      if (k >= 0) return 2 * s + k <= 4 * s + 2 ? 2 * s + k : 4 * s + 2;
+      int i = -k;
+      return 2 * s - ((i * ia + 256) >> 9);
+    };
+    for (int y = 0; y < s; y++) {
+      int off = ((y + 1) * angle) >> 5;
+      int f = ((y + 1) * angle) & 31;
+      for (int x = 0; x < s; x++) {
+        int p = ((32 - f) * cc[c_pos(x + off + 1)] +
+                 f * cc[c_pos(x + off + 2)] + 16) >> 5;
+        if (vertical)
+          pred[y * s + x] = p;
+        else
+          pred[x * s + y] = p;
+      }
+    }
+  }
+
+  if ((mode == PLANAR || mode == DC) && s >= 4) {
+    int scale = (2 * log2s - 2) >> 2;
+    for (int y = 0; y < s; y++) {
+      int sh_y = (2 * y) >> scale;
+      int wt = sh_y < 31 ? 32 >> sh_y : 0;
+      for (int x = 0; x < s; x++) {
+        int sh_x = (2 * x) >> scale;
+        int wl = sh_x < 31 ? 32 >> sh_x : 0;
+        pred[y * s + x] = (wl * leftv(y) + wt * top[x] +
+                           (64 - wl - wt) * pred[y * s + x] + 32) >> 6;
+      }
+    }
+  }
+  int mx = (1 << bit_depth) - 1;
+  for (int i = 0; i < s * s; i++) {
+    int v = pred[i];
+    pred[i] = v < 0 ? 0 : (v > mx ? mx : v);
+  }
+}
+
+// ---- transforms (mirror of fwd/inv_transform_np, DCT2 square) ----
+
+void fwd_dct2(const int32_t* resi, int s, int bit_depth, int32_t* coeff) {
+  int log2s = 0;
+  while ((1 << log2s) < s) log2s++;
+  const int32_t* t = g_mats[log2s];
+  int shift1 = log2s + bit_depth - 9;
+  int shift2 = log2s + 6;
+  std::vector<int64_t> tmp(s * s);
+  // horizontal: tmp[y][u] = sum_w resi[y][w] * t[u][w]
+  for (int y = 0; y < s; y++)
+    for (int u = 0; u < s; u++) {
+      int64_t acc = 0;
+      for (int wi = 0; wi < s; wi++)
+        acc += (int64_t)resi[y * s + wi] * t[u * s + wi];
+      tmp[y * s + u] = (acc + (1 << (shift1 - 1))) >> shift1;
+    }
+  for (int v = 0; v < s; v++)
+    for (int u = 0; u < s; u++) {
+      int64_t acc = 0;
+      for (int y = 0; y < s; y++) acc += (int64_t)t[v * s + y] * tmp[y * s + u];
+      int64_t r = (acc + (1 << (shift2 - 1))) >> shift2;
+      coeff[v * s + u] = r < -32768 ? -32768 : (r > 32767 ? 32767 : (int32_t)r);
+    }
+}
+
+void inv_dct2(const int32_t* coeff, int s, int bit_depth, int32_t* resi) {
+  int log2s = 0;
+  while ((1 << log2s) < s) log2s++;
+  const int32_t* t = g_mats[log2s];
+  int shift2 = 20 - bit_depth;
+  std::vector<int64_t> tmp(s * s);
+  // vertical inverse: tmp[y][u] = sum_v t[v][y]*coeff[v][u]
+  for (int y = 0; y < s; y++)
+    for (int u = 0; u < s; u++) {
+      int64_t acc = 0;
+      for (int v = 0; v < s; v++) acc += (int64_t)t[v * s + y] * coeff[v * s + u];
+      int64_t r = (acc + 64) >> 7;
+      tmp[y * s + u] = r < -32768 ? -32768 : (r > 32767 ? 32767 : r);
+    }
+  for (int y = 0; y < s; y++)
+    for (int x = 0; x < s; x++) {
+      int64_t acc = 0;
+      for (int u = 0; u < s; u++) acc += tmp[y * s + u] * t[u * s + x];
+      int64_t r = (acc + (1 << (shift2 - 1))) >> shift2;
+      resi[y * s + x] = r < -32768 ? -32768 : (r > 32767 ? 32767 : (int32_t)r);
+    }
+}
+
+// ---- quant (mirror of quant_np/dequant_np) ----
+
+const int32_t QUANT_SCALES[6] = {26214, 23302, 20560, 18396, 16384, 14564};
+const int32_t INV_QUANT_SCALES[6] = {40, 45, 51, 57, 64, 72};
+constexpr int64_t DEQ_GUARD = 1 << 29;
+
+int quant(const int32_t* coeff, int s, int qp, int bit_depth, int32_t* lev) {
+  int log2s = 0;
+  while ((1 << log2s) < s) log2s++;
+  int tshift = 15 - bit_depth - log2s;
+  int qbits = 14 + qp / 6 + tshift;
+  int64_t scale = QUANT_SCALES[qp % 6];
+  int64_t offset = (int64_t)171 << (qbits - 9);
+  int nz = 0;
+  for (int i = 0; i < s * s; i++) {
+    int64_t a = coeff[i] < 0 ? -(int64_t)coeff[i] : coeff[i];
+    int64_t l = (a * scale + offset) >> qbits;
+    if (l > 32767) l = 32767;
+    lev[i] = coeff[i] < 0 ? (int32_t)-l : (int32_t)l;
+    nz |= l != 0;
+  }
+  return nz;
+}
+
+void dequant(const int32_t* lev, int s, int qp, int bit_depth, int32_t* coeff) {
+  int log2s = 0;
+  while ((1 << log2s) < s) log2s++;
+  int tshift = 15 - bit_depth - log2s;
+  int shift = 6 - tshift;
+  int64_t scale = INV_QUANT_SCALES[qp % 6];
+  int sh6 = qp / 6;
+  int64_t guard = DEQ_GUARD >> sh6;
+  for (int i = 0; i < s * s; i++) {
+    int64_t lv = (int64_t)lev[i] * scale;
+    if (lv > guard) lv = guard;
+    if (lv < -guard) lv = -guard;
+    lv <<= sh6;
+    int64_t cfin;
+    if (shift > 0)
+      cfin = (lv + (1 << (shift - 1))) >> shift;
+    else
+      cfin = lv << (-shift);
+    coeff[i] = cfin < -32768 ? -32768 : (cfin > 32767 ? 32767 : (int32_t)cfin);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// matrices: flat int32 DCT2 tables for sizes 4..64 (row-major, rows=freq)
+void recon_init(const int32_t* t4, const int32_t* t8, const int32_t* t16,
+                const int32_t* t32, const int32_t* t64) {
+  static std::vector<int32_t> store[7];
+  const int32_t* src[7] = {nullptr, nullptr, t4, t8, t16, t32, t64};
+  for (int l = 2; l <= 6; l++) {
+    int s = 1 << l;
+    store[l].assign(src[l], src[l] + s * s);
+    g_mats[l] = store[l].data();
+  }
+}
+
+// One block recon.  enc_mode: derive levels from orig (returns cbf);
+// otherwise apply provided levels (levels may be null → all-zero).
+int recon_block(int32_t* plane, int h, int w, uint8_t* coded, int cw4,
+                const int32_t* orig, int x0, int y0, int size, int mode,
+                int qp, int bit_depth, int log2_unit, int32_t* levels_io,
+                int enc_mode) {
+  int s = size;
+  std::vector<int32_t> c(4 * s + 3), pred(s * s), buf(s * s), buf2(s * s);
+  build_ref_line(plane, h, w, coded, cw4, x0, y0, s, bit_depth, log2_unit,
+                 c.data());
+  predict_intra(c.data(), mode, s, bit_depth, pred.data());
+  int cbf;
+  if (enc_mode) {
+    for (int y = 0; y < s; y++)
+      for (int x = 0; x < s; x++)
+        buf[y * s + x] = orig[(y0 + y) * w + x0 + x] - pred[y * s + x];
+    fwd_dct2(buf.data(), s, bit_depth, buf2.data());
+    cbf = quant(buf2.data(), s, qp, bit_depth, levels_io);
+  } else {
+    cbf = 0;
+    if (levels_io)
+      for (int i = 0; i < s * s; i++) cbf |= levels_io[i] != 0;
+  }
+  int mx = (1 << bit_depth) - 1;
+  if (cbf) {
+    dequant(levels_io, s, qp, bit_depth, buf2.data());
+    inv_dct2(buf2.data(), s, bit_depth, buf.data());
+    for (int y = 0; y < s; y++)
+      for (int x = 0; x < s; x++) {
+        int v = pred[y * s + x] + buf[y * s + x];
+        plane[(y0 + y) * w + x0 + x] = v < 0 ? 0 : (v > mx ? mx : v);
+      }
+  } else {
+    for (int y = 0; y < s; y++)
+      for (int x = 0; x < s; x++)
+        plane[(y0 + y) * w + x0 + x] = pred[y * s + x];
+  }
+  // mark availability in the per-unit coded map
+  int u0x = x0 >> log2_unit, u0y = y0 >> log2_unit;
+  int us = s >> log2_unit ? s >> log2_unit : 1;
+  for (int uy = 0; uy < us; uy++)
+    std::memset(coded + (u0y + uy) * cw4 + u0x, 1, us);
+  return cbf;
+}
+
+}  // extern "C"
