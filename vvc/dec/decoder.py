@@ -73,6 +73,10 @@ def _decode_slice(rbsp: bytes, sps, pps) -> Frame:
              np.zeros((sps.height // 2, sps.width // 2), dtype=np.int32),
              np.zeros((sps.height // 2, sps.width // 2), dtype=np.int32))
     reconstruct_leaves(reader.leaves, recon, sh.qp, sps.bit_depth)
+    # in-loop filters (reference: DecLib::executeLoopFilters order)
+    if sps.deblocking:
+        from vvc.kernels.deblock import deblock_frame
+        deblock_frame(recon, reader.leaves, sh.qp, sps.bit_depth)
     return Frame(*recon, sps.bit_depth)
 
 

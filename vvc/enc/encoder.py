@@ -66,6 +66,9 @@ class Encoder:
                  np.zeros_like(frame.cr))
         reconstruct_leaves(leaves, recon, qp, bd,
                            orig_planes=(frame.y, frame.cb, frame.cr))
+        if sps.deblocking:
+            from vvc.kernels.deblock import deblock_frame
+            deblock_frame(recon, leaves, qp, bd)
 
         # entropy pass (native packer when built; Python oracle otherwise)
         enc = (native_packer.NativeBinEncoder()
@@ -98,7 +101,7 @@ class Encoder:
 def encode_sequence(frames, qp: int = 32, bit_depth: int = 8):
     """Encode frames (list of Frame) All-Intra → (annexb bytes, recons, stats)."""
     h, w = frames[0].y.shape
-    sps = SPS(width=w, height=h, bit_depth=bit_depth)
+    sps = SPS(width=w, height=h, bit_depth=bit_depth, deblocking=True)
     pps = PPS(init_qp=qp)
     enc = Encoder(sps, pps)
     nals = [NalUnit(NalUnitType.SPS, write_sps(sps)),

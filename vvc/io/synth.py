@@ -15,7 +15,9 @@ def synth_frame(w: int, h: int, t: int = 0, seed: int = 0,
     sc = 1 << (bit_depth - 8)
     yy, xx = np.mgrid[0:h, 0:w]
     y = (xx * 255 // max(1, w - 1) + yy * 64 // max(1, h - 1)) % 256
-    y[(xx // 16 + yy // 16) % 2 == 0] //= 2
+    # block-grid-misaligned texture (real content's edges have arbitrary
+    # phase; grid-aligned edges would bias deblocking/RDO measurements)
+    y[((xx + 5) // 16 + (yy + 3) // 16) % 2 == 0] //= 2
     bx = (10 + 7 * t) % max(1, w - 16)
     by = (6 + 5 * t) % max(1, h - 16)
     y[by:by + 16, bx:bx + 16] = 230
