@@ -22,7 +22,7 @@ def test_sharded_rdo_matches_single_device():
     mesh = make_mesh(8, 1)
     c_sh, m_sh, tot = sharded_rdo_step(mesh, jnp.asarray(orig),
                                        jnp.asarray(refs), size, 32)
-    c_1, m_1 = eval_blocks(jnp.asarray(orig), jnp.asarray(refs), size, 32, 8)
+    c_1, m_1, _ = eval_blocks(jnp.asarray(orig), jnp.asarray(refs), size, 32, 8)
     np.testing.assert_array_equal(np.asarray(m_sh), np.asarray(m_1))
     np.testing.assert_allclose(np.asarray(c_sh), np.asarray(c_1), rtol=1e-6)
     assert np.isclose(float(tot), float(np.sum(np.asarray(c_1))), rtol=1e-5)
@@ -50,8 +50,8 @@ def test_graft_entry_single():
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
     import __graft_entry__ as ge
     fn, args = ge.entry()
-    cost, mode = jax.jit(fn)(*args)
-    assert cost.shape == (64,)
+    out = jax.jit(fn)(*args)
+    assert out[0].shape == (64,)
 
 
 def test_graft_entry_multichip():

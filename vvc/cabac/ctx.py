@@ -29,6 +29,7 @@ CTX_SETS = [
     ("INTRA_LUMA_NOT_PLANAR", 2),
     ("INTRA_CHROMA_PRED_MODE", 1),
     ("CBF_LUMA", 4),
+    ("MTS_IDX", 4),
     ("CBF_CB", 2),
     ("CBF_CR", 3),
     ("LAST_X_LUMA", 20),

@@ -84,14 +84,19 @@ class TreeCoder:
     """Shared walking/derivation logic; subclassed by writer and reader."""
 
     def __init__(self, ctxs, state: CodingState, width: int, height: int,
-                 ctu_size: int = 64, min_cu: int = 8):
+                 ctu_size: int = 64, min_cu: int = 8, mts_enabled: bool = False):
         self.ctxs = ctxs
         self.state = state
         self.w = width
         self.h = height
         self.ctu = ctu_size
         self.min_cu = min_cu
+        self.mts_enabled = mts_enabled
         self.max_depth = (ctu_size.bit_length() - 1) - (min_cu.bit_length() - 1)
+
+    def _mts_signaled(self, size: int, cbf_y: int) -> bool:
+        # sps_explicit_mts_intra; DST7/DCT8 defined for 4..32 (spec 8.7.4)
+        return self.mts_enabled and cbf_y == 1 and 8 <= size <= 32
 
     def _split_ctx(self, x0: int, y0: int, size: int) -> int:
         d = (self.ctu.bit_length() - 1) - (size.bit_length() - 1)
@@ -111,8 +116,8 @@ class TreeCoder:
 
 class TreeWriter(TreeCoder):
     def __init__(self, enc, ctxs, state, width, height, split_map, leaf_map,
-                 ctu_size=64, min_cu=8):
-        super().__init__(ctxs, state, width, height, ctu_size, min_cu)
+                 ctu_size=64, min_cu=8, mts_enabled=False):
+        super().__init__(ctxs, state, width, height, ctu_size, min_cu, mts_enabled)
         self.enc = enc
         self.split_map = split_map    # {(x0,y0,size): bool}
         self.leaf_map = leaf_map      # {(x0,y0,size): Leaf}
@@ -168,6 +173,13 @@ class TreeWriter(TreeCoder):
         enc.encode_bin(cbf_cb, ctxs("CBF_CB", 0))
         enc.encode_bin(cbf_cr, ctxs("CBF_CR", cbf_cb))
         enc.encode_bin(cbf_y, ctxs("CBF_LUMA", 0))
+        if self._mts_signaled(size, cbf_y):
+            # mts_idx: truncated unary, cMax 4, one ctx per bin (reference:
+            # CABACWriter::mts_idx)
+            for i in range(leaf.mts):
+                enc.encode_bin(1, ctxs("MTS_IDX", i))
+            if leaf.mts < 4:
+                enc.encode_bin(0, ctxs("MTS_IDX", leaf.mts))
         if cbf_cb:
             write_residual(enc, ctxs, leaf.lev_cb, is_luma=False)
         if cbf_cr:
@@ -180,8 +192,9 @@ class TreeWriter(TreeCoder):
 
 
 class TreeReader(TreeCoder):
-    def __init__(self, dec, ctxs, state, width, height, ctu_size=64, min_cu=8):
-        super().__init__(ctxs, state, width, height, ctu_size, min_cu)
+    def __init__(self, dec, ctxs, state, width, height, ctu_size=64, min_cu=8,
+                 mts_enabled=False):
+        super().__init__(ctxs, state, width, height, ctu_size, min_cu, mts_enabled)
         self.dec = dec
         self.leaves: list[Leaf] = []
 
@@ -229,7 +242,11 @@ class TreeReader(TreeCoder):
         cbf_cb = dec.decode_bin(ctxs("CBF_CB", 0))
         cbf_cr = dec.decode_bin(ctxs("CBF_CR", cbf_cb))
         cbf_y = dec.decode_bin(ctxs("CBF_LUMA", 0))
-        leaf = Leaf(x0, y0, size, mode)
+        mts = 0
+        if self._mts_signaled(size, cbf_y):
+            while mts < 4 and dec.decode_bin(ctxs("MTS_IDX", mts)):
+                mts += 1
+        leaf = Leaf(x0, y0, size, mode, mts=mts)
         cs = size >> 1
         if cbf_cb:
             leaf.lev_cb = read_residual(dec, ctxs, cs, is_luma=False)

@@ -63,7 +63,8 @@ def _decode_slice(rbsp: bytes, sps, pps) -> Frame:
     ctxs = SliceContexts(sh.qp)
     state = CodingState(sps.width, sps.height)
     reader = TreeReader(dec, ctxs, state, sps.width, sps.height,
-                        sps.ctu_size, sps.min_cu_size)
+                        sps.ctu_size, sps.min_cu_size,
+                        mts_enabled=sps.mts_intra)
     for cy in range(0, sps.height, sps.ctu_size):
         for cx in range(0, sps.width, sps.ctu_size):
             reader.read_ctu(cx, cy)

@@ -76,7 +76,8 @@ class Encoder:
         ctxs = SliceContexts(qp)
         state = CodingState(sps.width, sps.height)
         writer = TreeWriter(enc, ctxs, state, sps.width, sps.height,
-                            split_map, leaf_map, sps.ctu_size, sps.min_cu_size)
+                            split_map, leaf_map, sps.ctu_size, sps.min_cu_size,
+                            mts_enabled=sps.mts_intra)
         for cy in range(0, sps.height, sps.ctu_size):
             for cx in range(0, sps.width, sps.ctu_size):
                 writer.write_ctu(cx, cy)
@@ -101,7 +102,8 @@ class Encoder:
 def encode_sequence(frames, qp: int = 32, bit_depth: int = 8):
     """Encode frames (list of Frame) All-Intra → (annexb bytes, recons, stats)."""
     h, w = frames[0].y.shape
-    sps = SPS(width=w, height=h, bit_depth=bit_depth, deblocking=True)
+    sps = SPS(width=w, height=h, bit_depth=bit_depth, deblocking=True,
+              mts_intra=True)
     pps = PPS(init_qp=qp)
     enc = Encoder(sps, pps)
     nals = [NalUnit(NalUnitType.SPS, write_sps(sps)),

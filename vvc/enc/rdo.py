@@ -79,13 +79,21 @@ def build_ref_lines_device(plane: jax.Array, xs: jax.Array, ys: jax.Array,
         [left[:, ::-1], corner[:, None], top, top[:, -1:], top[:, -1:]], axis=1)
 
 
-def eval_blocks(orig: jax.Array, refs: jax.Array, size: int, qp: int,
-                bit_depth: int = 8):
-    """[N,S,S] originals + [N,4S+3] refs → (best_cost [N] f32, best_mode [N] i32).
+# approximate mts_idx signalling cost (truncated-unary ctx bins)
+_MTS_BITS = (0.5, 2.0, 3.0, 4.0, 4.0)
 
-    SATD prescreen over 67 modes, then full RD on the shortlist.  Pure
-    (trace-safe) — callers jit it or embed it in larger jitted programs.
+
+def eval_blocks(orig: jax.Array, refs: jax.Array, size: int, qp: int,
+                bit_depth: int = 8, try_mts: bool = False):
+    """[N,S,S] originals + [N,4S+3] refs →
+    (best_cost [N] f32, best_mode [N] i32, best_mts [N] i32).
+
+    SATD prescreen over 67 modes, then full RD on the shortlist — jointly
+    over MTS transform candidates when try_mts (reference:
+    IntraSearch::estIntraPredLumaQT's MTS loop).  Pure (trace-safe).
     """
+    from vvc.kernels.transform import MTS_TR
+
     lam = rd_lambda(qp)
     sqrt_lam = math.sqrt(lam)
     n, s, _ = orig.shape
@@ -100,35 +108,46 @@ def eval_blocks(orig: jax.Array, refs: jax.Array, size: int, qp: int,
 
     cand = jnp.take_along_axis(preds, short[:, :, None, None], axis=1)  # [N,K,S,S]
     resi = (orig[:, None] - cand).reshape(-1, s, s)
-    coeff = fwd_transform_batch(resi, bit_depth)
-    lev = quant_batch(coeff, qp, bit_depth, intra=True)
-    deq = dequant_batch(lev, qp, bit_depth)
-    rec_resi = inv_transform_batch(deq, bit_depth)
-    rec = jnp.clip(cand.reshape(-1, s, s) + rec_resi, 0, (1 << bit_depth) - 1)
-    d = (rec - orig[:, None].repeat(RD_SHORTLIST, 1).reshape(-1, s, s)).astype(jnp.float32)
-    sse = jnp.sum(d * d, axis=(1, 2))
-    la = jnp.abs(lev).astype(jnp.float32)
-    rate = jnp.sum(jnp.where(la > 0, 2.0 * jnp.log2(la + 1.0) + 1.0, 0.02),
-                   axis=(1, 2))
-    cost = (sse + lam * (rate + mode_bits[short].reshape(-1))).reshape(n, RD_SHORTLIST)
-    best_k = jnp.argmin(cost, axis=1)
-    best_cost = jnp.take_along_axis(cost, best_k[:, None], axis=1)[:, 0]
+    o_rep = orig[:, None].repeat(RD_SHORTLIST, 1).reshape(-1, s, s)
+    n_mts = len(MTS_TR) if try_mts else 1
+    costs = []
+    for mi in range(n_mts):
+        th, tv = MTS_TR[mi]
+        coeff = fwd_transform_batch(resi, bit_depth, th, tv)
+        lev = quant_batch(coeff, qp, bit_depth, intra=True)
+        deq = dequant_batch(lev, qp, bit_depth)
+        rec_resi = inv_transform_batch(deq, bit_depth, th, tv)
+        rec = jnp.clip(cand.reshape(-1, s, s) + rec_resi, 0, (1 << bit_depth) - 1)
+        d = (rec - o_rep).astype(jnp.float32)
+        sse = jnp.sum(d * d, axis=(1, 2))
+        la = jnp.abs(lev).astype(jnp.float32)
+        rate = jnp.sum(jnp.where(la > 0, 2.0 * jnp.log2(la + 1.0) + 1.0, 0.02),
+                       axis=(1, 2))
+        costs.append(sse + lam * (rate + mode_bits[short].reshape(-1)
+                                  + _MTS_BITS[mi]))
+    # costs[mi]: [N*K] → stack axis=1 gives [N*K, M]; flat row index = k*M + mi
+    cost = jnp.stack(costs, axis=1).reshape(n, RD_SHORTLIST * n_mts)
+    best = jnp.argmin(cost, axis=1)
+    best_cost = jnp.take_along_axis(cost, best[:, None], axis=1)[:, 0]
+    best_k = best // n_mts
+    best_mts = best % n_mts
     best_mode = jnp.take_along_axis(short, best_k[:, None], axis=1)[:, 0]
-    return best_cost, best_mode
+    return best_cost, best_mode, best_mts.astype(jnp.int32)
 
 
 def eval_size_plane(plane: jax.Array, size: int, qp: int, bit_depth: int,
-                    ny: int, nx: int):
+                    ny: int, nx: int, mts_enabled: bool = True):
     """Whole-frame single-size evaluation: plane [H,W] int32 →
-    (cost [ny,nx] f32, mode [ny,nx] i32).  Trace-safe."""
+    (cost [ny,nx] f32, mode [ny,nx] i32, mts [ny,nx] i32).  Trace-safe."""
     s = size
     blocks = (plane[:ny * s, :nx * s]
               .reshape(ny, s, nx, s).transpose(0, 2, 1, 3).reshape(-1, s, s))
     ys = (jnp.repeat(jnp.arange(ny), nx) * s)
     xs = (jnp.tile(jnp.arange(nx), ny) * s)
     refs = build_ref_lines_device(plane, xs, ys, s, bit_depth)
-    cost, mode = eval_blocks(blocks, refs, s, qp, bit_depth)
-    return cost.reshape(ny, nx), mode.reshape(ny, nx)
+    try_mts = mts_enabled and 8 <= s <= 32  # DST7/DCT8 defined to 32 (spec)
+    cost, mode, mts = eval_blocks(blocks, refs, s, qp, bit_depth, try_mts)
+    return cost.reshape(ny, nx), mode.reshape(ny, nx), mts.reshape(ny, nx)
 
 
 def _eval_all_sizes_impl(plane, sizes, qp, bit_depth, w, h):
@@ -183,7 +202,7 @@ def rdo_partition(y_plane: np.ndarray, qp: int, bit_depth: int = 8,
     sizes = _candidate_sizes(ctu_size, min_cu)
     dev_plane = jax.device_put(jnp.asarray(y_plane, dtype=jnp.int32))
     results = eval_all_sizes(dev_plane, tuple(sizes), qp, bit_depth, w, h)
-    results = {s: (np.asarray(c), np.asarray(m)) for s, (c, m) in results.items()}
+    results = {s: tuple(np.asarray(x) for x in r) for s, r in results.items()}
     return _dp_backtrack(results, w, h, qp, sizes, ctu_size, min_cu)
 
 
@@ -196,10 +215,10 @@ def rdo_partition_frames(y_planes, qp: int, bit_depth: int = 8,
     sizes = _candidate_sizes(ctu_size, min_cu)
     stack = jax.device_put(jnp.asarray(np.stack(y_planes), dtype=jnp.int32))
     res = eval_all_sizes_frames(stack, tuple(sizes), qp, bit_depth, w, h)
-    res = {s: (np.asarray(c), np.asarray(m)) for s, (c, m) in res.items()}
+    res = {s: tuple(np.asarray(x) for x in r) for s, r in res.items()}
     out = []
     for f in range(len(y_planes)):
-        per = {s: (c[f], m[f]) for s, (c, m) in res.items()}
+        per = {s: tuple(x[f] for x in r) for s, r in res.items()}
         out.append(_dp_backtrack(per, w, h, qp, sizes, ctu_size, min_cu))
     return out
 
@@ -208,13 +227,16 @@ def _dp_backtrack(results, w, h, qp, sizes, ctu_size, min_cu):
     lam = rd_lambda(qp)
     cost = {}
     mode = {}
+    mts = {}
     for s in sizes:
         nx, ny = w // s, h // s
         cost[s] = np.full((ny, nx), np.inf, dtype=np.float64)
         mode[s] = np.zeros((ny, nx), dtype=np.int32)
+        mts[s] = np.zeros((ny, nx), dtype=np.int32)
         if s in results:
             cost[s][:] = results[s][0]
             mode[s][:] = results[s][1]
+            mts[s][:] = results[s][2]
 
     # bottom-up DP
     best = {min_cu: cost[min_cu].copy()}
@@ -252,7 +274,8 @@ def _dp_backtrack(results, w, h, qp, sizes, ctu_size, min_cu):
         else:
             if s > min_cu:
                 split_map[(x0, y0, s)] = False
-            leaf = Leaf(x0, y0, s, int(mode[s][y0 // s, x0 // s]))
+            leaf = Leaf(x0, y0, s, int(mode[s][y0 // s, x0 // s]),
+                        mts=int(mts[s][y0 // s, x0 // s]))
             leaf_map[(x0, y0, s)] = leaf
             leaves.append(leaf)
 

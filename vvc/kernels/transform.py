@@ -30,6 +30,11 @@ import jax.numpy as jnp
 from vvc.common.types import TrType
 from vvc.rom.transform_mats import transform_matrix
 
+# mts_idx → (tr_h, tr_v); reference: TrQuant.cpp → getTrTypes/g_trModes
+MTS_TR = ((TrType.DCT2, TrType.DCT2), (TrType.DST7, TrType.DST7),
+          (TrType.DCT8, TrType.DST7), (TrType.DST7, TrType.DCT8),
+          (TrType.DCT8, TrType.DCT8))
+
 
 def _log2(n: int) -> int:
     return int(n).bit_length() - 1

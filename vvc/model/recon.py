@@ -29,7 +29,8 @@ def chroma_qp(qp: int) -> int:
     return min(qp, 63)
 
 
-def _recon_block(plane, orig, coded, x0, y0, size, mode, qp, bit_depth, levels):
+def _recon_block(plane, orig, coded, x0, y0, size, mode, qp, bit_depth, levels,
+                 tr_h=0, tr_v=0):
     """Predict + (inverse-)transform one block in `plane`.
 
     If `levels` is None (encode), derives them from `orig`; returns levels.
@@ -38,10 +39,11 @@ def _recon_block(plane, orig, coded, x0, y0, size, mode, qp, bit_depth, levels):
     pred = predict_intra(c, mode, size, bit_depth)
     if levels is None:
         resi = orig[y0:y0 + size, x0:x0 + size].astype(np.int32) - pred
-        coeff = fwd_transform_np(resi, bit_depth)
+        coeff = fwd_transform_np(resi, bit_depth, tr_h, tr_v)
         levels = quant_np(coeff, qp, bit_depth, intra=True)
     if np.any(levels):
-        rec_resi = inv_transform_np(dequant_np(levels, qp, bit_depth), bit_depth)
+        rec_resi = inv_transform_np(dequant_np(levels, qp, bit_depth),
+                                    bit_depth, tr_h, tr_v)
         rec = np.clip(pred + rec_resi, 0, (1 << bit_depth) - 1)
     else:
         rec = pred
@@ -82,9 +84,12 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
     for leaf in leaves:
         s = leaf.size
         x0, y0 = leaf.x0, leaf.y0
+        from vvc.kernels.transform import MTS_TR
+        th, tv = MTS_TR[leaf.mts]
         lev = _recon_block(y_pl, o_y, coded_y, x0, y0, s, leaf.luma_mode,
                            qp, bit_depth,
-                           None if encode_mode else dec_levels(leaf.lev_y, s))
+                           None if encode_mode else dec_levels(leaf.lev_y, s),
+                           th, tv)
         if encode_mode:
             leaf.lev_y = lev if np.any(lev) else None
         # chroma (single tree, DM mode = luma mode), half resolution

@@ -49,13 +49,14 @@ def recon_lib():
         l = ctypes.CDLL(_RSO)
     except OSError:
         return None
-    l.recon_init.argtypes = [ctypes.c_void_p] * 5
+    l.recon_init.argtypes = [ctypes.c_void_p] * 13
     l.recon_block.restype = ctypes.c_int
     l.recon_block.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.c_void_p, ctypes.c_int]
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int]
     _rlib = l
     return _rlib
 

@@ -12,7 +12,7 @@ import ctypes
 import numpy as np
 
 from vvc.packer import recon_lib
-from vvc.rom.transform_mats import dct2_matrix
+from vvc.rom.transform_mats import dct2_matrix, dst7_matrix, dct8_matrix
 
 _initialized = False
 
@@ -23,7 +23,9 @@ def available() -> bool:
     if l is None:
         return False
     if not _initialized:
-        mats = [np.ascontiguousarray(dct2_matrix(n)) for n in (4, 8, 16, 32, 64)]
+        mats = ([np.ascontiguousarray(dct2_matrix(n)) for n in (4, 8, 16, 32, 64)]
+                + [np.ascontiguousarray(dst7_matrix(n)) for n in (4, 8, 16, 32)]
+                + [np.ascontiguousarray(dct8_matrix(n)) for n in (4, 8, 16, 32)])
         # keep refs alive for the process lifetime (recon_init copies anyway)
         l.recon_init(*[m.ctypes.data_as(ctypes.c_void_p) for m in mats])
         _initialized = True
@@ -52,7 +54,8 @@ def reconstruct_leaves_native(leaves, recon_planes, qp: int, bit_depth: int,
         o_cb = np.ascontiguousarray(orig_planes[1], dtype=np.int32)
         o_cr = np.ascontiguousarray(orig_planes[2], dtype=np.int32)
 
-    def do(plane, ph, pw, coded, cw4, orig, x0, y0, s, mode, q, lev):
+    def do(plane, ph, pw, coded, cw4, orig, x0, y0, s, mode, q, lev,
+           tr_h=0, tr_v=0):
         buf = lev if lev is not None else (
             np.zeros((s, s), dtype=np.int32) if enc else None)
         if buf is not None:
@@ -60,16 +63,20 @@ def reconstruct_leaves_native(leaves, recon_planes, qp: int, bit_depth: int,
         cbf = l.recon_block(_p(plane), ph, pw, _p(coded), cw4,
                             _p(orig) if orig is not None else None,
                             x0, y0, s, mode, q, bit_depth, 2,
-                            _p(buf) if buf is not None else None, int(enc))
+                            _p(buf) if buf is not None else None, int(enc),
+                            tr_h, tr_v)
         return (buf if cbf else None) if enc else None
 
+    from vvc.kernels.transform import MTS_TR
     cw4_y = coded_y.shape[1]
     cw4_c = coded_c.shape[1]
     for leaf in leaves:
         s = leaf.size
         cs = s >> 1
+        th, tv = MTS_TR[leaf.mts]
         r = do(y_pl, h, w, coded_y, cw4_y, o_y if enc else None,
-               leaf.x0, leaf.y0, s, leaf.luma_mode, qp, None if enc else leaf.lev_y)
+               leaf.x0, leaf.y0, s, leaf.luma_mode, qp,
+               None if enc else leaf.lev_y, int(th), int(tv))
         if enc:
             leaf.lev_y = r
         r = do(cb_pl, h // 2, w // 2, coded_c, cw4_c, o_cb if enc else None,

@@ -20,7 +20,10 @@ namespace {
 
 constexpr int PLANAR = 0, DC = 1, VER = 50, DIA = 34;
 
-const int32_t* g_mats[7] = {nullptr};  // DCT2 matrices by log2 size (2..6)
+// transform matrices by [type][log2 size]: type 0=DCT2 (log2 2..6),
+// 1=DST7, 2=DCT8 (log2 2..5)
+const int32_t* g_mats_t[3][7] = {{nullptr}};
+#define g_mats g_mats_t[0]
 
 const int ABS_ANG[17] = {0, 1, 2, 3, 4, 6, 8, 10, 12, 14, 16, 18, 20, 23, 26, 29, 32};
 
@@ -168,48 +171,52 @@ void predict_intra(const int32_t* c, int mode, int s, int bit_depth,
 
 // ---- transforms (mirror of fwd/inv_transform_np, DCT2 square) ----
 
-void fwd_dct2(const int32_t* resi, int s, int bit_depth, int32_t* coeff) {
+void fwd_dct2(const int32_t* resi, int s, int bit_depth, int32_t* coeff,
+              int tr_h = 0, int tr_v = 0) {
   int log2s = 0;
   while ((1 << log2s) < s) log2s++;
-  const int32_t* t = g_mats[log2s];
+  const int32_t* th = g_mats_t[tr_h][log2s];
+  const int32_t* tv = g_mats_t[tr_v][log2s];
   int shift1 = log2s + bit_depth - 9;
   int shift2 = log2s + 6;
   std::vector<int64_t> tmp(s * s);
-  // horizontal: tmp[y][u] = sum_w resi[y][w] * t[u][w]
+  // horizontal: tmp[y][u] = sum_w resi[y][w] * th[u][w]
   for (int y = 0; y < s; y++)
     for (int u = 0; u < s; u++) {
       int64_t acc = 0;
       for (int wi = 0; wi < s; wi++)
-        acc += (int64_t)resi[y * s + wi] * t[u * s + wi];
+        acc += (int64_t)resi[y * s + wi] * th[u * s + wi];
       tmp[y * s + u] = (acc + (1 << (shift1 - 1))) >> shift1;
     }
   for (int v = 0; v < s; v++)
     for (int u = 0; u < s; u++) {
       int64_t acc = 0;
-      for (int y = 0; y < s; y++) acc += (int64_t)t[v * s + y] * tmp[y * s + u];
+      for (int y = 0; y < s; y++) acc += (int64_t)tv[v * s + y] * tmp[y * s + u];
       int64_t r = (acc + (1 << (shift2 - 1))) >> shift2;
       coeff[v * s + u] = r < -32768 ? -32768 : (r > 32767 ? 32767 : (int32_t)r);
     }
 }
 
-void inv_dct2(const int32_t* coeff, int s, int bit_depth, int32_t* resi) {
+void inv_dct2(const int32_t* coeff, int s, int bit_depth, int32_t* resi,
+              int tr_h = 0, int tr_v = 0) {
   int log2s = 0;
   while ((1 << log2s) < s) log2s++;
-  const int32_t* t = g_mats[log2s];
+  const int32_t* th = g_mats_t[tr_h][log2s];
+  const int32_t* tv = g_mats_t[tr_v][log2s];
   int shift2 = 20 - bit_depth;
   std::vector<int64_t> tmp(s * s);
-  // vertical inverse: tmp[y][u] = sum_v t[v][y]*coeff[v][u]
+  // vertical inverse: tmp[y][u] = sum_v tv[v][y]*coeff[v][u]
   for (int y = 0; y < s; y++)
     for (int u = 0; u < s; u++) {
       int64_t acc = 0;
-      for (int v = 0; v < s; v++) acc += (int64_t)t[v * s + y] * coeff[v * s + u];
+      for (int v = 0; v < s; v++) acc += (int64_t)tv[v * s + y] * coeff[v * s + u];
       int64_t r = (acc + 64) >> 7;
       tmp[y * s + u] = r < -32768 ? -32768 : (r > 32767 ? 32767 : r);
     }
   for (int y = 0; y < s; y++)
     for (int x = 0; x < s; x++) {
       int64_t acc = 0;
-      for (int u = 0; u < s; u++) acc += tmp[y * s + u] * t[u * s + x];
+      for (int u = 0; u < s; u++) acc += tmp[y * s + u] * th[u * s + x];
       int64_t r = (acc + (1 << (shift2 - 1))) >> shift2;
       resi[y * s + x] = r < -32768 ? -32768 : (r > 32767 ? 32767 : (int32_t)r);
     }
@@ -265,16 +272,25 @@ void dequant(const int32_t* lev, int s, int qp, int bit_depth, int32_t* coeff) {
 
 extern "C" {
 
-// matrices: flat int32 DCT2 tables for sizes 4..64 (row-major, rows=freq)
+// matrices: flat int32 tables (row-major, rows = frequency).  DCT2 sizes
+// 4..64; DST7/DCT8 sizes 4..32 (spec limit).
 void recon_init(const int32_t* t4, const int32_t* t8, const int32_t* t16,
-                const int32_t* t32, const int32_t* t64) {
-  static std::vector<int32_t> store[7];
-  const int32_t* src[7] = {nullptr, nullptr, t4, t8, t16, t32, t64};
-  for (int l = 2; l <= 6; l++) {
-    int s = 1 << l;
-    store[l].assign(src[l], src[l] + s * s);
-    g_mats[l] = store[l].data();
-  }
+                const int32_t* t32, const int32_t* t64, const int32_t* d7_4,
+                const int32_t* d7_8, const int32_t* d7_16, const int32_t* d7_32,
+                const int32_t* d8_4, const int32_t* d8_8, const int32_t* d8_16,
+                const int32_t* d8_32) {
+  static std::vector<int32_t> store[3][7];
+  const int32_t* src[3][7] = {
+      {nullptr, nullptr, t4, t8, t16, t32, t64},
+      {nullptr, nullptr, d7_4, d7_8, d7_16, d7_32, nullptr},
+      {nullptr, nullptr, d8_4, d8_8, d8_16, d8_32, nullptr}};
+  for (int ty = 0; ty < 3; ty++)
+    for (int l = 2; l <= 6; l++) {
+      if (!src[ty][l]) continue;
+      int s = 1 << l;
+      store[ty][l].assign(src[ty][l], src[ty][l] + s * s);
+      g_mats_t[ty][l] = store[ty][l].data();
+    }
 }
 
 // One block recon.  enc_mode: derive levels from orig (returns cbf);
@@ -282,7 +298,7 @@ void recon_init(const int32_t* t4, const int32_t* t8, const int32_t* t16,
 int recon_block(int32_t* plane, int h, int w, uint8_t* coded, int cw4,
                 const int32_t* orig, int x0, int y0, int size, int mode,
                 int qp, int bit_depth, int log2_unit, int32_t* levels_io,
-                int enc_mode) {
+                int enc_mode, int tr_h, int tr_v) {
   int s = size;
   std::vector<int32_t> c(4 * s + 3), pred(s * s), buf(s * s), buf2(s * s);
   build_ref_line(plane, h, w, coded, cw4, x0, y0, s, bit_depth, log2_unit,
@@ -293,7 +309,7 @@ int recon_block(int32_t* plane, int h, int w, uint8_t* coded, int cw4,
     for (int y = 0; y < s; y++)
       for (int x = 0; x < s; x++)
         buf[y * s + x] = orig[(y0 + y) * w + x0 + x] - pred[y * s + x];
-    fwd_dct2(buf.data(), s, bit_depth, buf2.data());
+    fwd_dct2(buf.data(), s, bit_depth, buf2.data(), tr_h, tr_v);
     cbf = quant(buf2.data(), s, qp, bit_depth, levels_io);
   } else {
     cbf = 0;
@@ -303,7 +319,7 @@ int recon_block(int32_t* plane, int h, int w, uint8_t* coded, int cw4,
   int mx = (1 << bit_depth) - 1;
   if (cbf) {
     dequant(levels_io, s, qp, bit_depth, buf2.data());
-    inv_dct2(buf2.data(), s, bit_depth, buf.data());
+    inv_dct2(buf2.data(), s, bit_depth, buf.data(), tr_h, tr_v);
     for (int y = 0; y < s; y++)
       for (int x = 0; x < s; x++) {
         int v = pred[y * s + x] + buf[y * s + x];
