@@ -57,27 +57,48 @@ def decode_stream(data: bytes, verify_hash: bool = True):
 
 
 def _decode_slice(rbsp: bytes, sps, pps) -> Frame:
-    sh, payload = parse_slice_header(rbsp, pps.init_qp)
-    dec = (native_packer.NativeBinDecoder(payload)
-           if native_packer.available() else BinDecoder(payload))
-    ctxs = SliceContexts(sh.qp)
-    state = CodingState(sps.width, sps.height)
-    reader = TreeReader(dec, ctxs, state, sps.width, sps.height,
-                        sps.ctu_size, sps.min_cu_size,
-                        mts_enabled=sps.mts_intra)
-    for cy in range(0, sps.height, sps.ctu_size):
-        for cx in range(0, sps.width, sps.ctu_size):
-            reader.read_ctu(cx, cy)
-    assert dec.decode_bin_trm() == 1, "end_of_slice termination missing"
+    from vvc.enc.encoder import tile_columns  # shared tile geometry
 
+    tiles = tile_columns(pps.num_tile_cols, sps.width, sps.ctu_size)
+    sh, substreams = parse_slice_header(rbsp, pps.init_qp, len(tiles))
     recon = (np.zeros((sps.height, sps.width), dtype=np.int32),
              np.zeros((sps.height // 2, sps.width // 2), dtype=np.int32),
              np.zeros((sps.height // 2, sps.width // 2), dtype=np.int32))
-    reconstruct_leaves(reader.leaves, recon, sh.qp, sps.bit_depth)
+    all_leaves = []
+
+    def do_tile(i):
+        tx0, tx1 = tiles[i]
+        payload = substreams[i]
+        dec = (native_packer.NativeBinDecoder(payload)
+               if native_packer.available() else BinDecoder(payload))
+        ctxs = SliceContexts(sh.qp)
+        state = CodingState(sps.width, sps.height)
+        reader = TreeReader(dec, ctxs, state, min(tx1, sps.width), sps.height,
+                            sps.ctu_size, sps.min_cu_size,
+                            mts_enabled=sps.mts_intra)
+        for cy in range(0, sps.height, sps.ctu_size):
+            for cx in range(tx0, tx1, sps.ctu_size):
+                reader.read_ctu(cx, cy)
+        assert dec.decode_bin_trm() == 1, "tile substream termination missing"
+        # per-tile recon — availability maps are fresh per call, so tile
+        # isolation (no cross-tile prediction) holds by construction
+        reconstruct_leaves(reader.leaves, recon, sh.qp, sps.bit_depth,
+                           lossless=sps.lossless)
+        return reader.leaves
+
+    if len(tiles) > 1:
+        import concurrent.futures
+        with concurrent.futures.ThreadPoolExecutor(len(tiles)) as ex:
+            for leaves in ex.map(do_tile, range(len(tiles))):
+                all_leaves.extend(leaves)
+    else:
+        all_leaves.extend(do_tile(0))
+
     # in-loop filters (reference: DecLib::executeLoopFilters order)
     if sps.deblocking:
         from vvc.kernels.deblock import deblock_frame
-        deblock_frame(recon, reader.leaves, sh.qp, sps.bit_depth)
+        deblock_frame(recon, all_leaves, sh.qp, sps.bit_depth,
+                      tile_x_bounds=tuple(t[0] for t in tiles[1:]))
     return Frame(*recon, sps.bit_depth)
 
 
@@ -89,8 +110,9 @@ def _check_hash_sei(payload: bytes, frame: Frame):
         return None
     ok = True
     off = 1
+    dt = np.uint8 if frame.bit_depth == 8 else np.dtype("<u2")
     for p in frame.planes():
-        digest = hashlib.md5(np.ascontiguousarray(p.astype(np.uint8)).tobytes()).digest()
+        digest = hashlib.md5(np.ascontiguousarray(p.astype(dt)).tobytes()).digest()
         ok &= digest == body[off:off + 16]
         off += 16
     return bool(ok)

@@ -4,16 +4,21 @@ TPU-native analog of the reference's encoder stack
 (`/root/reference/source/Lib/EncoderLib/EncLib.cpp` → EncLib::encode;
 EncGOP.cpp → compressGOP (AI degenerate case); EncSlice.cpp →
 compressSlice/encodeSlice; SEIEncoder.cpp → initDecodedPictureHashSEI +
-libmd5).  Phases per picture (SURVEY.md §7.2 S2):
+libmd5).  Phases per picture (SURVEY.md §7.2 S2/S6):
 
   1. batched RDO on device (vvc.enc.rdo) → partition + modes
-  2. sequential reconstruction (vvc.model.recon — shared with the decoder)
-     deriving quantized levels against true reconstructed neighbours
-  3. host CABAC entropy pass (vvc.cabac) → slice payload
-  4. NAL framing (SPS/PPS/IDR slices + decoded-picture-hash SEI)
+  2. per tile (PPS tile columns — the primary spatial shard axis,
+     SURVEY.md §2.7 P-3): sequential reconstruction (vvc.model.recon,
+     shared with the decoder) + host CABAC entropy into an independent
+     substream.  Tiles cut all prediction/entropy dependencies, so both
+     run concurrently across a thread pool (the native cores release the
+     GIL); substreams are glued with entry-point offsets like the
+     reference's tile bitstream layout.
+  3. NAL framing (SPS/PPS/IDR slices + decoded-picture-hash SEI)
 """
 from __future__ import annotations
 
+import concurrent.futures
 import hashlib
 
 import numpy as np
@@ -34,21 +39,53 @@ from vvc.enc.rdo import rdo_partition, rdo_partition_frames
 SEI_PIC_HASH_MD5 = 132  # decoded_picture_hash payload type
 
 
-def _hash_sei_payload(planes) -> bytes:
+def _hash_sei_payload(planes, bit_depth: int = 8) -> bytes:
     out = bytearray([SEI_PIC_HASH_MD5])
     body = bytearray([0])  # hash_type 0 = MD5
+    dt = np.uint8 if bit_depth == 8 else np.dtype("<u2")
     for p in planes:
-        body += hashlib.md5(np.ascontiguousarray(p.astype(np.uint8)).tobytes()).digest()
+        body += hashlib.md5(np.ascontiguousarray(p.astype(dt)).tobytes()).digest()
     out.append(len(body))
     out += body
     out += b"\x80"  # rbsp trailing
     return bytes(out)
 
 
+def tile_columns(num_cols: int, width: int, ctu_size: int):
+    """Uniform tile column bounds in luma samples (reference: PPS::initTiles
+    uniform spacing).  Returns [(x0, x1), ...]."""
+    n_ctu = (width + ctu_size - 1) // ctu_size
+    bounds = [(i * n_ctu) // num_cols * ctu_size for i in range(num_cols)]
+    bounds.append(width)
+    return [(bounds[i], min(bounds[i + 1], width)) for i in range(num_cols)
+            if bounds[i] < width]
+
+
 class Encoder:
-    def __init__(self, sps: SPS, pps: PPS):
+    def __init__(self, sps: SPS, pps: PPS, parallel_tiles: bool = True):
         self.sps = sps
         self.pps = pps
+        self.parallel_tiles = parallel_tiles
+
+    def _encode_tile(self, frame, recon, leaves_t, split_map, leaf_map,
+                     tx0, tx1, qp):
+        sps = self.sps
+        bd = sps.bit_depth
+        reconstruct_leaves(leaves_t, recon, qp, bd,
+                           orig_planes=(frame.y, frame.cb, frame.cr),
+                           lossless=sps.lossless)
+        enc = (native_packer.NativeBinEncoder()
+               if native_packer.available() else BinEncoder())
+        ctxs = SliceContexts(qp)
+        state = CodingState(sps.width, sps.height)
+        writer = TreeWriter(enc, ctxs, state, min(tx1, sps.width), sps.height,
+                            split_map, leaf_map, sps.ctu_size,
+                            sps.min_cu_size, mts_enabled=sps.mts_intra)
+        for cy in range(0, sps.height, sps.ctu_size):
+            for cx in range(tx0, tx1, sps.ctu_size):
+                writer.write_ctu(cx, cy)
+        enc.encode_bin_trm(1)
+        return enc.finish()
 
     def encode_frame(self, frame: Frame, poc: int, rdo_result=None):
         """Returns (nal_units, recon Frame, stats dict).
@@ -60,34 +97,37 @@ class Encoder:
         bd = sps.bit_depth
 
         split_map, leaf_map, leaves = rdo_result if rdo_result is not None \
-            else rdo_partition(frame.y, qp, bd, sps.ctu_size, sps.min_cu_size)
+            else rdo_partition(frame.y, qp, bd, sps.ctu_size, sps.min_cu_size,
+                               lossless=sps.lossless)
 
+        tiles = tile_columns(pps.num_tile_cols, sps.width, sps.ctu_size)
         recon = (np.zeros_like(frame.y), np.zeros_like(frame.cb),
                  np.zeros_like(frame.cr))
-        reconstruct_leaves(leaves, recon, qp, bd,
-                           orig_planes=(frame.y, frame.cb, frame.cr))
-        if sps.deblocking:
-            from vvc.kernels.deblock import deblock_frame
-            deblock_frame(recon, leaves, qp, bd)
+        leaves_per_tile = [[l for l in leaves if tx0 <= l.x0 < tx1]
+                           for tx0, tx1 in tiles]
 
-        # entropy pass (native packer when built; Python oracle otherwise)
-        enc = (native_packer.NativeBinEncoder()
-               if native_packer.available() else BinEncoder())
-        ctxs = SliceContexts(qp)
-        state = CodingState(sps.width, sps.height)
-        writer = TreeWriter(enc, ctxs, state, sps.width, sps.height,
-                            split_map, leaf_map, sps.ctu_size, sps.min_cu_size,
-                            mts_enabled=sps.mts_intra)
-        for cy in range(0, sps.height, sps.ctu_size):
-            for cx in range(0, sps.width, sps.ctu_size):
-                writer.write_ctu(cx, cy)
-        enc.encode_bin_trm(1)
-        payload = enc.finish()
+        def do_tile(i):
+            tx0, tx1 = tiles[i]
+            return self._encode_tile(frame, recon, leaves_per_tile[i],
+                                     split_map, leaf_map, tx0, tx1, qp)
+
+        if self.parallel_tiles and len(tiles) > 1:
+            with concurrent.futures.ThreadPoolExecutor(len(tiles)) as ex:
+                substreams = list(ex.map(do_tile, range(len(tiles))))
+        else:
+            substreams = [do_tile(i) for i in range(len(tiles))]
+
+        if sps.deblocking and not sps.lossless:
+            from vvc.kernels.deblock import deblock_frame
+            deblock_frame(recon, leaves, qp, bd,
+                          tile_x_bounds=tuple(t[0] for t in tiles[1:]))
 
         sh = SliceHeader(pps.pps_id, SliceType.I, poc, qp)
-        slice_rbsp = write_slice_header(sh, pps.init_qp) + payload
+        header = write_slice_header(sh, pps.init_qp,
+                                    entry_sizes=[len(s) for s in substreams])
+        slice_rbsp = header + b"".join(substreams)
         nals = [NalUnit(NalUnitType.IDR_N_LP, slice_rbsp),
-                NalUnit(NalUnitType.SUFFIX_SEI, _hash_sei_payload(recon))]
+                NalUnit(NalUnitType.SUFFIX_SEI, _hash_sei_payload(recon, bd))]
         rec_frame = Frame(*recon, bd)
         stats = {
             "bits": sum(8 * (len(n.payload) + 2) for n in nals),
@@ -95,17 +135,21 @@ class Encoder:
             "psnr_cb": psnr(frame.cb, recon[1], bd),
             "psnr_cr": psnr(frame.cr, recon[2], bd),
             "n_cu": len(leaves),
+            "n_tiles": len(tiles),
         }
         return nals, rec_frame, stats
 
 
-def encode_sequence(frames, qp: int = 32, bit_depth: int = 8):
+def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
+                    num_tile_cols: int = 1, lossless: bool = False,
+                    parallel_tiles: bool = True):
     """Encode frames (list of Frame) All-Intra → (annexb bytes, recons, stats)."""
     h, w = frames[0].y.shape
-    sps = SPS(width=w, height=h, bit_depth=bit_depth, deblocking=True,
-              mts_intra=True)
-    pps = PPS(init_qp=qp)
-    enc = Encoder(sps, pps)
+    sps = SPS(width=w, height=h, bit_depth=bit_depth,
+              deblocking=not lossless, mts_intra=not lossless,
+              lossless=lossless)
+    pps = PPS(init_qp=qp, num_tile_cols=num_tile_cols)
+    enc = Encoder(sps, pps, parallel_tiles)
     nals = [NalUnit(NalUnitType.SPS, write_sps(sps)),
             NalUnit(NalUnitType.PPS, write_pps(pps))]
     recons = []
@@ -113,7 +157,8 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8):
     # one device dispatch for the whole sequence's RDO search (AI frames
     # are independent); host recon/entropy then proceeds per frame
     rdo_results = rdo_partition_frames([f.y for f in frames], qp, bit_depth,
-                                       sps.ctu_size, sps.min_cu_size)
+                                       sps.ctu_size, sps.min_cu_size,
+                                       lossless=lossless)
     for poc, f in enumerate(frames):
         n, r, s = enc.encode_frame(f, poc, rdo_results[poc])
         nals += n

@@ -84,7 +84,8 @@ _MTS_BITS = (0.5, 2.0, 3.0, 4.0, 4.0)
 
 
 def eval_blocks(orig: jax.Array, refs: jax.Array, size: int, qp: int,
-                bit_depth: int = 8, try_mts: bool = False):
+                bit_depth: int = 8, try_mts: bool = False,
+                lossless: bool = False):
     """[N,S,S] originals + [N,4S+3] refs →
     (best_cost [N] f32, best_mode [N] i32, best_mts [N] i32).
 
@@ -104,6 +105,11 @@ def eval_blocks(orig: jax.Array, refs: jax.Array, size: int, qp: int,
         jnp.broadcast_to(o, preds.shape).reshape(-1, s, s)).reshape(n, 67)
     mode_bits = jnp.asarray(_MODE_BITS)
     pre_cost = satd.astype(jnp.float32) + sqrt_lam * mode_bits[None, :]
+    if lossless:
+        # transquant bypass: SATD is the rate proxy; no RD stage
+        best_mode = jnp.argmin(pre_cost, axis=1).astype(jnp.int32)
+        best_cost = jnp.min(pre_cost, axis=1)
+        return best_cost, best_mode, jnp.zeros_like(best_mode)
     _, short = jax.lax.top_k(-pre_cost, RD_SHORTLIST)           # [N,K]
 
     cand = jnp.take_along_axis(preds, short[:, :, None, None], axis=1)  # [N,K,S,S]
@@ -136,7 +142,8 @@ def eval_blocks(orig: jax.Array, refs: jax.Array, size: int, qp: int,
 
 
 def eval_size_plane(plane: jax.Array, size: int, qp: int, bit_depth: int,
-                    ny: int, nx: int, mts_enabled: bool = True):
+                    ny: int, nx: int, mts_enabled: bool = True,
+                    lossless: bool = False):
     """Whole-frame single-size evaluation: plane [H,W] int32 →
     (cost [ny,nx] f32, mode [ny,nx] i32, mts [ny,nx] i32).  Trace-safe."""
     s = size
@@ -145,37 +152,43 @@ def eval_size_plane(plane: jax.Array, size: int, qp: int, bit_depth: int,
     ys = (jnp.repeat(jnp.arange(ny), nx) * s)
     xs = (jnp.tile(jnp.arange(nx), ny) * s)
     refs = build_ref_lines_device(plane, xs, ys, s, bit_depth)
-    try_mts = mts_enabled and 8 <= s <= 32  # DST7/DCT8 defined to 32 (spec)
-    cost, mode, mts = eval_blocks(blocks, refs, s, qp, bit_depth, try_mts)
+    try_mts = (not lossless) and mts_enabled and 8 <= s <= 32  # spec limit 32
+    cost, mode, mts = eval_blocks(blocks, refs, s, qp, bit_depth, try_mts,
+                                  lossless)
     return cost.reshape(ny, nx), mode.reshape(ny, nx), mts.reshape(ny, nx)
 
 
-def _eval_all_sizes_impl(plane, sizes, qp, bit_depth, w, h):
+def _eval_all_sizes_impl(plane, sizes, qp, bit_depth, w, h, lossless=False):
     out = {}
     for s in sizes:
         ny, nx = h // s, w // s
         if ny and nx:
-            out[s] = eval_size_plane(plane, s, qp, bit_depth, ny, nx)
+            out[s] = eval_size_plane(plane, s, qp, bit_depth, ny, nx,
+                                     lossless=lossless)
     return out
 
 
-@partial(jax.jit, static_argnames=("sizes", "qp", "bit_depth", "w", "h"))
+@partial(jax.jit, static_argnames=("sizes", "qp", "bit_depth", "w", "h",
+                                   "lossless"))
 def eval_all_sizes(plane: jax.Array, sizes: tuple, qp: int, bit_depth: int,
-                   w: int, h: int):
+                   w: int, h: int, lossless: bool = False):
     """All candidate sizes in ONE dispatch — a single host↔device round
     trip per frame (the RDO search is latency-bound on small pictures)."""
-    return _eval_all_sizes_impl(plane, sizes, qp, bit_depth, w, h)
+    return _eval_all_sizes_impl(plane, sizes, qp, bit_depth, w, h, lossless)
 
 
-@partial(jax.jit, static_argnames=("sizes", "qp", "bit_depth", "w", "h"))
+@partial(jax.jit, static_argnames=("sizes", "qp", "bit_depth", "w", "h",
+                                   "lossless"))
 def eval_all_sizes_frames(planes: jax.Array, sizes: tuple, qp: int,
-                          bit_depth: int, w: int, h: int):
+                          bit_depth: int, w: int, h: int,
+                          lossless: bool = False):
     """[F,H,W] plane batch → per-size ([F,ny,nx] cost, [F,ny,nx] mode).
 
     All-Intra frames are independent (SURVEY.md §2.7 P-5 applies with no
     reference deps), so the whole GOP's search is one device dispatch."""
     return jax.vmap(
-        lambda p: _eval_all_sizes_impl(p, sizes, qp, bit_depth, w, h))(planes)
+        lambda p: _eval_all_sizes_impl(p, sizes, qp, bit_depth, w, h,
+                                       lossless))(planes)
 
 
 SPLIT_BITS = 1.5  # approximate split_cu_flag cost
@@ -191,7 +204,7 @@ def _candidate_sizes(ctu_size: int, min_cu: int):
 
 
 def rdo_partition(y_plane: np.ndarray, qp: int, bit_depth: int = 8,
-                  ctu_size: int = 64, min_cu: int = 8):
+                  ctu_size: int = 64, min_cu: int = 8, lossless: bool = False):
     """Full-frame partition + mode decision.
 
     Returns (split_map, leaf_map, leaves_zorder) consumed by the syntax
@@ -201,20 +214,23 @@ def rdo_partition(y_plane: np.ndarray, qp: int, bit_depth: int = 8,
     assert w % min_cu == 0 and h % min_cu == 0, "pad input to min-CU multiple"
     sizes = _candidate_sizes(ctu_size, min_cu)
     dev_plane = jax.device_put(jnp.asarray(y_plane, dtype=jnp.int32))
-    results = eval_all_sizes(dev_plane, tuple(sizes), qp, bit_depth, w, h)
+    results = eval_all_sizes(dev_plane, tuple(sizes), qp, bit_depth, w, h,
+                             lossless)
     results = {s: tuple(np.asarray(x) for x in r) for s, r in results.items()}
     return _dp_backtrack(results, w, h, qp, sizes, ctu_size, min_cu)
 
 
 def rdo_partition_frames(y_planes, qp: int, bit_depth: int = 8,
-                         ctu_size: int = 64, min_cu: int = 8):
+                         ctu_size: int = 64, min_cu: int = 8,
+                         lossless: bool = False):
     """Batched variant: list of [H,W] planes → list of per-frame
     (split_map, leaf_map, leaves).  One device dispatch for the whole GOP."""
     h, w = y_planes[0].shape
     assert w % min_cu == 0 and h % min_cu == 0, "pad input to min-CU multiple"
     sizes = _candidate_sizes(ctu_size, min_cu)
     stack = jax.device_put(jnp.asarray(np.stack(y_planes), dtype=jnp.int32))
-    res = eval_all_sizes_frames(stack, tuple(sizes), qp, bit_depth, w, h)
+    res = eval_all_sizes_frames(stack, tuple(sizes), qp, bit_depth, w, h,
+                                lossless)
     res = {s: tuple(np.asarray(x) for x in r) for s, r in res.items()}
     out = []
     for f in range(len(y_planes)):

@@ -20,7 +20,7 @@ def parse_sps(rbsp: bytes) -> SPS:
     ctu = 1 << (br.read_ue() + 5)
     min_cu = 1 << (br.read_ue() + 2)
     mtt = br.read_ue()
-    flags = [bool(br.read_flag()) for _ in range(11)]
+    flags = [bool(br.read_flag()) for _ in range(12)]
     return SPS(sps_id, width, height, bit_depth, chroma, ctu, min_cu, mtt, *flags)
 
 
@@ -36,12 +36,20 @@ def parse_pps(rbsp: bytes) -> PPS:
     return PPS(pps_id, sps_id, init_qp, cb_off, cr_off, cols, rows)
 
 
-def parse_slice_header(rbsp: bytes, init_qp: int):
-    """Returns (SliceHeader, cabac_payload_bytes)."""
+def parse_slice_header(rbsp: bytes, init_qp: int, num_tiles: int = 1):
+    """Returns (SliceHeader, [tile substream bytes, ...])."""
     br = BitReader(rbsp)
     pps_id = br.read(6)
     stype = br.read_ue()
     poc = br.read(16)
     qp = br.read_se() + init_qp
+    sizes = [br.read_ue() + 1 for _ in range(max(0, num_tiles - 1))]
     br.byte_align()
-    return SliceHeader(pps_id, stype, poc, qp), br.bytes_remaining_from_aligned()
+    payload = br.bytes_remaining_from_aligned()
+    subs = []
+    off = 0
+    for sz in sizes:
+        subs.append(payload[off:off + sz])
+        off += sz
+    subs.append(payload[off:])
+    return SliceHeader(pps_id, stype, poc, qp), subs

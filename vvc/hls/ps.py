@@ -38,6 +38,7 @@ class SPS:
     alf: bool = False
     lmcs: bool = False
     deblocking: bool = False
+    lossless: bool = False  # transquant bypass (config-5 gate, SURVEY §7.2 S6)
 
 
 @dataclasses.dataclass(frozen=True)

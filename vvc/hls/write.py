@@ -24,7 +24,7 @@ def write_sps(sps: SPS) -> bytes:
     bw.write_ue(sps.max_mtt_depth_intra)
     for flag in (sps.mip, sps.isp, sps.mrl, sps.cclm, sps.mts_intra,
                  sps.lfnst, sps.dep_quant, sps.sao, sps.alf, sps.lmcs,
-                 sps.deblocking):
+                 sps.deblocking, sps.lossless):
         bw.write_flag(flag)
     bw.byte_align()
     return bw.get_bytes()
@@ -43,13 +43,20 @@ def write_pps(pps: PPS) -> bytes:
     return bw.get_bytes()
 
 
-def write_slice_header(sh: SliceHeader, init_qp: int) -> bytes:
+def write_slice_header(sh: SliceHeader, init_qp: int,
+                       entry_sizes=None) -> bytes:
     """Slice header RBSP bits (byte-aligned); CABAC payload is appended by
-    the caller (slice_data starts at a byte boundary, spec 7.3.7)."""
+    the caller (slice_data starts at a byte boundary, spec 7.3.7).
+
+    entry_sizes: byte lengths of the tile substreams; all but the last are
+    written as entry-point offsets (spec sh_entry_point_offset_minus1)."""
     bw = BitWriter()
     bw.write(sh.pps_id, 6)
     bw.write_ue(sh.slice_type)
     bw.write(sh.poc & 0xFFFF, 16)
     bw.write_se(sh.qp - init_qp)
+    if entry_sizes and len(entry_sizes) > 1:
+        for sz in entry_sizes[:-1]:
+            bw.write_ue(sz - 1)
     bw.byte_align()
     return bw.get_bytes()

@@ -143,9 +143,14 @@ def _filter_chroma_edges_v(plane, ev, grid, tc, maxv):
         plane[:, x] = np.where(rows, np.clip(q0 - delta, 0, maxv), q0)
 
 
-def deblock_frame(recon_planes, leaves, qp: int, bit_depth: int = 8):
+def deblock_frame(recon_planes, leaves, qp: int, bit_depth: int = 8,
+                  tile_x_bounds=()):
     """Deblock one picture in place (vertical pass then horizontal pass,
-    reference order loopFilterPic: DEBLOCK_VER then DEBLOCK_HOR)."""
+    reference order loopFilterPic: DEBLOCK_VER then DEBLOCK_HOR).
+
+    tile_x_bounds: luma x positions of vertical tile boundaries — edges
+    there are skipped (pps_loop_filter_across_tiles_enabled_flag = 0, the
+    shard-friendly normative configuration, SURVEY.md §5.7)."""
     y, cb, cr = recon_planes
     h, w = y.shape
     maxv = (1 << bit_depth) - 1
@@ -154,6 +159,9 @@ def deblock_frame(recon_planes, leaves, qp: int, bit_depth: int = 8):
     tc = int(TC_TABLE[min(qpi + 2, 65)]) << (bit_depth - 8)  # BS=2 (intra)
 
     ev, eh = _edge_maps(leaves, h, w, 8, 0)
+    for bx in tile_x_bounds:
+        if bx % 8 == 0 and 0 < bx < w:
+            ev[:, bx // 8 - 1] = False
     _filter_luma_edges_v(y, ev, 8, beta, tc, maxv)
     # horizontal pass = vertical pass on the transpose
     yt = np.ascontiguousarray(y.T)
@@ -162,6 +170,10 @@ def deblock_frame(recon_planes, leaves, qp: int, bit_depth: int = 8):
 
     ch, cw = cb.shape
     evc, ehc = _edge_maps(leaves, ch, cw, 8, 1)
+    for bx in tile_x_bounds:
+        cbx = bx >> 1
+        if cbx % 8 == 0 and 0 < cbx < cw:
+            evc[:, cbx // 8 - 1] = False
     for pl in (cb, cr):
         _filter_chroma_edges_v(pl, evc, 8, tc, maxv)
         plt = np.ascontiguousarray(pl.T)

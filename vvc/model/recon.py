@@ -30,20 +30,27 @@ def chroma_qp(qp: int) -> int:
 
 
 def _recon_block(plane, orig, coded, x0, y0, size, mode, qp, bit_depth, levels,
-                 tr_h=0, tr_v=0):
+                 tr_h=0, tr_v=0, lossless=False):
     """Predict + (inverse-)transform one block in `plane`.
 
     If `levels` is None (encode), derives them from `orig`; returns levels.
+    Lossless (transquant bypass): levels ARE the residual — exact recon.
     """
     c = build_ref_line(plane, coded, x0, y0, size, bit_depth)
     pred = predict_intra(c, mode, size, bit_depth)
     if levels is None:
         resi = orig[y0:y0 + size, x0:x0 + size].astype(np.int32) - pred
-        coeff = fwd_transform_np(resi, bit_depth, tr_h, tr_v)
-        levels = quant_np(coeff, qp, bit_depth, intra=True)
+        if lossless:
+            levels = resi.copy()
+        else:
+            coeff = fwd_transform_np(resi, bit_depth, tr_h, tr_v)
+            levels = quant_np(coeff, qp, bit_depth, intra=True)
     if np.any(levels):
-        rec_resi = inv_transform_np(dequant_np(levels, qp, bit_depth),
-                                    bit_depth, tr_h, tr_v)
+        if lossless:
+            rec_resi = levels
+        else:
+            rec_resi = inv_transform_np(dequant_np(levels, qp, bit_depth),
+                                        bit_depth, tr_h, tr_v)
         rec = np.clip(pred + rec_resi, 0, (1 << bit_depth) - 1)
     else:
         rec = pred
@@ -52,7 +59,8 @@ def _recon_block(plane, orig, coded, x0, y0, size, mode, qp, bit_depth, levels,
 
 
 def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
-                       orig_planes=None, use_native: bool = True):
+                       orig_planes=None, use_native: bool = True,
+                       lossless: bool = False):
     """Reconstruct all leaves in z-order into recon_planes (y, cb, cr).
 
     Encoder mode: orig_planes given, leaf.lev_* are None → derives and
@@ -69,7 +77,7 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
         if native_recon.available():
             return native_recon.reconstruct_leaves_native(
                 leaves, recon_planes, qp, bit_depth, orig_planes,
-                chroma_qp_fn=chroma_qp)
+                chroma_qp_fn=chroma_qp, lossless=lossless)
     y_pl, cb_pl, cr_pl = recon_planes
     h, w = y_pl.shape
     coded_y = np.zeros(((h + 3) >> 2, (w + 3) >> 2), dtype=bool)
@@ -89,7 +97,7 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
         lev = _recon_block(y_pl, o_y, coded_y, x0, y0, s, leaf.luma_mode,
                            qp, bit_depth,
                            None if encode_mode else dec_levels(leaf.lev_y, s),
-                           th, tv)
+                           th, tv, lossless)
         if encode_mode:
             leaf.lev_y = lev if np.any(lev) else None
         # chroma (single tree, DM mode = luma mode), half resolution
@@ -97,12 +105,14 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
         cx, cy = x0 >> 1, y0 >> 1
         lev = _recon_block(cb_pl, o_cb, coded_c, cx, cy, cs, leaf.luma_mode,
                            qpc, bit_depth,
-                           None if encode_mode else dec_levels(leaf.lev_cb, cs))
+                           None if encode_mode else dec_levels(leaf.lev_cb, cs),
+                           lossless=lossless)
         if encode_mode:
             leaf.lev_cb = lev if np.any(lev) else None
         lev = _recon_block(cr_pl, o_cr, coded_c, cx, cy, cs, leaf.luma_mode,
                            qpc, bit_depth,
-                           None if encode_mode else dec_levels(leaf.lev_cr, cs))
+                           None if encode_mode else dec_levels(leaf.lev_cr, cs),
+                           lossless=lossless)
         if encode_mode:
             leaf.lev_cr = lev if np.any(lev) else None
         # mark availability

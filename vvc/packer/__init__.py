@@ -56,7 +56,7 @@ def recon_lib():
         ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
-        ctypes.c_int]
+        ctypes.c_int, ctypes.c_int]
     _rlib = l
     return _rlib
 

@@ -37,14 +37,16 @@ def _p(a: np.ndarray):
 
 
 def reconstruct_leaves_native(leaves, recon_planes, qp: int, bit_depth: int,
-                              orig_planes=None, chroma_qp_fn=None):
+                              orig_planes=None, chroma_qp_fn=None,
+                              lossless: bool = False):
     assert available()
     l = recon_lib()
     y_pl, cb_pl, cr_pl = recon_planes
     h, w = y_pl.shape
-    y_pl = np.ascontiguousarray(y_pl, dtype=np.int32)
-    cb_pl = np.ascontiguousarray(cb_pl, dtype=np.int32)
-    cr_pl = np.ascontiguousarray(cr_pl, dtype=np.int32)
+    # must be in-place views: tile threads write disjoint regions of the
+    # same planes concurrently, so a silent copy here would lose work
+    for p in recon_planes:
+        assert p.dtype == np.int32 and p.flags.c_contiguous, "recon planes must be contiguous int32"
     coded_y = np.zeros(((h + 3) >> 2, (w + 3) >> 2), dtype=np.uint8)
     coded_c = np.zeros(((h // 2 + 3) >> 2, (w // 2 + 3) >> 2), dtype=np.uint8)
     qpc = chroma_qp_fn(qp) if chroma_qp_fn else min(qp, 63)
@@ -64,7 +66,7 @@ def reconstruct_leaves_native(leaves, recon_planes, qp: int, bit_depth: int,
                             _p(orig) if orig is not None else None,
                             x0, y0, s, mode, q, bit_depth, 2,
                             _p(buf) if buf is not None else None, int(enc),
-                            tr_h, tr_v)
+                            tr_h, tr_v, int(lossless))
         return (buf if cbf else None) if enc else None
 
     from vvc.kernels.transform import MTS_TR
@@ -89,6 +91,4 @@ def reconstruct_leaves_native(leaves, recon_planes, qp: int, bit_depth: int,
                None if enc else leaf.lev_cr)
         if enc:
             leaf.lev_cr = r
-    recon_planes[0][:] = y_pl
-    recon_planes[1][:] = cb_pl
-    recon_planes[2][:] = cr_pl
+

@@ -298,7 +298,7 @@ void recon_init(const int32_t* t4, const int32_t* t8, const int32_t* t16,
 int recon_block(int32_t* plane, int h, int w, uint8_t* coded, int cw4,
                 const int32_t* orig, int x0, int y0, int size, int mode,
                 int qp, int bit_depth, int log2_unit, int32_t* levels_io,
-                int enc_mode, int tr_h, int tr_v) {
+                int enc_mode, int tr_h, int tr_v, int lossless) {
   int s = size;
   std::vector<int32_t> c(4 * s + 3), pred(s * s), buf(s * s), buf2(s * s);
   build_ref_line(plane, h, w, coded, cw4, x0, y0, s, bit_depth, log2_unit,
@@ -309,8 +309,16 @@ int recon_block(int32_t* plane, int h, int w, uint8_t* coded, int cw4,
     for (int y = 0; y < s; y++)
       for (int x = 0; x < s; x++)
         buf[y * s + x] = orig[(y0 + y) * w + x0 + x] - pred[y * s + x];
-    fwd_dct2(buf.data(), s, bit_depth, buf2.data(), tr_h, tr_v);
-    cbf = quant(buf2.data(), s, qp, bit_depth, levels_io);
+    if (lossless) {
+      cbf = 0;
+      for (int i = 0; i < s * s; i++) {
+        levels_io[i] = buf[i];
+        cbf |= buf[i] != 0;
+      }
+    } else {
+      fwd_dct2(buf.data(), s, bit_depth, buf2.data(), tr_h, tr_v);
+      cbf = quant(buf2.data(), s, qp, bit_depth, levels_io);
+    }
   } else {
     cbf = 0;
     if (levels_io)
@@ -318,8 +326,12 @@ int recon_block(int32_t* plane, int h, int w, uint8_t* coded, int cw4,
   }
   int mx = (1 << bit_depth) - 1;
   if (cbf) {
-    dequant(levels_io, s, qp, bit_depth, buf2.data());
-    inv_dct2(buf2.data(), s, bit_depth, buf.data(), tr_h, tr_v);
+    if (lossless) {
+      std::memcpy(buf.data(), levels_io, sizeof(int32_t) * s * s);
+    } else {
+      dequant(levels_io, s, qp, bit_depth, buf2.data());
+      inv_dct2(buf2.data(), s, bit_depth, buf.data(), tr_h, tr_v);
+    }
     for (int y = 0; y < s; y++)
       for (int x = 0; x < s; x++) {
         int v = pred[y * s + x] + buf[y * s + x];
