@@ -69,9 +69,9 @@ def _decode_slice(rbsp: bytes, sps, pps) -> Frame:
     def do_tile(i):
         tx0, tx1 = tiles[i]
         payload = substreams[i]
-        dec = (native_packer.NativeBinDecoder(payload)
-               if native_packer.available() else BinDecoder(payload))
         ctxs = SliceContexts(sh.qp)
+        dec = (native_packer.NativeBinDecoder(payload, ctxs)
+               if native_packer.available() else BinDecoder(payload))
         state = CodingState(sps.width, sps.height)
         reader = TreeReader(dec, ctxs, state, min(tx1, sps.width), sps.height,
                             sps.ctu_size, sps.min_cu_size,

@@ -74,9 +74,9 @@ class Encoder:
         reconstruct_leaves(leaves_t, recon, qp, bd,
                            orig_planes=(frame.y, frame.cb, frame.cr),
                            lossless=sps.lossless)
-        enc = (native_packer.NativeBinEncoder()
-               if native_packer.available() else BinEncoder())
         ctxs = SliceContexts(qp)
+        enc = (native_packer.NativeBinEncoder(ctxs)
+               if native_packer.available() else BinEncoder())
         state = CodingState(sps.width, sps.height)
         writer = TreeWriter(enc, ctxs, state, min(tx1, sps.width), sps.height,
                             split_map, leaf_map, sps.ctu_size,

@@ -56,17 +56,23 @@ def reconstruct_leaves_native(leaves, recon_planes, qp: int, bit_depth: int,
         o_cb = np.ascontiguousarray(orig_planes[1], dtype=np.int32)
         o_cr = np.ascontiguousarray(orig_planes[2], dtype=np.int32)
 
+    y_pl, cb_pl, cr_pl = recon_planes
+    pp = {id(a): _p(a) for a in recon_planes}
+    pc = {id(a): _p(a) for a in (coded_y, coded_c)}
+    po = ({id(a): _p(a) for a in (o_y, o_cb, o_cr)} if enc else {})
+    ll = int(lossless)
+
     def do(plane, ph, pw, coded, cw4, orig, x0, y0, s, mode, q, lev,
            tr_h=0, tr_v=0):
         buf = lev if lev is not None else (
             np.zeros((s, s), dtype=np.int32) if enc else None)
         if buf is not None:
             buf = np.ascontiguousarray(buf, dtype=np.int32)
-        cbf = l.recon_block(_p(plane), ph, pw, _p(coded), cw4,
-                            _p(orig) if orig is not None else None,
+        cbf = l.recon_block(pp[id(plane)], ph, pw, pc[id(coded)], cw4,
+                            po[id(orig)] if orig is not None else None,
                             x0, y0, s, mode, q, bit_depth, 2,
                             _p(buf) if buf is not None else None, int(enc),
-                            tr_h, tr_v, int(lossless))
+                            tr_h, tr_v, ll)
         return (buf if cbf else None) if enc else None
 
     from vvc.kernels.transform import MTS_TR
