@@ -112,32 +112,43 @@ def eval_blocks(orig: jax.Array, refs: jax.Array, size: int, qp: int,
         return best_cost, best_mode, jnp.zeros_like(best_mode)
     _, short = jax.lax.top_k(-pre_cost, RD_SHORTLIST)           # [N,K]
 
-    cand = jnp.take_along_axis(preds, short[:, :, None, None], axis=1)  # [N,K,S,S]
-    resi = (orig[:, None] - cand).reshape(-1, s, s)
-    o_rep = orig[:, None].repeat(RD_SHORTLIST, 1).reshape(-1, s, s)
-    n_mts = len(MTS_TR) if try_mts else 1
-    costs = []
-    for mi in range(n_mts):
-        th, tv = MTS_TR[mi]
-        coeff = fwd_transform_batch(resi, bit_depth, th, tv)
+    def rd_pass(resi_, pred_, th, tv, extra_bits):
+        coeff = fwd_transform_batch(resi_, bit_depth, th, tv)
         lev = quant_batch(coeff, qp, bit_depth, intra=True)
         deq = dequant_batch(lev, qp, bit_depth)
         rec_resi = inv_transform_batch(deq, bit_depth, th, tv)
-        rec = jnp.clip(cand.reshape(-1, s, s) + rec_resi, 0, (1 << bit_depth) - 1)
-        d = (rec - o_rep).astype(jnp.float32)
+        rec = jnp.clip(pred_ + rec_resi, 0, (1 << bit_depth) - 1)
+        d = (rec - pred_ - resi_).astype(jnp.float32)
         sse = jnp.sum(d * d, axis=(1, 2))
         la = jnp.abs(lev).astype(jnp.float32)
         rate = jnp.sum(jnp.where(la > 0, 2.0 * jnp.log2(la + 1.0) + 1.0, 0.02),
                        axis=(1, 2))
-        costs.append(sse + lam * (rate + mode_bits[short].reshape(-1)
-                                  + _MTS_BITS[mi]))
-    # costs[mi]: [N*K] → stack axis=1 gives [N*K, M]; flat row index = k*M + mi
-    cost = jnp.stack(costs, axis=1).reshape(n, RD_SHORTLIST * n_mts)
-    best = jnp.argmin(cost, axis=1)
-    best_cost = jnp.take_along_axis(cost, best[:, None], axis=1)[:, 0]
-    best_k = best // n_mts
-    best_mts = best % n_mts
+        return sse + lam * (rate + extra_bits)
+
+    # stage A: DCT2 RD over the SATD shortlist → best mode
+    cand = jnp.take_along_axis(preds, short[:, :, None, None], axis=1)  # [N,K,S,S]
+    resi = (orig[:, None] - cand).reshape(-1, s, s)
+    pred_flat = cand.reshape(-1, s, s)
+    cost_a = rd_pass(resi, pred_flat, MTS_TR[0][0], MTS_TR[0][1],
+                     mode_bits[short].reshape(-1) + _MTS_BITS[0]
+                     ).reshape(n, RD_SHORTLIST)
+    best_k = jnp.argmin(cost_a, axis=1)
+    best_cost = jnp.take_along_axis(cost_a, best_k[:, None], axis=1)[:, 0]
     best_mode = jnp.take_along_axis(short, best_k[:, None], axis=1)[:, 0]
+    best_mts = jnp.zeros_like(best_mode)
+    if try_mts:
+        # stage B: MTS candidates on the winning mode only (the reference
+        # also restricts the MTS loop to surviving candidates)
+        bp = jnp.take_along_axis(cand, best_k[:, None, None, None],
+                                 axis=1)[:, 0]                      # [N,S,S]
+        br = orig - bp
+        bbits = mode_bits[best_mode]
+        for mi in range(1, len(MTS_TR)):
+            th, tv = MTS_TR[mi]
+            c_mi = rd_pass(br, bp, th, tv, bbits + _MTS_BITS[mi])
+            better = c_mi < best_cost
+            best_cost = jnp.where(better, c_mi, best_cost)
+            best_mts = jnp.where(better, mi, best_mts)
     return best_cost, best_mode, best_mts.astype(jnp.int32)
 
 
