@@ -24,6 +24,8 @@ from vvc.cabac.engine import RATE0, RATE1
 # the intra/QT slice (more are added as tools land)
 CTX_SETS = [
     ("SPLIT_CU_FLAG", 3),
+    ("SAO_TYPE", 1),
+    ("SAO_MERGE", 1),
     ("INTRA_LUMA_REF_IDX", 2),
     ("INTRA_LUMA_MPM_FLAG", 1),
     ("INTRA_LUMA_NOT_PLANAR", 2),

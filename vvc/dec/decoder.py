@@ -66,7 +66,10 @@ def _decode_slice(rbsp: bytes, sps, pps) -> Frame:
              np.zeros((sps.height // 2, sps.width // 2), dtype=np.int32))
     all_leaves = []
 
+    sao_params = {}
+
     def do_tile(i):
+        from vvc.cabac.sao_syntax import read_sao_params
         tx0, tx1 = tiles[i]
         payload = substreams[i]
         ctxs = SliceContexts(sh.qp)
@@ -76,29 +79,42 @@ def _decode_slice(rbsp: bytes, sps, pps) -> Frame:
         reader = TreeReader(dec, ctxs, state, min(tx1, sps.width), sps.height,
                             sps.ctu_size, sps.min_cu_size,
                             mts_enabled=sps.mts_intra)
+        local_sao = {}
         for cy in range(0, sps.height, sps.ctu_size):
             for cx in range(tx0, tx1, sps.ctu_size):
+                if sps.sao:
+                    local_sao[(cx, cy)] = read_sao_params(dec, ctxs)
                 reader.read_ctu(cx, cy)
         assert dec.decode_bin_trm() == 1, "tile substream termination missing"
         # per-tile recon — availability maps are fresh per call, so tile
         # isolation (no cross-tile prediction) holds by construction
         reconstruct_leaves(reader.leaves, recon, sh.qp, sps.bit_depth,
                            lossless=sps.lossless)
-        return reader.leaves
+        return reader.leaves, local_sao
 
     if len(tiles) > 1:
         import concurrent.futures
         with concurrent.futures.ThreadPoolExecutor(len(tiles)) as ex:
-            for leaves in ex.map(do_tile, range(len(tiles))):
+            for leaves, ls in ex.map(do_tile, range(len(tiles))):
                 all_leaves.extend(leaves)
+                sao_params.update(ls)
     else:
-        all_leaves.extend(do_tile(0))
+        leaves, ls = do_tile(0)
+        all_leaves.extend(leaves)
+        sao_params.update(ls)
 
     # in-loop filters (reference: DecLib::executeLoopFilters order)
     if sps.deblocking:
         from vvc.kernels.deblock import deblock_frame
         deblock_frame(recon, all_leaves, sh.qp, sps.bit_depth,
                       tile_x_bounds=tuple(t[0] for t in tiles[1:]))
+    if sps.sao:
+        from vvc.kernels.sao import sao_filter_plane
+        for comp in range(3):
+            per_comp = {k: v[comp] for k, v in sao_params.items()}
+            sao_filter_plane(recon[comp], per_comp, sps.ctu_size,
+                             sps.bit_depth, tiles,
+                             comp_scale=0 if comp == 0 else 1)
     return Frame(*recon, sps.bit_depth)
 
 

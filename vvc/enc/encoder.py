@@ -67,13 +67,15 @@ class Encoder:
         self.pps = pps
         self.parallel_tiles = parallel_tiles
 
-    def _encode_tile(self, frame, recon, leaves_t, split_map, leaf_map,
-                     tx0, tx1, qp):
+    def _recon_tile(self, frame, recon, leaves_t, qp):
         sps = self.sps
-        bd = sps.bit_depth
-        reconstruct_leaves(leaves_t, recon, qp, bd,
+        reconstruct_leaves(leaves_t, recon, qp, sps.bit_depth,
                            orig_planes=(frame.y, frame.cb, frame.cr),
                            lossless=sps.lossless)
+
+    def _entropy_tile(self, split_map, leaf_map, tx0, tx1, qp, sao_params):
+        from vvc.cabac.sao_syntax import write_sao_params
+        sps = self.sps
         ctxs = SliceContexts(qp)
         enc = (native_packer.NativeBinEncoder(ctxs)
                if native_packer.available() else BinEncoder())
@@ -83,6 +85,8 @@ class Encoder:
                             sps.min_cu_size, mts_enabled=sps.mts_intra)
         for cy in range(0, sps.height, sps.ctu_size):
             for cx in range(tx0, tx1, sps.ctu_size):
+                if sao_params is not None:
+                    write_sao_params(enc, ctxs, sao_params[(cx, cy)])
                 writer.write_ctu(cx, cy)
         enc.encode_bin_trm(1)
         return enc.finish()
@@ -106,21 +110,46 @@ class Encoder:
         leaves_per_tile = [[l for l in leaves if tx0 <= l.x0 < tx1]
                            for tx0, tx1 in tiles]
 
-        def do_tile(i):
-            tx0, tx1 = tiles[i]
-            return self._encode_tile(frame, recon, leaves_per_tile[i],
-                                     split_map, leaf_map, tx0, tx1, qp)
+        # phase 1: reconstruction per tile (availability maps are per-call,
+        # so tiles are isolated and parallel)
+        def recon_tile(i):
+            self._recon_tile(frame, recon, leaves_per_tile[i], qp)
 
         if self.parallel_tiles and len(tiles) > 1:
             with concurrent.futures.ThreadPoolExecutor(len(tiles)) as ex:
-                substreams = list(ex.map(do_tile, range(len(tiles))))
+                list(ex.map(recon_tile, range(len(tiles))))
         else:
-            substreams = [do_tile(i) for i in range(len(tiles))]
+            for i in range(len(tiles)):
+                recon_tile(i)
 
+        # phase 2+3: in-loop filters (reference order: deblock → SAO)
+        tile_bx = tuple(t[0] for t in tiles[1:])
         if sps.deblocking and not sps.lossless:
             from vvc.kernels.deblock import deblock_frame
-            deblock_frame(recon, leaves, qp, bd,
-                          tile_x_bounds=tuple(t[0] for t in tiles[1:]))
+            deblock_frame(recon, leaves, qp, bd, tile_x_bounds=tile_bx)
+        sao_params = None
+        if sps.sao and not sps.lossless:
+            from vvc.enc.sao_enc import decide_sao_frame
+            from vvc.kernels.sao import sao_filter_plane
+            sao_params = decide_sao_frame(
+                (frame.y, frame.cb, frame.cr), recon, qp, bd,
+                sps.ctu_size, tiles)
+            for comp in range(3):
+                per_comp = {k: v[comp] for k, v in sao_params.items()}
+                sao_filter_plane(recon[comp], per_comp, sps.ctu_size, bd,
+                                 tiles, comp_scale=0 if comp == 0 else 1)
+
+        # phase 4: entropy per tile (parallel, native packer releases GIL)
+        def entropy_tile(i):
+            tx0, tx1 = tiles[i]
+            return self._entropy_tile(split_map, leaf_map, tx0, tx1, qp,
+                                      sao_params)
+
+        if self.parallel_tiles and len(tiles) > 1:
+            with concurrent.futures.ThreadPoolExecutor(len(tiles)) as ex:
+                substreams = list(ex.map(entropy_tile, range(len(tiles))))
+        else:
+            substreams = [entropy_tile(i) for i in range(len(tiles))]
 
         sh = SliceHeader(pps.pps_id, SliceType.I, poc, qp)
         header = write_slice_header(sh, pps.init_qp,
@@ -147,7 +176,7 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
     h, w = frames[0].y.shape
     sps = SPS(width=w, height=h, bit_depth=bit_depth,
               deblocking=not lossless, mts_intra=not lossless,
-              lossless=lossless)
+              sao=not lossless, lossless=lossless)
     pps = PPS(init_qp=qp, num_tile_cols=num_tile_cols)
     enc = Encoder(sps, pps, parallel_tiles)
     nals = [NalUnit(NalUnitType.SPS, write_sps(sps)),

@@ -1,0 +1,107 @@
+"""Sample Adaptive Offset (SAO) — classification and application.
+
+TPU-native analog of the reference's SAO
+(`/root/reference/source/Lib/CommonLib/SampleAdaptiveOffset.cpp` →
+SAOProcess / offsetBlock; OpenVVC libovvc/rcn_sao.c).  SURVEY.md §2.2:
+"elementwise classify+add" — edge-offset classification is two shifted
+compares and a LUT add, fully vectorized over each CTU region (numpy here;
+trivially jnp for the batched path).
+
+Per-CTU parameters (vvc.model.frame.SaoParams): mode OFF/BO/EO, EO class
+(0°,90°,135°,45°), band position, and 4 offsets.  Classification reads the
+*pre-SAO* (deblocked) picture — callers pass a snapshot `src` and mutate
+`dst`.  Samples whose EO neighbour falls outside the picture (or across a
+tile edge, since loop-filter-across-tiles is off) are left unfiltered.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+SAO_OFF, SAO_BO, SAO_EO = 0, 1, 2
+# EO direction (dx, dy) per class: 0°, 90°, 135°, 45°
+EO_DIRS = ((1, 0), (0, 1), (1, 1), (1, -1))
+MAX_SAO_OFFSET = 7  # 8-bit (spec: (1 << min(bd,10)-5) - 1)
+
+
+@dataclasses.dataclass
+class SaoParams:
+    """One component's SAO parameters for one CTU."""
+
+    mode: int = SAO_OFF
+    eo_class: int = 0
+    band_pos: int = 0
+    offsets: tuple = (0, 0, 0, 0)
+
+
+def eo_categories(src: np.ndarray, x0: int, y0: int, w: int, h: int,
+                  eo_class: int, lim_x0: int, lim_x1: int) -> np.ndarray:
+    """Category map (0..4) for a CTU region of the pre-SAO plane.
+
+    lim_x0/lim_x1: tile x bounds — neighbours outside are unavailable.
+    """
+    ph, pw = src.shape
+    dx, dy = EO_DIRS[eo_class]
+    ys, xs = np.mgrid[y0:y0 + h, x0:x0 + w]
+    ax, ay = xs - dx, ys - dy
+    bx, by = xs + dx, ys + dy
+    valid = ((ax >= lim_x0) & (ax < lim_x1) & (ay >= 0) & (ay < ph)
+             & (bx >= lim_x0) & (bx < lim_x1) & (by >= 0) & (by < ph))
+    axc, ayc = np.clip(ax, 0, pw - 1), np.clip(ay, 0, ph - 1)
+    bxc, byc = np.clip(bx, 0, pw - 1), np.clip(by, 0, ph - 1)
+    c = src[y0:y0 + h, x0:x0 + w]
+    sa = np.sign(c - src[ayc, axc])
+    sb = np.sign(c - src[byc, bxc])
+    t = sa + sb
+    cat = np.zeros_like(c)
+    cat[(t == -2)] = 1
+    cat[(t == -1)] = 2
+    cat[(t == 1)] = 3
+    cat[(t == 2)] = 4
+    cat[~valid] = 0
+    return cat
+
+
+def apply_sao_region(dst: np.ndarray, src: np.ndarray, params: SaoParams,
+                     x0: int, y0: int, w: int, h: int, bit_depth: int,
+                     lim_x0: int, lim_x1: int):
+    """Apply one CTU's SAO in place on dst (classify from src)."""
+    if params.mode == SAO_OFF:
+        return
+    maxv = (1 << bit_depth) - 1
+    region = src[y0:y0 + h, x0:x0 + w]
+    if params.mode == SAO_BO:
+        band = region >> (bit_depth - 5)
+        off = np.zeros_like(region)
+        for k in range(4):
+            off[band == ((params.band_pos + k) & 31)] = params.offsets[k]
+    else:
+        cat = eo_categories(src, x0, y0, w, h, params.eo_class, lim_x0, lim_x1)
+        lut = np.array([0] + list(params.offsets), dtype=np.int32)
+        off = lut[cat]
+    dst[y0:y0 + h, x0:x0 + w] = np.clip(region + off, 0, maxv)
+
+
+def sao_filter_plane(plane: np.ndarray, ctu_params: dict, ctu_size: int,
+                     bit_depth: int, tile_bounds, comp_scale: int = 0):
+    """Apply per-CTU SAO over a whole plane in place.
+
+    ctu_params: {(ctu_x, ctu_y) luma coords: SaoParams}.  comp_scale=1 for
+    chroma (halved geometry).  tile_bounds: [(tx0, tx1), ...] luma coords.
+    """
+    src = plane.copy()
+    h, w = plane.shape
+    cs = ctu_size >> comp_scale
+    for (cx, cy), p in ctu_params.items():
+        x0, y0 = cx >> comp_scale, cy >> comp_scale
+        if x0 >= w or y0 >= h:
+            continue
+        rw, rh = min(cs, w - x0), min(cs, h - y0)
+        lim = (0, w)
+        for tx0, tx1 in tile_bounds:
+            t0, t1 = tx0 >> comp_scale, tx1 >> comp_scale
+            if t0 <= x0 < t1:
+                lim = (t0, min(t1, w))
+                break
+        apply_sao_region(plane, src, p, x0, y0, rw, rh, bit_depth, *lim)
