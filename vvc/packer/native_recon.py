@@ -1,9 +1,11 @@
 """Native sequential reconstruction wrapper — mirror of
 vvc.model.recon.reconstruct_leaves backed by librecon.so.
 
-One ctypes call per block; planes and availability maps are numpy buffers
-mutated in place by the C++ core.  Bit-exact equality with the numpy
-oracle is enforced by tests/test_packer.py.
+One `recon_leaves` call per (tile, component) — luma and chroma dependency
+chains are independent, so all-luma-then-all-chroma is equivalent to the
+interleaved z-order and removes per-block ctypes round trips.  Planes and
+availability maps are numpy buffers mutated in place by the C++ core.
+Bit-exact equality with the numpy oracle is enforced by tests/test_packer.py.
 """
 from __future__ import annotations
 
@@ -32,8 +34,54 @@ def available() -> bool:
     return True
 
 
-def _p(a: np.ndarray):
-    return a.ctypes.data_as(ctypes.c_void_p)
+def _p(a):
+    return a.ctypes.data_as(ctypes.c_void_p) if a is not None else None
+
+
+def _run_component(l, leaves, plane, coded, orig, qp, bit_depth, enc,
+                   lossless, comp):
+    """comp: 0=Y (leaf coords, leaf.mts), 1=Cb, 2=Cr (halved geometry)."""
+    from vvc.kernels.transform import MTS_TR
+
+    n = len(leaves)
+    if n == 0:
+        return
+    meta = np.empty((n, 6), dtype=np.int32)
+    offsets = np.empty((n,), dtype=np.int64)
+    total = 0
+    attr = ("lev_y", "lev_cb", "lev_cr")[comp]
+    for i, leaf in enumerate(leaves):
+        if comp == 0:
+            x0, y0, s = leaf.x0, leaf.y0, leaf.size
+            th, tv = MTS_TR[leaf.mts]
+        else:
+            x0, y0, s = leaf.x0 >> 1, leaf.y0 >> 1, leaf.size >> 1
+            th, tv = 0, 0
+        meta[i] = (x0, y0, s, leaf.luma_mode, int(th), int(tv))
+        offsets[i] = total
+        total += s * s
+    levels = np.zeros((total,), dtype=np.int32)
+    cbf = np.zeros((n,), dtype=np.int32)
+    if not enc:
+        for i, leaf in enumerate(leaves):
+            lv = getattr(leaf, attr)
+            if lv is not None:
+                s = int(meta[i, 2])
+                levels[offsets[i]:offsets[i] + s * s] = lv.reshape(-1)
+                cbf[i] = 1
+    h, w = plane.shape
+    l.recon_leaves(_p(plane), h, w, _p(coded), coded.shape[1], _p(orig),
+                   _p(meta), n, _p(levels), _p(offsets), _p(cbf),
+                   qp, bit_depth, 2, int(enc), int(lossless))
+    if enc:
+        for i, leaf in enumerate(leaves):
+            if cbf[i]:
+                s = int(meta[i, 2])
+                setattr(leaf, attr,
+                        levels[offsets[i]:offsets[i] + s * s]
+                        .reshape(s, s).copy())
+            else:
+                setattr(leaf, attr, None)
 
 
 def reconstruct_leaves_native(leaves, recon_planes, qp: int, bit_depth: int,
@@ -46,55 +94,20 @@ def reconstruct_leaves_native(leaves, recon_planes, qp: int, bit_depth: int,
     # must be in-place views: tile threads write disjoint regions of the
     # same planes concurrently, so a silent copy here would lose work
     for p in recon_planes:
-        assert p.dtype == np.int32 and p.flags.c_contiguous, "recon planes must be contiguous int32"
+        assert p.dtype == np.int32 and p.flags.c_contiguous, \
+            "recon planes must be contiguous int32"
     coded_y = np.zeros(((h + 3) >> 2, (w + 3) >> 2), dtype=np.uint8)
     coded_c = np.zeros(((h // 2 + 3) >> 2, (w // 2 + 3) >> 2), dtype=np.uint8)
+    # cr gets its own map: each component pass marks progressively, and the
+    # cb pass must not pre-mark availability for cr
+    coded_c2 = coded_c.copy()
     qpc = chroma_qp_fn(qp) if chroma_qp_fn else min(qp, 63)
     enc = orig_planes is not None
-    if enc:
-        o_y = np.ascontiguousarray(orig_planes[0], dtype=np.int32)
-        o_cb = np.ascontiguousarray(orig_planes[1], dtype=np.int32)
-        o_cr = np.ascontiguousarray(orig_planes[2], dtype=np.int32)
-
-    y_pl, cb_pl, cr_pl = recon_planes
-    pp = {id(a): _p(a) for a in recon_planes}
-    pc = {id(a): _p(a) for a in (coded_y, coded_c)}
-    po = ({id(a): _p(a) for a in (o_y, o_cb, o_cr)} if enc else {})
-    ll = int(lossless)
-
-    def do(plane, ph, pw, coded, cw4, orig, x0, y0, s, mode, q, lev,
-           tr_h=0, tr_v=0):
-        buf = lev if lev is not None else (
-            np.zeros((s, s), dtype=np.int32) if enc else None)
-        if buf is not None:
-            buf = np.ascontiguousarray(buf, dtype=np.int32)
-        cbf = l.recon_block(pp[id(plane)], ph, pw, pc[id(coded)], cw4,
-                            po[id(orig)] if orig is not None else None,
-                            x0, y0, s, mode, q, bit_depth, 2,
-                            _p(buf) if buf is not None else None, int(enc),
-                            tr_h, tr_v, ll)
-        return (buf if cbf else None) if enc else None
-
-    from vvc.kernels.transform import MTS_TR
-    cw4_y = coded_y.shape[1]
-    cw4_c = coded_c.shape[1]
-    for leaf in leaves:
-        s = leaf.size
-        cs = s >> 1
-        th, tv = MTS_TR[leaf.mts]
-        r = do(y_pl, h, w, coded_y, cw4_y, o_y if enc else None,
-               leaf.x0, leaf.y0, s, leaf.luma_mode, qp,
-               None if enc else leaf.lev_y, int(th), int(tv))
-        if enc:
-            leaf.lev_y = r
-        r = do(cb_pl, h // 2, w // 2, coded_c, cw4_c, o_cb if enc else None,
-               leaf.x0 >> 1, leaf.y0 >> 1, cs, leaf.luma_mode, qpc,
-               None if enc else leaf.lev_cb)
-        if enc:
-            leaf.lev_cb = r
-        r = do(cr_pl, h // 2, w // 2, coded_c, cw4_c, o_cr if enc else None,
-               leaf.x0 >> 1, leaf.y0 >> 1, cs, leaf.luma_mode, qpc,
-               None if enc else leaf.lev_cr)
-        if enc:
-            leaf.lev_cr = r
-
+    origs = [np.ascontiguousarray(p, dtype=np.int32) for p in orig_planes] \
+        if enc else [None, None, None]
+    _run_component(l, leaves, y_pl, coded_y, origs[0], qp, bit_depth,
+                   enc, lossless, 0)
+    _run_component(l, leaves, cb_pl, coded_c, origs[1], qpc, bit_depth,
+                   enc, lossless, 1)
+    _run_component(l, leaves, cr_pl, coded_c2, origs[2], qpc, bit_depth,
+                   enc, lossless, 2)

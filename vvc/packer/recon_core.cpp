@@ -350,4 +350,25 @@ int recon_block(int32_t* plane, int h, int w, uint8_t* coded, int cw4,
   return cbf;
 }
 
+// Batched tile reconstruction: one call per (tile, component).
+// meta: int32 [n][6] = (x0, y0, size, mode, tr_h, tr_v) in plane coords.
+// levels: packed int32 buffer; offsets[i] = start of leaf i's size*size
+// block.  enc_mode: derives levels into the buffer, writes cbf[i].
+// Decode: cbf[i] on input says whether levels are present for leaf i.
+void recon_leaves(int32_t* plane, int h, int w, uint8_t* coded, int cw4,
+                  const int32_t* orig, const int32_t* meta, int n,
+                  int32_t* levels, const int64_t* offsets, int32_t* cbf,
+                  int qp, int bit_depth, int log2_unit, int enc_mode,
+                  int lossless) {
+  for (int i = 0; i < n; i++) {
+    const int32_t* m = meta + 6 * i;
+    int32_t* lv = levels + offsets[i];
+    int32_t* lv_arg = lv;
+    if (!enc_mode && !cbf[i]) lv_arg = nullptr;
+    cbf[i] = recon_block(plane, h, w, coded, cw4, orig, m[0], m[1], m[2],
+                         m[3], qp, bit_depth, log2_unit, lv_arg, enc_mode,
+                         m[4], m[5], lossless);
+  }
+}
+
 }  // extern "C"
