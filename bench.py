@@ -13,7 +13,7 @@ import json
 import time
 
 VTM_ANCHOR_FPS = 4.0
-W, H, QP, FRAMES = 416, 240, 32, 3
+W, H, QP, FRAMES = 416, 240, 32, 8  # BASELINE config 1: 8 frames
 
 
 def main():

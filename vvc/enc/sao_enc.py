@@ -6,113 +6,137 @@ getStatistics / decidePicParams / decideBlkParams).  Classic derivation:
 for each candidate type, per-category (diff-sum d, count n) statistics
 give the optimal offset o* ≈ d/n and the distortion change
 ΔSSE(o) = n·o² − 2·o·d; choose min over {OFF, BO windows, 4 EO classes}
-with λ·rate.  Merge-left/up RD is a later stage [verify].
+with λ·rate.
+
+Statistics are gathered picture-at-once (whole-plane classification +
+blocked reductions — the device-friendly shape; reference iterates CTUs);
+only the final per-CTU arg-min runs as a small host loop.  Merge-left/up
+RD is a later stage [verify].
 """
 from __future__ import annotations
 
 import numpy as np
 
-from vvc.kernels.sao import (SaoParams, SAO_OFF, SAO_BO, SAO_EO, EO_DIRS,
+from vvc.kernels.sao import (SaoParams, SAO_OFF, SAO_BO, SAO_EO,
                              MAX_SAO_OFFSET, eo_categories)
 from vvc.enc.rdo import rd_lambda
 
 
-def _best_offset(d: float, n: float, sign: int, lam_rate: float):
-    """Optimal clipped offset and its RD cost for one category."""
-    if n == 0:
-        return 0, 0.0
-    o = int(round(d / n))
+def _best_offsets_arr(d: np.ndarray, n: np.ndarray, sign: int, lam: float):
+    """Vectorized optimal clipped offsets + RD costs.  d, n same shape."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        o = np.where(n > 0, np.round(d / np.maximum(n, 1)), 0.0)
     if sign > 0:
-        o = max(0, min(MAX_SAO_OFFSET, o))
+        o = np.clip(o, 0, MAX_SAO_OFFSET)
     elif sign < 0:
-        o = min(0, max(-MAX_SAO_OFFSET, o))
+        o = np.clip(o, -MAX_SAO_OFFSET, 0)
     else:
-        o = max(-MAX_SAO_OFFSET, min(MAX_SAO_OFFSET, o))
-    best_o, best_c = 0, 0.0
-    # scan a small neighbourhood (offset rate grows with magnitude)
-    for cand in {0, o, o // 2}:
-        c = n * cand * cand - 2 * cand * d + lam_rate * (abs(cand) + 1)
-        if c < best_c:
-            best_o, best_c = cand, c
-    return best_o, best_c
+        o = np.clip(o, -MAX_SAO_OFFSET, MAX_SAO_OFFSET)
+    best_o = np.zeros_like(o)
+    best_c = np.zeros_like(d, dtype=np.float64)
+    for cand in (o, np.trunc(o / 2)):
+        c = n * cand * cand - 2 * cand * d + lam * (np.abs(cand) + 1)
+        better = c < best_c
+        best_o = np.where(better, cand, best_o)
+        best_c = np.where(better, c, best_c)
+    return best_o.astype(np.int64), best_c
 
 
-def decide_sao_ctu(orig: np.ndarray, rec: np.ndarray, x0: int, y0: int,
-                   w: int, h: int, qp: int, bit_depth: int,
-                   lim_x0: int, lim_x1: int) -> SaoParams:
-    """Choose SAO parameters for one CTU region of one component."""
-    lam = rd_lambda(qp)
-    o_reg = orig[y0:y0 + h, x0:x0 + w].astype(np.int64)
-    r_reg = rec[y0:y0 + h, x0:x0 + w].astype(np.int64)
-    diff = o_reg - r_reg
-    best = SaoParams()
-    best_cost = 0.0  # OFF baseline (≈1 bin rate folded out)
+def _block_sums(arr: np.ndarray, cs: int):
+    """[H,W] → per-CTU sums [ny,nx] (zero-padded to CTU multiples)."""
+    h, w = arr.shape
+    ny, nx = -(-h // cs), -(-w // cs)
+    pad = np.zeros((ny * cs, nx * cs), dtype=arr.dtype)
+    pad[:h, :w] = arr
+    return pad.reshape(ny, cs, nx, cs).sum(axis=(1, 3))
 
-    # EO classes: categories 1,2 positive offsets; 3,4 negative (HEVC sign
-    # inference)
+
+def _component_stats(orig: np.ndarray, rec: np.ndarray, cs: int,
+                     bit_depth: int, tiles_c):
+    """Per-CTU stats for one component: EO (d,n)[4class][4cat][ny,nx] and
+    BO (d,n)[32band][ny,nx]."""
+    h, w = orig.shape
+    diff = (orig - rec).astype(np.float64)
+    ny, nx = -(-h // cs), -(-w // cs)
+    eo_d = np.zeros((4, 4, ny, nx))
+    eo_n = np.zeros((4, 4, ny, nx))
     for ec in range(4):
-        cat = eo_categories(rec, x0, y0, w, h, ec, lim_x0, lim_x1)
-        offs = []
-        cost = lam * 3.0  # type + class signalling
-        for k, sign in ((1, 1), (2, 1), (3, -1), (4, -1)):
-            m = cat == k
-            o, c = _best_offset(float(diff[m].sum()), float(m.sum()), sign,
-                                lam)
-            offs.append(abs(o) * (1 if sign > 0 else -1) if o else 0)
-            cost += c
-        if cost < best_cost:
-            best = SaoParams(SAO_EO, ec, 0, tuple(offs))
-            best_cost = cost
+        cat = np.zeros((h, w), dtype=np.int32)
+        for t0, t1 in tiles_c:
+            cat[:, t0:t1] = eo_categories(rec, t0, 0, t1 - t0, h, ec, t0, t1)
+        for k in range(1, 5):
+            m = (cat == k).astype(np.float64)
+            eo_d[ec, k - 1] = _block_sums(diff * m, cs)
+            eo_n[ec, k - 1] = _block_sums(m, cs)
+    band = (rec >> (bit_depth - 5)).astype(np.int64)
+    ctu_idx = ((np.arange(h)[:, None] // cs) * nx
+               + (np.arange(w)[None, :] // cs))
+    flat = (ctu_idx * 32 + band).reshape(-1)
+    bo_d = np.bincount(flat, weights=diff.reshape(-1),
+                       minlength=ny * nx * 32).reshape(ny, nx, 32)
+    bo_n = np.bincount(flat, minlength=ny * nx * 32).reshape(ny, nx, 32)
+    return eo_d, eo_n, bo_d, bo_n, ny, nx
 
-    # BO: per-band stats, best window of 4 consecutive bands
-    band = (r_reg >> (bit_depth - 5)).astype(np.int32)
-    d32 = np.zeros(32)
-    n32 = np.zeros(32)
-    np.add.at(d32, band.reshape(-1), diff.reshape(-1).astype(np.float64))
-    np.add.at(n32, band.reshape(-1), 1.0)
-    bo_off = np.zeros(32, dtype=np.int64)
-    bo_cost = np.zeros(32)
-    for b in range(32):
-        bo_off[b], bo_cost[b] = _best_offset(d32[b], n32[b], 0, lam)
-    for start in range(29):
-        cost = lam * 8.0 + float(bo_cost[start:start + 4].sum())
-        if cost < best_cost:
-            best = SaoParams(SAO_BO, 0, start,
-                             tuple(int(v) for v in bo_off[start:start + 4]))
-            best_cost = cost
-    return best
+
+def _decide_component(orig, rec, cs, qp, bit_depth, tiles_c):
+    lam = rd_lambda(qp)
+    eo_d, eo_n, bo_d, bo_n, ny, nx = _component_stats(orig, rec, cs,
+                                                      bit_depth, tiles_c)
+    # EO: per class, per cat offsets/costs (sign-constrained cats)
+    eo_off = np.zeros((4, 4, ny, nx), dtype=np.int64)
+    eo_cost = np.full((4, ny, nx), 3.0 * lam)
+    for ec in range(4):
+        for k, sign in ((0, 1), (1, 1), (2, -1), (3, -1)):
+            o, c = _best_offsets_arr(eo_d[ec, k], eo_n[ec, k], sign, lam)
+            eo_off[ec, k] = o
+            eo_cost[ec] += c
+    # BO: per-band offsets, then best 4-band window
+    bo_off, bo_cost = _best_offsets_arr(bo_d, bo_n, 0, lam)  # [ny,nx,32]
+    win_cost = np.full((29, ny, nx), 8.0 * lam)
+    for s0 in range(29):
+        win_cost[s0] += bo_cost[:, :, s0:s0 + 4].sum(axis=2)
+    best_win = np.argmin(win_cost, axis=0)                   # [ny,nx]
+    best_bo = np.take_along_axis(win_cost, best_win[None], axis=0)[0]
+    best_eo = np.argmin(eo_cost, axis=0)                     # [ny,nx]
+    best_eo_cost = np.min(eo_cost, axis=0)
+
+    out = {}
+    for j in range(ny):
+        for i in range(nx):
+            cands = [(0.0, SaoParams())]
+            ec = int(best_eo[j, i])
+            offs = eo_off[ec, :, j, i]
+            cands.append((float(best_eo_cost[j, i]),
+                          SaoParams(SAO_EO, ec, 0, tuple(int(v) for v in offs))))
+            s0 = int(best_win[j, i])
+            cands.append((float(best_bo[j, i]),
+                          SaoParams(SAO_BO, 0, s0,
+                                    tuple(int(v) for v in bo_off[j, i, s0:s0 + 4]))))
+            out[(i, j)] = min(cands, key=lambda t: t[0])[1]
+    return out
 
 
 def decide_sao_frame(orig_planes, recon_planes, qp: int, bit_depth: int,
                      ctu_size: int, tiles) -> dict:
-    """Per-CTU SAO params for all components.
+    """Per-CTU SAO params for all components:
+    {(ctu_x, ctu_y) luma coords: (SaoParams_y, SaoParams_cb, SaoParams_cr)}.
 
-    Returns {(cx, cy): (SaoParams_y, SaoParams_cb, SaoParams_cr)} — chroma
-    shares the type/class of cb's decision with its own offsets [verify:
-    the reference derives a joint chroma decision]."""
-    out = {}
+    Each component signals complete params ([verify]: the reference shares
+    chroma type between cb/cr)."""
     h, w = orig_planes[0].shape
-    for cy in range(0, h, ctu_size):
-        for cx in range(0, w, ctu_size):
-            lim = (0, w)
-            for tx0, tx1 in tiles:
-                if tx0 <= cx < tx1:
-                    lim = (tx0, min(tx1, w))
-                    break
-            py = decide_sao_ctu(orig_planes[0], recon_planes[0], cx, cy,
-                                min(ctu_size, w - cx), min(ctu_size, h - cy),
-                                qp, bit_depth, *lim)
-            cs = ctu_size >> 1
-            climx = (lim[0] >> 1, lim[1] >> 1 if lim[1] != w else w // 2)
-            pcb = decide_sao_ctu(orig_planes[1], recon_planes[1], cx >> 1,
-                                 cy >> 1, min(cs, (w >> 1) - (cx >> 1)),
-                                 min(cs, (h >> 1) - (cy >> 1)), qp, bit_depth,
-                                 *climx)
-            pcr = decide_sao_ctu(orig_planes[2], recon_planes[2], cx >> 1,
-                                 cy >> 1, min(cs, (w >> 1) - (cx >> 1)),
-                                 min(cs, (h >> 1) - (cy >> 1)), qp, bit_depth,
-                                 *climx)
-            # each component signals complete params ([verify]: the
-            # reference shares chroma type between cb/cr)
-            out[(cx, cy)] = (py, pcb, pcr)
+    tiles_l = [(t0, min(t1, w)) for t0, t1 in tiles]
+    tiles_c = [(t0 >> 1, min(t1 >> 1, w >> 1)) for t0, t1 in tiles]
+    per_comp = [
+        _decide_component(orig_planes[0], recon_planes[0], ctu_size, qp,
+                          bit_depth, tiles_l),
+        _decide_component(orig_planes[1], recon_planes[1], ctu_size >> 1, qp,
+                          bit_depth, tiles_c),
+        _decide_component(orig_planes[2], recon_planes[2], ctu_size >> 1, qp,
+                          bit_depth, tiles_c),
+    ]
+    out = {}
+    for (i, j), py in per_comp[0].items():
+        key = (i * ctu_size, j * ctu_size)
+        out[key] = (py, per_comp[1].get((i, j), SaoParams()),
+                    per_comp[2].get((i, j), SaoParams()))
     return out
