@@ -33,8 +33,13 @@ class HashMismatch(Exception):
     pass
 
 
-def decode_stream(data: bytes, verify_hash: bool = True):
-    """Decode an Annex-B byte stream → (frames, info dict)."""
+def decode_stream(data: bytes, verify_hash: bool = True,
+                  wavefront: bool = False):
+    """Decode an Annex-B byte stream → (frames, info dict).
+
+    wavefront=True reconstructs on the batched device path
+    (vvc.dec.wavefront) instead of the sequential host core — bit-exact
+    either way (test-enforced)."""
     sps = None
     pps = None
     frames = []
@@ -47,7 +52,7 @@ def decode_stream(data: bytes, verify_hash: bool = True):
         elif nal.nal_type in (NalUnitType.IDR_N_LP, NalUnitType.IDR_W_RADL,
                               NalUnitType.TRAIL, NalUnitType.CRA):
             assert sps is not None and pps is not None, "slice before SPS/PPS"
-            frames.append(_decode_slice(nal.payload, sps, pps))
+            frames.append(_decode_slice(nal.payload, sps, pps, wavefront))
         elif nal.nal_type == NalUnitType.SUFFIX_SEI:
             st = _check_hash_sei(nal.payload, frames[-1]) if frames else None
             hash_status.append(st)
@@ -56,7 +61,7 @@ def decode_stream(data: bytes, verify_hash: bool = True):
     return frames, {"sps": sps, "pps": pps, "hash_ok": hash_status}
 
 
-def _decode_slice(rbsp: bytes, sps, pps) -> Frame:
+def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False) -> Frame:
     from vvc.enc.encoder import tile_columns  # shared tile geometry
 
     tiles = tile_columns(pps.num_tile_cols, sps.width, sps.ctu_size)
@@ -88,8 +93,13 @@ def _decode_slice(rbsp: bytes, sps, pps) -> Frame:
         assert dec.decode_bin_trm() == 1, "tile substream termination missing"
         # per-tile recon — availability maps are fresh per call, so tile
         # isolation (no cross-tile prediction) holds by construction
-        reconstruct_leaves(reader.leaves, recon, sh.qp, sps.bit_depth,
-                           lossless=sps.lossless)
+        if wavefront:
+            from vvc.dec.wavefront import reconstruct_leaves_wavefront
+            reconstruct_leaves_wavefront(reader.leaves, recon, sh.qp,
+                                         sps.bit_depth, sps.lossless)
+        else:
+            reconstruct_leaves(reader.leaves, recon, sh.qp, sps.bit_depth,
+                               lossless=sps.lossless)
         return reader.leaves, local_sao
 
     if len(tiles) > 1:
