@@ -65,7 +65,9 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False) -> Frame:
     from vvc.enc.encoder import tile_columns  # shared tile geometry
 
     tiles = tile_columns(pps.num_tile_cols, sps.width, sps.ctu_size)
-    sh, substreams = parse_slice_header(rbsp, pps.init_qp, len(tiles))
+    n_ctus = (-(-sps.width // sps.ctu_size)) * (-(-sps.height // sps.ctu_size))
+    sh, substreams, alf_hdr = parse_slice_header(
+        rbsp, pps.init_qp, len(tiles), alf_enabled=sps.alf, n_ctus=n_ctus)
     recon = (np.zeros((sps.height, sps.width), dtype=np.int32),
              np.zeros((sps.height // 2, sps.width // 2), dtype=np.int32),
              np.zeros((sps.height // 2, sps.width // 2), dtype=np.int32))
@@ -125,6 +127,21 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False) -> Frame:
             sao_filter_plane(recon[comp], per_comp, sps.ctu_size,
                              sps.bit_depth, tiles,
                              comp_scale=0 if comp == 0 else 1)
+    if sps.alf and alf_hdr is not None:
+        from vvc.kernels.alf import apply_alf_plane
+        luma_c, flag_list, chroma_c = alf_hdr
+        if luma_c is not None:
+            flags = {}
+            i = 0
+            for y0 in range(0, sps.height, sps.ctu_size):
+                for x0 in range(0, sps.width, sps.ctu_size):
+                    flags[(x0, y0)] = flag_list[i]
+                    i += 1
+            apply_alf_plane(recon[0], luma_c, 3, sps.bit_depth, flags,
+                            sps.ctu_size)
+        if chroma_c is not None:
+            apply_alf_plane(recon[1], chroma_c, 2, sps.bit_depth)
+            apply_alf_plane(recon[2], chroma_c, 2, sps.bit_depth)
     return Frame(*recon, sps.bit_depth)
 
 

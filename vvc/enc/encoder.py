@@ -138,6 +138,23 @@ class Encoder:
                 per_comp = {k: v[comp] for k, v in sao_params.items()}
                 sao_filter_plane(recon[comp], per_comp, sps.ctu_size, bd,
                                  tiles, comp_scale=0 if comp == 0 else 1)
+        alf_hdr = None
+        if sps.alf and not sps.lossless:
+            from vvc.enc.alf_enc import decide_alf_frame
+            from vvc.kernels.alf import apply_alf_plane
+            luma_c, flags, chroma_c = decide_alf_frame(
+                (frame.y, frame.cb, frame.cr), recon, qp, bd, sps.ctu_size)
+            flag_list = [flags[(x0, y0)]
+                         for y0 in range(0, sps.height, sps.ctu_size)
+                         for x0 in range(0, sps.width, sps.ctu_size)]
+            if luma_c is not None:
+                apply_alf_plane(recon[0], luma_c, 3, bd, flags, sps.ctu_size)
+            if chroma_c is not None:
+                apply_alf_plane(recon[1], chroma_c, 2, bd)
+                apply_alf_plane(recon[2], chroma_c, 2, bd)
+            alf_hdr = (luma_c if luma_c is not None else None,
+                       flag_list if luma_c is not None else None,
+                       chroma_c if chroma_c is not None else None)
 
         # phase 4: entropy per tile (parallel, native packer releases GIL)
         def entropy_tile(i):
@@ -153,7 +170,8 @@ class Encoder:
 
         sh = SliceHeader(pps.pps_id, SliceType.I, poc, qp)
         header = write_slice_header(sh, pps.init_qp,
-                                    entry_sizes=[len(s) for s in substreams])
+                                    entry_sizes=[len(s) for s in substreams],
+                                    alf=alf_hdr if sps.alf else None)
         slice_rbsp = header + b"".join(substreams)
         nals = [NalUnit(NalUnitType.IDR_N_LP, slice_rbsp),
                 NalUnit(NalUnitType.SUFFIX_SEI, _hash_sei_payload(recon, bd))]
@@ -176,7 +194,7 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
     h, w = frames[0].y.shape
     sps = SPS(width=w, height=h, bit_depth=bit_depth,
               deblocking=not lossless, mts_intra=not lossless,
-              sao=not lossless, lossless=lossless)
+              sao=not lossless, alf=not lossless, lossless=lossless)
     pps = PPS(init_qp=qp, num_tile_cols=num_tile_cols)
     enc = Encoder(sps, pps, parallel_tiles)
     nals = [NalUnit(NalUnitType.SPS, write_sps(sps)),

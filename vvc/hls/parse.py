@@ -36,13 +36,24 @@ def parse_pps(rbsp: bytes) -> PPS:
     return PPS(pps_id, sps_id, init_qp, cb_off, cr_off, cols, rows)
 
 
-def parse_slice_header(rbsp: bytes, init_qp: int, num_tiles: int = 1):
-    """Returns (SliceHeader, [tile substream bytes, ...])."""
+def parse_slice_header(rbsp: bytes, init_qp: int, num_tiles: int = 1,
+                       alf_enabled: bool = False, n_ctus: int = 0):
+    """Returns (SliceHeader, [tile substream bytes, ...], alf) where alf =
+    (luma_coeffs|None, ctu_flag_list|None, chroma_coeffs|None) or None."""
     br = BitReader(rbsp)
     pps_id = br.read(6)
     stype = br.read_ue()
     poc = br.read(16)
     qp = br.read_se() + init_qp
+    alf = None
+    if alf_enabled:
+        luma = flags = chroma = None
+        if br.read_flag():
+            luma = [br.read_se() for _ in range(12)]
+            flags = [bool(br.read_flag()) for _ in range(n_ctus)]
+        if br.read_flag():
+            chroma = [br.read_se() for _ in range(6)]
+        alf = (luma, flags, chroma)
     sizes = [br.read_ue() + 1 for _ in range(max(0, num_tiles - 1))]
     br.byte_align()
     payload = br.bytes_remaining_from_aligned()
@@ -52,4 +63,4 @@ def parse_slice_header(rbsp: bytes, init_qp: int, num_tiles: int = 1):
         subs.append(payload[off:off + sz])
         off += sz
     subs.append(payload[off:])
-    return SliceHeader(pps_id, stype, poc, qp), subs
+    return SliceHeader(pps_id, stype, poc, qp), subs, alf

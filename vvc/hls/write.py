@@ -44,17 +44,32 @@ def write_pps(pps: PPS) -> bytes:
 
 
 def write_slice_header(sh: SliceHeader, init_qp: int,
-                       entry_sizes=None) -> bytes:
+                       entry_sizes=None, alf=None) -> bytes:
     """Slice header RBSP bits (byte-aligned); CABAC payload is appended by
     the caller (slice_data starts at a byte boundary, spec 7.3.7).
 
     entry_sizes: byte lengths of the tile substreams; all but the last are
-    written as entry-point offsets (spec sh_entry_point_offset_minus1)."""
+    written as entry-point offsets (spec sh_entry_point_offset_minus1).
+    alf: (luma_coeffs|None, ctu_flag_list|None, chroma_coeffs|None) —
+    round-1 APS stand-in ([verify]: the reference carries ALF in APS NALs
+    with CABAC ctb flags)."""
     bw = BitWriter()
     bw.write(sh.pps_id, 6)
     bw.write_ue(sh.slice_type)
     bw.write(sh.poc & 0xFFFF, 16)
     bw.write_se(sh.qp - init_qp)
+    if alf is not None:
+        luma, flags, chroma = alf
+        bw.write_flag(luma is not None)
+        if luma is not None:
+            for c in luma:
+                bw.write_se(int(c))
+            for f in flags:
+                bw.write_flag(f)
+        bw.write_flag(chroma is not None)
+        if chroma is not None:
+            for c in chroma:
+                bw.write_se(int(c))
     if entry_sizes and len(entry_sizes) > 1:
         for sz in entry_sizes[:-1]:
             bw.write_ue(sz - 1)

@@ -22,11 +22,20 @@ from vvc.kernels.transform import fwd_transform_np, inv_transform_np
 from vvc.kernels.quant import quant_np, dequant_np
 
 
+_CHROMA_QP_MAP = {30: 29, 31: 30, 32: 31, 33: 32, 34: 33, 35: 33, 36: 34,
+                  37: 34, 38: 35, 39: 35, 40: 36, 41: 36, 42: 37, 43: 37}
+
+
 def chroma_qp(qp: int) -> int:
-    """Luma→chroma QP mapping.  [verify]: identity placeholder for the VVC
-    default ChromaQpTable (near-identity below QP 35); reference:
-    Slice.h → ChromaQpMappingTable."""
-    return min(qp, 63)
+    """Luma→chroma QP mapping (default ChromaQpTable shape for 4:2:0:
+    identity below 30, compressed 30..43, qp−6 above; reference: Slice.h →
+    ChromaQpMappingTable).  [verify] exact VVC default entries."""
+    qp = min(qp, 63)
+    if qp < 30:
+        return qp
+    if qp in _CHROMA_QP_MAP:
+        return _CHROMA_QP_MAP[qp]
+    return qp - 6
 
 
 def _recon_block(plane, orig, coded, x0, y0, size, mode, qp, bit_depth, levels,
