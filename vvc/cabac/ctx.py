@@ -30,6 +30,7 @@ CTX_SETS = [
     ("INTRA_LUMA_MPM_FLAG", 1),
     ("INTRA_LUMA_NOT_PLANAR", 2),
     ("INTRA_CHROMA_PRED_MODE", 1),
+    ("CCLM_FLAG", 1),
     ("CBF_LUMA", 4),
     ("MTS_IDX", 4),
     ("CBF_CB", 2),

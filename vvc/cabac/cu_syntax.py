@@ -84,7 +84,8 @@ class TreeCoder:
     """Shared walking/derivation logic; subclassed by writer and reader."""
 
     def __init__(self, ctxs, state: CodingState, width: int, height: int,
-                 ctu_size: int = 64, min_cu: int = 8, mts_enabled: bool = False):
+                 ctu_size: int = 64, min_cu: int = 8, mts_enabled: bool = False,
+                 cclm_enabled: bool = False):
         self.ctxs = ctxs
         self.state = state
         self.w = width
@@ -92,6 +93,7 @@ class TreeCoder:
         self.ctu = ctu_size
         self.min_cu = min_cu
         self.mts_enabled = mts_enabled
+        self.cclm_enabled = cclm_enabled
         self.max_depth = (ctu_size.bit_length() - 1) - (min_cu.bit_length() - 1)
 
     def _mts_signaled(self, size: int, cbf_y: int) -> bool:
@@ -116,8 +118,9 @@ class TreeCoder:
 
 class TreeWriter(TreeCoder):
     def __init__(self, enc, ctxs, state, width, height, split_map, leaf_map,
-                 ctu_size=64, min_cu=8, mts_enabled=False):
-        super().__init__(ctxs, state, width, height, ctu_size, min_cu, mts_enabled)
+                 ctu_size=64, min_cu=8, mts_enabled=False, cclm_enabled=False):
+        super().__init__(ctxs, state, width, height, ctu_size, min_cu,
+                         mts_enabled, cclm_enabled)
         self.enc = enc
         self.split_map = split_map    # {(x0,y0,size): bool}
         self.leaf_map = leaf_map      # {(x0,y0,size): Leaf}
@@ -166,8 +169,11 @@ class TreeWriter(TreeCoder):
             enc.encode_bin(0, ctxs("INTRA_LUMA_MPM_FLAG", 0))
             rem = sorted(set(range(67)) - set(mpm))
             _tb_write(enc, rem.index(mode), len(rem))
-        # chroma: DM only (bin 1 = DM)
-        enc.encode_bin(1, ctxs("INTRA_CHROMA_PRED_MODE", 0))
+        # chroma mode: optional cclm_mode_flag, then DM (bin 1 = DM)
+        if self.cclm_enabled:
+            enc.encode_bin(leaf.chroma_mode, ctxs("CCLM_FLAG", 0))
+        if not (self.cclm_enabled and leaf.chroma_mode):
+            enc.encode_bin(1, ctxs("INTRA_CHROMA_PRED_MODE", 0))
         # CBFs (order: cb, cr, luma — reference CABACWriter order)
         cbf_cb, cbf_cr, cbf_y = leaf.cbf_cb, leaf.cbf_cr, leaf.cbf_y
         enc.encode_bin(cbf_cb, ctxs("CBF_CB", 0))
@@ -193,8 +199,9 @@ class TreeWriter(TreeCoder):
 
 class TreeReader(TreeCoder):
     def __init__(self, dec, ctxs, state, width, height, ctu_size=64, min_cu=8,
-                 mts_enabled=False):
-        super().__init__(ctxs, state, width, height, ctu_size, min_cu, mts_enabled)
+                 mts_enabled=False, cclm_enabled=False):
+        super().__init__(ctxs, state, width, height, ctu_size, min_cu,
+                         mts_enabled, cclm_enabled)
         self.dec = dec
         self.leaves: list[Leaf] = []
 
@@ -237,8 +244,12 @@ class TreeReader(TreeCoder):
         else:
             rem = sorted(set(range(67)) - set(mpm))
             mode = rem[_tb_read(dec, len(rem))]
-        dm = dec.decode_bin(ctxs("INTRA_CHROMA_PRED_MODE", 0))
-        assert dm == 1, "non-DM chroma not supported yet"
+        chroma_mode = 0
+        if self.cclm_enabled:
+            chroma_mode = dec.decode_bin(ctxs("CCLM_FLAG", 0))
+        if not chroma_mode:
+            dm = dec.decode_bin(ctxs("INTRA_CHROMA_PRED_MODE", 0))
+            assert dm == 1, "non-DM chroma not supported yet"
         cbf_cb = dec.decode_bin(ctxs("CBF_CB", 0))
         cbf_cr = dec.decode_bin(ctxs("CBF_CR", cbf_cb))
         cbf_y = dec.decode_bin(ctxs("CBF_LUMA", 0))
@@ -246,7 +257,7 @@ class TreeReader(TreeCoder):
         if self._mts_signaled(size, cbf_y):
             while mts < 4 and dec.decode_bin(ctxs("MTS_IDX", mts)):
                 mts += 1
-        leaf = Leaf(x0, y0, size, mode, mts=mts)
+        leaf = Leaf(x0, y0, size, mode, mts=mts, chroma_mode=chroma_mode)
         cs = size >> 1
         if cbf_cb:
             leaf.lev_cb = read_residual(dec, ctxs, cs, is_luma=False)

@@ -85,7 +85,8 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False) -> Frame:
         state = CodingState(sps.width, sps.height)
         reader = TreeReader(dec, ctxs, state, min(tx1, sps.width), sps.height,
                             sps.ctu_size, sps.min_cu_size,
-                            mts_enabled=sps.mts_intra)
+                            mts_enabled=sps.mts_intra,
+                            cclm_enabled=sps.cclm)
         local_sao = {}
         for cy in range(0, sps.height, sps.ctu_size):
             for cx in range(tx0, tx1, sps.ctu_size):

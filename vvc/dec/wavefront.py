@@ -62,7 +62,8 @@ def compute_waves(leaves, width: int, height: int):
     return waves
 
 
-def _recon_wave_group(plane, order_map, group, qp, bit_depth, lossless, comp):
+def _recon_wave_group(plane, order_map, group, qp, bit_depth, lossless, comp,
+                      cclm_ds=None):
     """Batched reconstruction of same-size leaves of one wave for one
     component.  Mutates plane/order_map.
 
@@ -86,6 +87,13 @@ def _recon_wave_group(plane, order_map, group, qp, bit_depth, lossless, comp):
     c_batch = jnp.asarray(np.stack(cs))
     preds = predict_all_modes_batch(c_batch, size, bit_depth)      # [N,67,S,S]
     pred = np.asarray(preds)[np.arange(n), modes]                  # [N,S,S]
+    if cclm_ds is not None:
+        from vvc.kernels.cclm import predict_cclm
+        for k, (leaf, s, x0, y0, lv, mts, zi) in enumerate(group):
+            if leaf.chroma_mode == 1:
+                avail = order_map < zi
+                pred[k] = predict_cclm(cclm_ds, plane, avail, x0, y0, s,
+                                       bit_depth)
     resi = np.zeros_like(pred)
     if lossless:
         resi = levs
@@ -130,11 +138,17 @@ def reconstruct_leaves_wavefront(leaves, recon_planes, qp: int,
             by_size_c.setdefault(lf.size >> 1, []).append((lf, i))
         for s, group in by_size_y.items():
             _recon_wave_group(y_pl, order_y, group, qp, bit_depth, lossless, 0)
+        ds = None
+        if any(leaves[i].chroma_mode == 1 for i in wave):
+            from vvc.kernels.cclm import luma_ds_plane
+            ds = luma_ds_plane(y_pl)
         for s, lfs in by_size_c.items():
             gcb = [(lf, s, lf.x0 >> 1, lf.y0 >> 1, lf.lev_cb, 0, i)
                    for lf, i in lfs]
             gcr = [(lf, s, lf.x0 >> 1, lf.y0 >> 1, lf.lev_cr, 0, i)
                    for lf, i in lfs]
-            _recon_wave_group(cb_pl, order_cb, gcb, qpc, bit_depth, lossless, 1)
-            _recon_wave_group(cr_pl, order_cr, gcr, qpc, bit_depth, lossless, 2)
+            _recon_wave_group(cb_pl, order_cb, gcb, qpc, bit_depth, lossless,
+                              1, cclm_ds=ds)
+            _recon_wave_group(cr_pl, order_cr, gcr, qpc, bit_depth, lossless,
+                              2, cclm_ds=ds)
     return len(waves)

@@ -51,6 +51,32 @@ def _hash_sei_payload(planes, bit_depth: int = 8) -> bytes:
     return bytes(out)
 
 
+def _decide_chroma_modes(leaves, frame, bit_depth: int):
+    """Per-leaf DM-vs-CCLM decision on *original* samples (the same
+    approximation the RDO search uses; reconstruction then executes the
+    chosen mode exactly).  Reference: IntraSearch::estIntraPredChromaQT."""
+    from vvc.kernels.cclm import luma_ds_plane, predict_cclm
+    from vvc.kernels.intra import build_ref_line, predict_intra
+
+    ds = luma_ds_plane(frame.y)
+    ch, cw = frame.cb.shape
+    all_coded = np.ones(((ch + 3) >> 2, (cw + 3) >> 2), dtype=bool)
+    for leaf in leaves:
+        cs = leaf.size >> 1
+        cx, cy = leaf.x0 >> 1, leaf.y0 >> 1
+        ob = frame.cb[cy:cy + cs, cx:cx + cs].astype(np.int64)
+        orr = frame.cr[cy:cy + cs, cx:cx + cs].astype(np.int64)
+        cost_dm = 0.0
+        cost_lm = 0.0
+        for plane, oblk in ((frame.cb, ob), (frame.cr, orr)):
+            c = build_ref_line(plane, all_coded, cx, cy, cs, bit_depth)
+            pdm = predict_intra(c, leaf.luma_mode, cs, bit_depth)
+            plm = predict_cclm(ds, plane, all_coded, cx, cy, cs, bit_depth)
+            cost_dm += float(((oblk - pdm) ** 2).sum())
+            cost_lm += float(((oblk - plm) ** 2).sum())
+        leaf.chroma_mode = 1 if cost_lm < cost_dm else 0
+
+
 def tile_columns(num_cols: int, width: int, ctu_size: int):
     """Uniform tile column bounds in luma samples (reference: PPS::initTiles
     uniform spacing).  Returns [(x0, x1), ...]."""
@@ -82,7 +108,8 @@ class Encoder:
         state = CodingState(sps.width, sps.height)
         writer = TreeWriter(enc, ctxs, state, min(tx1, sps.width), sps.height,
                             split_map, leaf_map, sps.ctu_size,
-                            sps.min_cu_size, mts_enabled=sps.mts_intra)
+                            sps.min_cu_size, mts_enabled=sps.mts_intra,
+                            cclm_enabled=sps.cclm)
         for cy in range(0, sps.height, sps.ctu_size):
             for cx in range(tx0, tx1, sps.ctu_size):
                 if sao_params is not None:
@@ -103,6 +130,8 @@ class Encoder:
         split_map, leaf_map, leaves = rdo_result if rdo_result is not None \
             else rdo_partition(frame.y, qp, bd, sps.ctu_size, sps.min_cu_size,
                                lossless=sps.lossless)
+        if sps.cclm:
+            _decide_chroma_modes(leaves, frame, bd)
 
         tiles = tile_columns(pps.num_tile_cols, sps.width, sps.ctu_size)
         recon = (np.zeros_like(frame.y), np.zeros_like(frame.cb),
@@ -194,7 +223,8 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
     h, w = frames[0].y.shape
     sps = SPS(width=w, height=h, bit_depth=bit_depth,
               deblocking=not lossless, mts_intra=not lossless,
-              sao=not lossless, alf=not lossless, lossless=lossless)
+              sao=not lossless, alf=not lossless, cclm=not lossless,
+              lossless=lossless)
     pps = PPS(init_qp=qp, num_tile_cols=num_tile_cols)
     enc = Encoder(sps, pps, parallel_tiles)
     nals = [NalUnit(NalUnitType.SPS, write_sps(sps)),

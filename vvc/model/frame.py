@@ -25,6 +25,7 @@ class Leaf:
     size: int
     luma_mode: int = 0
     mts: int = 0  # MTS index: 0 DCT2/DCT2, 1 DST7/DST7, 2 DCT8/DST7, 3 DST7/DCT8, 4 DCT8/DCT8
+    chroma_mode: int = 0  # 0 = DM (luma mode), 1 = CCLM (LM)
     # quantized levels; None until reconstruction (encoder) / parse (decoder)
     lev_y: np.ndarray | None = None
     lev_cb: np.ndarray | None = None

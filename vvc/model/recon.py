@@ -39,14 +39,19 @@ def chroma_qp(qp: int) -> int:
 
 
 def _recon_block(plane, orig, coded, x0, y0, size, mode, qp, bit_depth, levels,
-                 tr_h=0, tr_v=0, lossless=False):
+                 tr_h=0, tr_v=0, lossless=False, cclm_ds=None):
     """Predict + (inverse-)transform one block in `plane`.
 
     If `levels` is None (encode), derives them from `orig`; returns levels.
     Lossless (transquant bypass): levels ARE the residual — exact recon.
+    cclm_ds: downsampled-luma plane → CCLM prediction instead of `mode`.
     """
-    c = build_ref_line(plane, coded, x0, y0, size, bit_depth)
-    pred = predict_intra(c, mode, size, bit_depth)
+    if cclm_ds is not None:
+        from vvc.kernels.cclm import predict_cclm
+        pred = predict_cclm(cclm_ds, plane, coded, x0, y0, size, bit_depth)
+    else:
+        c = build_ref_line(plane, coded, x0, y0, size, bit_depth)
+        pred = predict_intra(c, mode, size, bit_depth)
     if levels is None:
         resi = orig[y0:y0 + size, x0:x0 + size].astype(np.int32) - pred
         if lossless:
@@ -98,10 +103,11 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
     def dec_levels(lv, size):
         return lv if lv is not None else np.zeros((size, size), dtype=np.int32)
 
+    from vvc.kernels.transform import MTS_TR
+    from vvc.kernels.cclm import luma_ds_plane
     for leaf in leaves:
         s = leaf.size
         x0, y0 = leaf.x0, leaf.y0
-        from vvc.kernels.transform import MTS_TR
         th, tv = MTS_TR[leaf.mts]
         lev = _recon_block(y_pl, o_y, coded_y, x0, y0, s, leaf.luma_mode,
                            qp, bit_depth,
@@ -112,16 +118,21 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
         # chroma (single tree, DM mode = luma mode), half resolution
         cs = s >> 1
         cx, cy = x0 >> 1, y0 >> 1
+        ds = None
+        if leaf.chroma_mode == 1:
+            # region-local downsample would suffice; whole-plane keeps the
+            # oracle simple (luma of this leaf is already reconstructed)
+            ds = luma_ds_plane(y_pl)
         lev = _recon_block(cb_pl, o_cb, coded_c, cx, cy, cs, leaf.luma_mode,
                            qpc, bit_depth,
                            None if encode_mode else dec_levels(leaf.lev_cb, cs),
-                           lossless=lossless)
+                           lossless=lossless, cclm_ds=ds)
         if encode_mode:
             leaf.lev_cb = lev if np.any(lev) else None
         lev = _recon_block(cr_pl, o_cr, coded_c, cx, cy, cs, leaf.luma_mode,
                            qpc, bit_depth,
                            None if encode_mode else dec_levels(leaf.lev_cr, cs),
-                           lossless=lossless)
+                           lossless=lossless, cclm_ds=ds)
         if encode_mode:
             leaf.lev_cr = lev if np.any(lev) else None
         # mark availability

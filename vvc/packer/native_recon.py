@@ -39,8 +39,9 @@ def _p(a):
 
 
 def _run_component(l, leaves, plane, coded, orig, qp, bit_depth, enc,
-                   lossless, comp):
-    """comp: 0=Y (leaf coords, leaf.mts), 1=Cb, 2=Cr (halved geometry)."""
+                   lossless, comp, luma_plane=None):
+    """comp: 0=Y (leaf coords, leaf.mts), 1=Cb, 2=Cr (halved geometry).
+    luma_plane: recon luma for CCLM (chroma passes)."""
     from vvc.kernels.transform import MTS_TR
 
     n = len(leaves)
@@ -70,9 +71,17 @@ def _run_component(l, leaves, plane, coded, orig, qp, bit_depth, enc,
                 levels[offsets[i]:offsets[i] + s * s] = lv.reshape(-1)
                 cbf[i] = 1
     h, w = plane.shape
+    cmodes = None
+    lh = lw = 0
+    if comp != 0 and luma_plane is not None:
+        cmodes = np.ascontiguousarray(
+            np.array([leaf.chroma_mode for leaf in leaves], dtype=np.int32))
+        lh, lw = luma_plane.shape
     l.recon_leaves(_p(plane), h, w, _p(coded), coded.shape[1], _p(orig),
                    _p(meta), n, _p(levels), _p(offsets), _p(cbf),
-                   qp, bit_depth, 2, int(enc), int(lossless))
+                   qp, bit_depth, 2, int(enc), int(lossless),
+                   _p(luma_plane) if cmodes is not None else None, lh, lw,
+                   _p(cmodes))
     if enc:
         for i, leaf in enumerate(leaves):
             if cbf[i]:
@@ -108,6 +117,6 @@ def reconstruct_leaves_native(leaves, recon_planes, qp: int, bit_depth: int,
     _run_component(l, leaves, y_pl, coded_y, origs[0], qp, bit_depth,
                    enc, lossless, 0)
     _run_component(l, leaves, cb_pl, coded_c, origs[1], qpc, bit_depth,
-                   enc, lossless, 1)
+                   enc, lossless, 1, luma_plane=y_pl)
     _run_component(l, leaves, cr_pl, coded_c2, origs[2], qpc, bit_depth,
-                   enc, lossless, 2)
+                   enc, lossless, 2, luma_plane=y_pl)

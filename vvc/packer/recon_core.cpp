@@ -293,17 +293,122 @@ void recon_init(const int32_t* t4, const int32_t* t8, const int32_t* t16,
     }
 }
 
+// CCLM support (mirror of vvc/kernels/cclm.py) --------------------------
+
+static int cclm_luma_ds(const int32_t* luma, int lh, int lw, int cx, int cy) {
+  int x = 2 * cx;
+  int y0 = 2 * cy < lh - 1 ? 2 * cy : lh - 1;
+  int y1 = 2 * cy + 1 < lh - 1 ? 2 * cy + 1 : lh - 1;
+  int xm = x - 1 > 0 ? x - 1 : 0;
+  int xp = x + 1 < lw - 1 ? x + 1 : lw - 1;
+  return (luma[y0 * lw + xm] + 2 * luma[y0 * lw + x] + luma[y0 * lw + xp] +
+          luma[y1 * lw + xm] + 2 * luma[y1 * lw + x] + luma[y1 * lw + xp] +
+          4) >> 3;
+}
+
+constexpr int CCLM_SHIFT = 13;
+
+static void cclm_predict(const int32_t* luma, int lh, int lw,
+                         const int32_t* chroma, int ch, int cw,
+                         const uint8_t* coded, int cw4, int log2_unit,
+                         int cx0, int cy0, int cs, int bit_depth,
+                         int32_t* pred) {
+  // gather up to 4 (lumaDS, chroma) pairs — mirror gather_model_points
+  auto avail = [&](int px, int py) {
+    return px >= 0 && py >= 0 && px < cw && py < ch &&
+           coded[(py >> log2_unit) * cw4 + (px >> log2_unit)];
+  };
+  int pl[4], pc[4];
+  int np = 0;
+  bool top_ok = cy0 > 0 && avail(cx0, cy0 - 1);
+  bool left_ok = cx0 > 0 && avail(cx0 - 1, cy0);
+  int xs[4], nxs = 0, ys[4], nys = 0;
+  if (top_ok && left_ok) {
+    xs[nxs++] = cx0 + cs / 4;
+    xs[nxs++] = cx0 + (3 * cs) / 4;
+    ys[nys++] = cy0 + cs / 4;
+    ys[nys++] = cy0 + (3 * cs) / 4;
+  } else if (top_ok) {
+    for (int k = 0; k < 4; k++) xs[nxs++] = cx0 + k * cs / 4;
+  } else if (left_ok) {
+    for (int k = 0; k < 4; k++) ys[nys++] = cy0 + k * cs / 4;
+  }
+  for (int k = 0; k < nxs && np < 4; k++) {
+    int x = xs[k] < cw - 1 ? xs[k] : cw - 1;
+    if (avail(x, cy0 - 1)) {
+      pl[np] = cclm_luma_ds(luma, lh, lw, x, cy0 - 1);
+      pc[np] = chroma[(cy0 - 1) * cw + x];
+      np++;
+    }
+  }
+  for (int k = 0; k < nys && np < 4; k++) {
+    int y = ys[k] < ch - 1 ? ys[k] : ch - 1;
+    if (avail(cx0 - 1, y)) {
+      pl[np] = cclm_luma_ds(luma, lh, lw, cx0 - 1, y);
+      pc[np] = chroma[y * cw + cx0 - 1];
+      np++;
+    }
+  }
+  int64_t alpha = 0, beta = 1 << (bit_depth - 1);
+  if (np > 0) {
+    // cyclic duplication to 4 (mirror: while len<4: pts += pts; pts[:4])
+    int fl[4], fc[4];
+    for (int k = 0; k < 4; k++) {
+      fl[k] = pl[k % np];
+      fc[k] = pc[k % np];
+    }
+    // stable sort by luma (4 elements — insertion sort keeps stability)
+    for (int i = 1; i < 4; i++) {
+      int kl = fl[i], kc = fc[i], j = i - 1;
+      while (j >= 0 && fl[j] > kl) {
+        fl[j + 1] = fl[j];
+        fc[j + 1] = fc[j];
+        j--;
+      }
+      fl[j + 1] = kl;
+      fc[j + 1] = kc;
+    }
+    int lmin = (fl[0] + fl[1] + 1) >> 1, lmax = (fl[2] + fl[3] + 1) >> 1;
+    int cmin = (fc[0] + fc[1] + 1) >> 1, cmax = (fc[2] + fc[3] + 1) >> 1;
+    if (lmax == lmin) {
+      alpha = 0;
+      beta = cmin;
+    } else {
+      int64_t num = (int64_t)(cmax - cmin) << CCLM_SHIFT;
+      int64_t den = lmax - lmin;  // > 0
+      // floor division (python // semantics)
+      alpha = num >= 0 ? num / den : -((-num + den - 1) / den);
+      if (alpha > (1 << 17) - 1) alpha = (1 << 17) - 1;
+      if (alpha < -(1 << 17)) alpha = -(1 << 17);
+      beta = cmin - ((alpha * lmin) >> CCLM_SHIFT);
+    }
+  }
+  int mx = (1 << bit_depth) - 1;
+  for (int yy = 0; yy < cs; yy++)
+    for (int xx = 0; xx < cs; xx++) {
+      int64_t l = cclm_luma_ds(luma, lh, lw, cx0 + xx, cy0 + yy);
+      int64_t v = ((alpha * l) >> CCLM_SHIFT) + beta;
+      pred[yy * cs + xx] = v < 0 ? 0 : (v > mx ? (int64_t)mx : v);
+    }
+}
+
 // One block recon.  enc_mode: derive levels from orig (returns cbf);
 // otherwise apply provided levels (levels may be null → all-zero).
-int recon_block(int32_t* plane, int h, int w, uint8_t* coded, int cw4,
-                const int32_t* orig, int x0, int y0, int size, int mode,
-                int qp, int bit_depth, int log2_unit, int32_t* levels_io,
-                int enc_mode, int tr_h, int tr_v, int lossless) {
+// ext_pred: optional externally computed prediction (CCLM).
+int recon_block_p(int32_t* plane, int h, int w, uint8_t* coded, int cw4,
+                  const int32_t* orig, int x0, int y0, int size, int mode,
+                  int qp, int bit_depth, int log2_unit, int32_t* levels_io,
+                  int enc_mode, int tr_h, int tr_v, int lossless,
+                  const int32_t* ext_pred) {
   int s = size;
   std::vector<int32_t> c(4 * s + 3), pred(s * s), buf(s * s), buf2(s * s);
-  build_ref_line(plane, h, w, coded, cw4, x0, y0, s, bit_depth, log2_unit,
-                 c.data());
-  predict_intra(c.data(), mode, s, bit_depth, pred.data());
+  if (ext_pred) {
+    std::memcpy(pred.data(), ext_pred, sizeof(int32_t) * s * s);
+  } else {
+    build_ref_line(plane, h, w, coded, cw4, x0, y0, s, bit_depth, log2_unit,
+                   c.data());
+    predict_intra(c.data(), mode, s, bit_depth, pred.data());
+  }
   int cbf;
   if (enc_mode) {
     for (int y = 0; y < s; y++)
@@ -350,24 +455,45 @@ int recon_block(int32_t* plane, int h, int w, uint8_t* coded, int cw4,
   return cbf;
 }
 
+int recon_block(int32_t* plane, int h, int w, uint8_t* coded, int cw4,
+                const int32_t* orig, int x0, int y0, int size, int mode,
+                int qp, int bit_depth, int log2_unit, int32_t* levels_io,
+                int enc_mode, int tr_h, int tr_v, int lossless) {
+  return recon_block_p(plane, h, w, coded, cw4, orig, x0, y0, size, mode, qp,
+                       bit_depth, log2_unit, levels_io, enc_mode, tr_h, tr_v,
+                       lossless, nullptr);
+}
+
 // Batched tile reconstruction: one call per (tile, component).
 // meta: int32 [n][6] = (x0, y0, size, mode, tr_h, tr_v) in plane coords.
 // levels: packed int32 buffer; offsets[i] = start of leaf i's size*size
 // block.  enc_mode: derives levels into the buffer, writes cbf[i].
 // Decode: cbf[i] on input says whether levels are present for leaf i.
+// cmodes: per-leaf chroma mode (1 = CCLM) or null; luma_plane: recon luma
+// for CCLM (chroma passes only).
 void recon_leaves(int32_t* plane, int h, int w, uint8_t* coded, int cw4,
                   const int32_t* orig, const int32_t* meta, int n,
                   int32_t* levels, const int64_t* offsets, int32_t* cbf,
                   int qp, int bit_depth, int log2_unit, int enc_mode,
-                  int lossless) {
+                  int lossless, const int32_t* luma_plane, int lh, int lw,
+                  const int32_t* cmodes) {
+  std::vector<int32_t> predbuf;
   for (int i = 0; i < n; i++) {
     const int32_t* m = meta + 6 * i;
     int32_t* lv = levels + offsets[i];
     int32_t* lv_arg = lv;
     if (!enc_mode && !cbf[i]) lv_arg = nullptr;
-    cbf[i] = recon_block(plane, h, w, coded, cw4, orig, m[0], m[1], m[2],
-                         m[3], qp, bit_depth, log2_unit, lv_arg, enc_mode,
-                         m[4], m[5], lossless);
+    const int32_t* ext = nullptr;
+    if (cmodes && cmodes[i] == 1 && luma_plane) {
+      int s = m[2];
+      predbuf.resize(s * s);
+      cclm_predict(luma_plane, lh, lw, plane, h, w, coded, cw4, log2_unit,
+                   m[0], m[1], s, bit_depth, predbuf.data());
+      ext = predbuf.data();
+    }
+    cbf[i] = recon_block_p(plane, h, w, coded, cw4, orig, m[0], m[1], m[2],
+                           m[3], qp, bit_depth, log2_unit, lv_arg, enc_mode,
+                           m[4], m[5], lossless, ext);
   }
 }
 
