@@ -67,6 +67,43 @@ RESIDUAL_SET_ORDER = [
 ]
 
 
+
+# Data-driven default initial states (7-bit probability of '1', p = v/128),
+# measured from converged context statistics over synthetic AI content at
+# QP 27/32/37 — the same methodology as the reference's trained init tables
+# (Contexts.cpp initValues), to be [verify]-swapped for the spec values
+# when /root/reference is populated.
+INIT_STATES = {
+    "SPLIT_CU_FLAG": [71, 95, 106],
+    "SAO_TYPE": [76],
+    "SAO_MERGE": [64],
+    "INTRA_LUMA_REF_IDX": [3, 64],
+    "INTRA_LUMA_MPM_FLAG": [77],
+    "INTRA_LUMA_NOT_PLANAR": [68, 64],
+    "INTRA_CHROMA_PRED_MODE": [126],
+    "CCLM_FLAG": [13],
+    "CBF_LUMA": [113, 64, 64, 64],
+    "MTS_IDX": [67, 70, 37, 45],
+    "CBF_CB": [11, 64],
+    "CBF_CR": [46, 31, 64],
+    "LAST_X_LUMA": [64, 64, 64, 91, 117, 81, 67, 66, 64, 64,
+                    64, 64, 64, 64, 64, 64, 64, 64, 64, 64],
+    "LAST_Y_LUMA": [64, 64, 64, 84, 120, 72, 74, 65, 67, 63,
+                    64, 64, 64, 64, 64, 64, 64, 64, 64, 64],
+    "LAST_X_CHROMA": [19, 59, 64],
+    "LAST_Y_CHROMA": [18, 59, 63],
+    "SB_CODED_FLAG_LUMA": [44, 114],
+    "SB_CODED_FLAG_CHROMA": [64, 64],
+    "SIG_LUMA": [15, 44, 68, 86, 7, 44, 73, 95, 35, 76, 84, 107],
+    "SIG_CHROMA": [58, 67, 65, 64, 58, 72, 67, 66],
+    "GT1_LUMA": [17, 25, 39, 44, 65, 25, 39, 52, 66, 86, 49, 59, 68, 71, 71, 64],
+    "GT1_CHROMA": [55, 63, 65, 65, 66],
+    "PAR_LUMA": [35, 35, 43, 50, 45, 47, 51, 50, 62, 54, 42, 50, 51, 61, 57, 64],
+    "PAR_CHROMA": [46, 60, 62, 63, 64],
+    "GT3_LUMA": [25, 27, 34, 34, 34, 40, 41, 56, 65, 74, 40, 40, 48, 52, 64, 64],
+    "GT3_CHROMA": [48, 59, 63, 62, 61],
+}
+
 class CtxRef:
     """View of one context inside the shared state array; implements the
     same interface as engine.ContextModel."""
@@ -108,10 +145,13 @@ class SliceContexts:
 
     def __init__(self, slice_qp: int = 32):
         self.states = np.empty((_TOTAL, 4), dtype=np.int32)
-        # placeholder uniform init (state 64 → p=0.5); qp-dependent spec
-        # init tables slot in here [verify]
-        self.states[:, 0] = 64 << 8
-        self.states[:, 1] = 64 << 8
+        # data-driven init (qp-dependent spec init tables slot in [verify])
+        for name, count in CTX_SETS:
+            vals = INIT_STATES.get(name, [64] * count)
+            off = _OFFSETS[name]
+            for i in range(count):
+                self.states[off + i, 0] = vals[i] << 8
+                self.states[off + i, 1] = vals[i] << 8
         self.states[:, 2] = RATE0
         self.states[:, 3] = RATE1
 
