@@ -65,15 +65,52 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False) -> Frame:
     from vvc.enc.encoder import tile_columns  # shared tile geometry
 
     tiles = tile_columns(pps.num_tile_cols, sps.width, sps.ctu_size)
-    n_ctus = (-(-sps.width // sps.ctu_size)) * (-(-sps.height // sps.ctu_size))
+    n_rows = -(-sps.height // sps.ctu_size)
+    n_sub = n_rows if pps.wpp else len(tiles)
+    n_ctus = (-(-sps.width // sps.ctu_size)) * n_rows
     sh, substreams, alf_hdr = parse_slice_header(
-        rbsp, pps.init_qp, len(tiles), alf_enabled=sps.alf, n_ctus=n_ctus)
+        rbsp, pps.init_qp, n_sub, alf_enabled=sps.alf, n_ctus=n_ctus)
     recon = (np.zeros((sps.height, sps.width), dtype=np.int32),
              np.zeros((sps.height // 2, sps.width // 2), dtype=np.int32),
              np.zeros((sps.height // 2, sps.width // 2), dtype=np.int32))
     all_leaves = []
 
     sao_params = {}
+
+    def do_wpp_rows():
+        from vvc.cabac.sao_syntax import read_sao_params
+        state = CodingState(sps.width, sps.height)
+        leaves = []
+        inherit = None
+        for r, cy in enumerate(range(0, sps.height, sps.ctu_size)):
+            ctxs = SliceContexts(sh.qp)
+            if inherit is not None:
+                ctxs.states[:] = inherit
+            dec = (native_packer.NativeBinDecoder(substreams[r], ctxs)
+                   if native_packer.available()
+                   else BinDecoder(substreams[r]))
+            reader = TreeReader(dec, ctxs, state, sps.width, sps.height,
+                                sps.ctu_size, sps.min_cu_size,
+                                mts_enabled=sps.mts_intra,
+                                cclm_enabled=sps.cclm)
+            first = True
+            for cx in range(0, sps.width, sps.ctu_size):
+                if sps.sao:
+                    sao_params[(cx, cy)] = read_sao_params(dec, ctxs)
+                reader.read_ctu(cx, cy)
+                if first:
+                    inherit = ctxs.states.copy()
+                    first = False
+            assert dec.decode_bin_trm() == 1, "row substream termination"
+            leaves.extend(reader.leaves)
+        if wavefront:
+            from vvc.dec.wavefront import reconstruct_leaves_wavefront
+            reconstruct_leaves_wavefront(leaves, recon, sh.qp,
+                                         sps.bit_depth, sps.lossless)
+        else:
+            reconstruct_leaves(leaves, recon, sh.qp, sps.bit_depth,
+                               lossless=sps.lossless)
+        return leaves
 
     def do_tile(i):
         from vvc.cabac.sao_syntax import read_sao_params
@@ -105,7 +142,9 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False) -> Frame:
                                lossless=sps.lossless)
         return reader.leaves, local_sao
 
-    if len(tiles) > 1:
+    if pps.wpp:
+        all_leaves.extend(do_wpp_rows())
+    elif len(tiles) > 1:
         import concurrent.futures
         with concurrent.futures.ThreadPoolExecutor(len(tiles)) as ex:
             for leaves, ls in ex.map(do_tile, range(len(tiles))):

@@ -99,6 +99,40 @@ class Encoder:
                            orig_planes=(frame.y, frame.cb, frame.cr),
                            lossless=sps.lossless)
 
+    def _entropy_rows_wpp(self, split_map, leaf_map, qp, sao_params):
+        """WPP (sps_entropy_coding_sync, SURVEY.md §2.7 P-2): one CABAC
+        substream per CTU row; row r+1's contexts initialize from a
+        snapshot of row r's state taken after its first CTU — the 1-CTU
+        stagger that lets rows encode/decode in parallel.  Spatial
+        prediction still crosses rows (unlike tiles), so syntax state and
+        reconstruction stay frame-wide."""
+        from vvc.cabac.sao_syntax import write_sao_params
+        sps = self.sps
+        state = CodingState(sps.width, sps.height)   # shared across rows
+        inherit = None
+        substreams = []
+        for cy in range(0, sps.height, sps.ctu_size):
+            ctxs = SliceContexts(qp)
+            if inherit is not None:
+                ctxs.states[:] = inherit
+            enc = (native_packer.NativeBinEncoder(ctxs)
+                   if native_packer.available() else BinEncoder())
+            writer = TreeWriter(enc, ctxs, state, sps.width, sps.height,
+                                split_map, leaf_map, sps.ctu_size,
+                                sps.min_cu_size, mts_enabled=sps.mts_intra,
+                                cclm_enabled=sps.cclm)
+            first = True
+            for cx in range(0, sps.width, sps.ctu_size):
+                if sao_params is not None:
+                    write_sao_params(enc, ctxs, sao_params[(cx, cy)])
+                writer.write_ctu(cx, cy)
+                if first:
+                    inherit = ctxs.states.copy()
+                    first = False
+            enc.encode_bin_trm(1)
+            substreams.append(enc.finish())
+        return substreams
+
     def _entropy_tile(self, split_map, leaf_map, tx0, tx1, qp, sao_params):
         from vvc.cabac.sao_syntax import write_sao_params
         sps = self.sps
@@ -185,17 +219,22 @@ class Encoder:
                        flag_list if luma_c is not None else None,
                        chroma_c if chroma_c is not None else None)
 
-        # phase 4: entropy per tile (parallel, native packer releases GIL)
-        def entropy_tile(i):
-            tx0, tx1 = tiles[i]
-            return self._entropy_tile(split_map, leaf_map, tx0, tx1, qp,
-                                      sao_params)
-
-        if self.parallel_tiles and len(tiles) > 1:
-            with concurrent.futures.ThreadPoolExecutor(len(tiles)) as ex:
-                substreams = list(ex.map(entropy_tile, range(len(tiles))))
+        # phase 4: entropy — WPP row substreams or per-tile (parallel)
+        if pps.wpp:
+            assert len(tiles) == 1, "tiles+WPP combination lands later"
+            substreams = self._entropy_rows_wpp(split_map, leaf_map, qp,
+                                                sao_params)
         else:
-            substreams = [entropy_tile(i) for i in range(len(tiles))]
+            def entropy_tile(i):
+                tx0, tx1 = tiles[i]
+                return self._entropy_tile(split_map, leaf_map, tx0, tx1, qp,
+                                          sao_params)
+
+            if self.parallel_tiles and len(tiles) > 1:
+                with concurrent.futures.ThreadPoolExecutor(len(tiles)) as ex:
+                    substreams = list(ex.map(entropy_tile, range(len(tiles))))
+            else:
+                substreams = [entropy_tile(i) for i in range(len(tiles))]
 
         sh = SliceHeader(pps.pps_id, SliceType.I, poc, qp)
         header = write_slice_header(sh, pps.init_qp,
@@ -218,14 +257,14 @@ class Encoder:
 
 def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
                     num_tile_cols: int = 1, lossless: bool = False,
-                    parallel_tiles: bool = True):
+                    parallel_tiles: bool = True, wpp: bool = False):
     """Encode frames (list of Frame) All-Intra → (annexb bytes, recons, stats)."""
     h, w = frames[0].y.shape
     sps = SPS(width=w, height=h, bit_depth=bit_depth,
               deblocking=not lossless, mts_intra=not lossless,
               sao=not lossless, alf=not lossless, cclm=not lossless,
               lossless=lossless)
-    pps = PPS(init_qp=qp, num_tile_cols=num_tile_cols)
+    pps = PPS(init_qp=qp, num_tile_cols=num_tile_cols, wpp=wpp)
     enc = Encoder(sps, pps, parallel_tiles)
     nals = [NalUnit(NalUnitType.SPS, write_sps(sps)),
             NalUnit(NalUnitType.PPS, write_pps(pps))]

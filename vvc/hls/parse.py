@@ -33,7 +33,8 @@ def parse_pps(rbsp: bytes) -> PPS:
     cr_off = br.read_se()
     cols = br.read_ue() + 1
     rows = br.read_ue() + 1
-    return PPS(pps_id, sps_id, init_qp, cb_off, cr_off, cols, rows)
+    wpp = bool(br.read_flag())
+    return PPS(pps_id, sps_id, init_qp, cb_off, cr_off, cols, rows, wpp)
 
 
 def parse_slice_header(rbsp: bytes, init_qp: int, num_tiles: int = 1,

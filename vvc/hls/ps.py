@@ -50,6 +50,7 @@ class PPS:
     cr_qp_offset: int = 0
     num_tile_cols: int = 1
     num_tile_rows: int = 1
+    wpp: bool = False  # entropy_coding_sync (WPP row substreams)
 
 
 @dataclasses.dataclass

@@ -39,6 +39,7 @@ def write_pps(pps: PPS) -> bytes:
     bw.write_se(pps.cr_qp_offset)
     bw.write_ue(pps.num_tile_cols - 1)
     bw.write_ue(pps.num_tile_rows - 1)
+    bw.write_flag(pps.wpp)
     bw.byte_align()
     return bw.get_bytes()
 
