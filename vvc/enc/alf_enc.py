@@ -12,21 +12,22 @@ from __future__ import annotations
 
 import numpy as np
 
-from vvc.kernels.alf import pair_features, alf_delta, diamond_pairs, ALF_SHIFT
+from vvc.kernels.alf import pair_features, alf_delta, ALF_SHIFT
 from vvc.enc.rdo import rd_lambda
 
 MAX_COEFF = 127  # 7-bit signed (reference coefficient range)
 
 
-def derive_alf_coeffs(orig: np.ndarray, rec: np.ndarray, radius: int):
+def derive_alf_coeffs(orig: np.ndarray, rec: np.ndarray, radius: int,
+                      feats=None):
     """Least-squares filter coefficients (int, 1<<7 scale), or None if the
     system is degenerate."""
-    f = pair_features(rec, radius).astype(np.float64)
+    f = feats if feats is not None else pair_features(rec, radius)
     n = f.shape[0]
-    fm = f.reshape(n, -1)
-    t = (orig.astype(np.float64) - rec).reshape(-1)
-    a = fm @ fm.T
-    b = fm @ t
+    fm = f.reshape(n, -1).astype(np.float32)
+    t = (orig - rec).reshape(-1).astype(np.float32)
+    a = (fm @ fm.T).astype(np.float64)
+    b = (fm @ t).astype(np.float64)
     try:
         c = np.linalg.solve(a + np.eye(n) * 1e-3, b)
     except np.linalg.LinAlgError:
@@ -45,11 +46,12 @@ def decide_alf_frame(orig_planes, recon_planes, qp: int, bit_depth: int,
     lam = rd_lambda(qp)
     o, r = orig_planes[0], recon_planes[0]
     h, w = o.shape
-    coeffs = derive_alf_coeffs(o, r, 3)
+    feats = pair_features(r, 3)
+    coeffs = derive_alf_coeffs(o, r, 3, feats)
     flags = {}
     luma = None
     if coeffs is not None:
-        delta = alf_delta(r, coeffs, 3)
+        delta = alf_delta(r, coeffs, 3, feats)
         filtered_err = (o.astype(np.int64) - np.clip(r + delta, 0, (1 << bit_depth) - 1)) ** 2
         plain_err = (o.astype(np.int64) - r) ** 2
         total_gain = 0.0

@@ -54,27 +54,36 @@ def _hash_sei_payload(planes, bit_depth: int = 8) -> bytes:
 def _decide_chroma_modes(leaves, frame, bit_depth: int):
     """Per-leaf DM-vs-CCLM decision on *original* samples (the same
     approximation the RDO search uses; reconstruction then executes the
-    chosen mode exactly).  Reference: IntraSearch::estIntraPredChromaQT."""
+    chosen mode exactly).  Reference: IntraSearch::estIntraPredChromaQT.
+
+    DM costs come from one batched 67-mode prediction per (size, plane)
+    group (vvc.kernels.intra); CCLM costs from the vectorized model."""
     from vvc.kernels.cclm import luma_ds_plane, predict_cclm
-    from vvc.kernels.intra import build_ref_line, predict_intra
+    from vvc.kernels.intra import predict_modes_np, build_ref_lines_orig_np
 
     ds = luma_ds_plane(frame.y)
     ch, cw = frame.cb.shape
     all_coded = np.ones(((ch + 3) >> 2, (cw + 3) >> 2), dtype=bool)
-    for leaf in leaves:
-        cs = leaf.size >> 1
-        cx, cy = leaf.x0 >> 1, leaf.y0 >> 1
-        ob = frame.cb[cy:cy + cs, cx:cx + cs].astype(np.int64)
-        orr = frame.cr[cy:cy + cs, cx:cx + cs].astype(np.int64)
-        cost_dm = 0.0
-        cost_lm = 0.0
-        for plane, oblk in ((frame.cb, ob), (frame.cr, orr)):
-            c = build_ref_line(plane, all_coded, cx, cy, cs, bit_depth)
-            pdm = predict_intra(c, leaf.luma_mode, cs, bit_depth)
-            plm = predict_cclm(ds, plane, all_coded, cx, cy, cs, bit_depth)
-            cost_dm += float(((oblk - pdm) ** 2).sum())
-            cost_lm += float(((oblk - plm) ** 2).sum())
-        leaf.chroma_mode = 1 if cost_lm < cost_dm else 0
+    by_size = {}
+    for i, leaf in enumerate(leaves):
+        by_size.setdefault(leaf.size >> 1, []).append(i)
+    cost_dm = np.zeros(len(leaves))
+    cost_lm = np.zeros(len(leaves))
+    for cs, idxs in by_size.items():
+        xs = np.array([leaves[i].x0 >> 1 for i in idxs], dtype=np.int32)
+        ys = np.array([leaves[i].y0 >> 1 for i in idxs], dtype=np.int32)
+        modes = np.array([leaves[i].luma_mode for i in idxs])
+        for plane in (frame.cb, frame.cr):
+            refs = build_ref_lines_orig_np(plane, xs, ys, cs, bit_depth)
+            pdm = predict_modes_np(refs, modes, cs, bit_depth)
+            for k, i in enumerate(idxs):
+                ob = plane[ys[k]:ys[k] + cs, xs[k]:xs[k] + cs].astype(np.int64)
+                cost_dm[i] += float(((ob - pdm[k]) ** 2).sum())
+                plm = predict_cclm(ds, plane, all_coded, int(xs[k]),
+                                   int(ys[k]), cs, bit_depth)
+                cost_lm[i] += float(((ob - plm) ** 2).sum())
+    for i, leaf in enumerate(leaves):
+        leaf.chroma_mode = 1 if cost_lm[i] < cost_dm[i] else 0
 
 
 def tile_columns(num_cols: int, width: int, ctu_size: int):

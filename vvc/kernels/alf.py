@@ -53,27 +53,33 @@ def _shift(plane: np.ndarray, dy: int, dx: int) -> np.ndarray:
 
 
 def pair_features(rec: np.ndarray, radius: int) -> np.ndarray:
-    """[n_pairs, H, W] difference features (n_a + n_b − 2·curr)."""
+    """[n_pairs, H, W] difference features (n_a + n_b − 2·curr), int32
+    (|f| ≤ 2·(2^bd−1) < 2^31 and c·f sums stay within int32·? → accumulate
+    in int64 where needed)."""
+    r32 = rec.astype(np.int32)
     feats = []
     for (ady, adx), (bdy, bdx) in diamond_pairs(radius):
-        feats.append(_shift(rec, ady, adx).astype(np.int64)
-                     + _shift(rec, bdy, bdx) - 2 * rec.astype(np.int64))
+        feats.append(_shift(r32, ady, adx) + _shift(r32, bdy, bdx) - 2 * r32)
     return np.stack(feats)
 
 
-def alf_delta(rec: np.ndarray, coeffs, radius: int) -> np.ndarray:
+def alf_delta(rec: np.ndarray, coeffs, radius: int,
+              feats: np.ndarray | None = None) -> np.ndarray:
     """Integer filter delta for the whole plane (before CTU gating)."""
-    acc = np.full(rec.shape, 1 << (ALF_SHIFT - 1), dtype=np.int64)
-    for c, feat in zip(coeffs, pair_features(rec, radius)):
-        acc += int(c) * feat
+    if feats is None:
+        feats = pair_features(rec, radius)
+    c = np.asarray(coeffs, dtype=np.int64)
+    acc = np.tensordot(c, feats.astype(np.int64), axes=1)
+    acc += 1 << (ALF_SHIFT - 1)
     return (acc >> ALF_SHIFT).astype(np.int32)
 
 
 def apply_alf_plane(plane: np.ndarray, coeffs, radius: int, bit_depth: int,
-                    ctu_flags=None, ctu_size: int = 0):
+                    ctu_flags=None, ctu_size: int = 0, delta=None):
     """Apply ALF in place; ctu_flags {(x0,y0): bool} gates per-CTU regions
     (None → whole plane)."""
-    delta = alf_delta(plane, coeffs, radius)
+    if delta is None:
+        delta = alf_delta(plane, coeffs, radius)
     maxv = (1 << bit_depth) - 1
     if ctu_flags is None:
         plane[:] = np.clip(plane + delta, 0, maxv)

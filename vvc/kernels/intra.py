@@ -209,6 +209,115 @@ def _stacked_tables(size: int):
     return idx, idx2, fact
 
 
+def predict_all_modes_batch_np(c_batch: np.ndarray, size: int,
+                               bit_depth: int = 8) -> np.ndarray:
+    """Numpy twin of predict_all_modes_batch (identical integer semantics,
+    no device/compile involvement) — used by host-side decision heuristics."""
+    s = size
+    log2s = int(np.log2(s))
+    n = c_batch.shape[0]
+    idx, idx2, fact = _stacked_tables(size)
+    left = c_batch[:, 2 * s - 1::-1]
+    top = c_batch[:, 2 * s + 1:4 * s + 1]
+    xs = np.arange(s)
+    ys = np.arange(s)
+    below_left = left[:, s][:, None, None]
+    above_right = top[:, s][:, None, None]
+    pred_v = ((s - 1 - ys)[None, :, None] * top[:, None, :s]
+              + (ys + 1)[None, :, None] * below_left) << log2s
+    pred_h = ((s - 1 - xs)[None, None, :] * left[:, :s, None]
+              + (xs + 1)[None, None, :] * above_right) << log2s
+    planar = (pred_v + pred_h + s * s) >> (2 * log2s + 1)
+    dc = (np.sum(top[:, :s], axis=1) + np.sum(left[:, :s], axis=1) + s) >> (log2s + 1)
+    dc_pred = np.broadcast_to(dc[:, None, None], (n, s, s)).copy()
+    scale = (2 * log2s - 2) >> 2
+    wl = (32 >> np.minimum(31, (2 * xs) >> scale))[None, None, :]
+    wt = (32 >> np.minimum(31, (2 * ys) >> scale))[None, :, None]
+    lcol = left[:, :s, None]
+    trow = top[:, None, :s]
+
+    def pdpc(p):
+        return (wl * lcol + wt * trow + (64 - wl - wt) * p + 32) >> 6
+
+    planar = pdpc(planar)
+    dc_pred = pdpc(dc_pred)
+    gv1 = c_batch[:, idx]
+    gv2 = c_batch[:, idx2]
+    pv = ((32 - fact)[None] * gv1 + fact[None] * gv2 + 16) >> 5
+    ct = c_batch[:, 4 * s::-1]
+    ct = np.concatenate([ct, ct[:, -1:], ct[:, -1:]], axis=1)
+    gh1 = ct[:, idx]
+    gh2 = ct[:, idx2]
+    ph = (((32 - fact)[None] * gh1 + fact[None] * gh2 + 16) >> 5).transpose(0, 1, 3, 2)
+    hm = ph[:, np.arange(32, 0, -1)]
+    out = np.concatenate([planar[:, None], dc_pred[:, None], hm, pv], axis=1)
+    return np.clip(out, 0, (1 << bit_depth) - 1).astype(np.int32)
+
+
+def predict_modes_np(c_batch: np.ndarray, modes: np.ndarray, size: int,
+                     bit_depth: int = 8) -> np.ndarray:
+    """Per-block single-mode prediction [N,S,S] (numpy, no device) — the
+    mode-selected slice of predict_all_modes_batch_np without materializing
+    all 67 clipped planes."""
+    s = size
+    n = c_batch.shape[0]
+    out = np.empty((n, s, s), dtype=np.int64)
+    # group by mode for table reuse
+    order = np.argsort(modes, kind="stable")
+    k = 0
+    while k < n:
+        m = modes[order[k]]
+        j = k
+        while j < n and modes[order[j]] == m:
+            j += 1
+        sel = order[k:j]
+        cb = c_batch[sel]
+        if m == PLANAR_IDX or m == DC_IDX:
+            full = predict_all_modes_batch_np(cb, s, bit_depth)
+            out[sel] = full[:, m]
+            k = j
+            continue
+        if m >= DIA_IDX:
+            idx, idx2, fact = angular_tables(s, int(m))
+            g1 = cb[:, idx]
+            g2 = cb[:, idx2]
+            out[sel] = ((32 - fact) * g1 + fact * g2 + 16) >> 5
+        else:
+            idx, idx2, fact = angular_tables(s, 68 - int(m))
+            ct = cb[:, 4 * s::-1]
+            ct = np.concatenate([ct, ct[:, -1:], ct[:, -1:]], axis=1)
+            g1 = ct[:, idx]
+            g2 = ct[:, idx2]
+            out[sel] = (((32 - fact) * g1 + fact * g2 + 16) >> 5).transpose(0, 2, 1)
+        k = j
+    return np.clip(out, 0, (1 << bit_depth) - 1).astype(np.int32)
+
+
+def build_ref_lines_orig_np(plane: np.ndarray, xs: np.ndarray, ys: np.ndarray,
+                            size: int, bit_depth: int) -> np.ndarray:
+    """Numpy ref lines from original samples (clamp availability) — host
+    twin of vvc.enc.rdo.build_ref_lines_device."""
+    h, w = plane.shape
+    s = size
+    mid = 1 << (bit_depth - 1)
+    k = np.arange(2 * s)
+    lx = np.clip(xs - 1, 0, w - 1)
+    lyy = np.clip(ys[:, None] + k[None, :], 0, h - 1)
+    left = plane[lyy, lx[:, None]]
+    ty = np.clip(ys - 1, 0, h - 1)
+    txx = np.clip(xs[:, None] + k[None, :], 0, w - 1)
+    top = plane[ty[:, None], txx]
+    corner = plane[ty, lx]
+    top = np.where((ys > 0)[:, None], top,
+                   np.where((xs > 0)[:, None], left[:, :1], mid))
+    corner = np.where(ys > 0, corner, np.where(xs > 0, left[:, 0], mid))
+    left = np.where((xs > 0)[:, None], left,
+                    np.where((ys > 0)[:, None], top[:, :1], mid))
+    return np.concatenate(
+        [left[:, ::-1], corner[:, None], top, top[:, -1:], top[:, -1:]],
+        axis=1).astype(np.int32)
+
+
 def predict_all_modes_batch(c_batch: jax.Array, size: int, bit_depth: int = 8) -> jax.Array:
     """[N, 4S+3] reference lines → [N, 67, S, S] predictions for all modes.
 
