@@ -58,7 +58,7 @@ def _decide_chroma_modes(leaves, frame, bit_depth: int):
 
     DM costs come from one batched 67-mode prediction per (size, plane)
     group (vvc.kernels.intra); CCLM costs from the vectorized model."""
-    from vvc.kernels.cclm import luma_ds_plane, predict_cclm
+    from vvc.kernels.cclm import luma_ds_plane
     from vvc.kernels.intra import predict_modes_np, build_ref_lines_orig_np
 
     ds = luma_ds_plane(frame.y)
@@ -67,21 +67,33 @@ def _decide_chroma_modes(leaves, frame, bit_depth: int):
     by_size = {}
     for i, leaf in enumerate(leaves):
         by_size.setdefault(leaf.size >> 1, []).append(i)
+    by_size = {k: np.asarray(v) for k, v in by_size.items()}
     cost_dm = np.zeros(len(leaves))
     cost_lm = np.zeros(len(leaves))
+    from vvc.kernels.cclm import gather_model_points, derive_model
+
     for cs, idxs in by_size.items():
         xs = np.array([leaves[i].x0 >> 1 for i in idxs], dtype=np.int32)
         ys = np.array([leaves[i].y0 >> 1 for i in idxs], dtype=np.int32)
         modes = np.array([leaves[i].luma_mode for i in idxs])
+        oy = np.arange(cs)
+        # batched block extraction [N, cs, cs]
+        ds_blocks = ds[ys[:, None, None] + oy[None, :, None],
+                       xs[:, None, None] + oy[None, None, :]].astype(np.int64)
         for plane in (frame.cb, frame.cr):
             refs = build_ref_lines_orig_np(plane, xs, ys, cs, bit_depth)
             pdm = predict_modes_np(refs, modes, cs, bit_depth)
-            for k, i in enumerate(idxs):
-                ob = plane[ys[k]:ys[k] + cs, xs[k]:xs[k] + cs].astype(np.int64)
-                cost_dm[i] += float(((ob - pdm[k]) ** 2).sum())
-                plm = predict_cclm(ds, plane, all_coded, int(xs[k]),
-                                   int(ys[k]), cs, bit_depth)
-                cost_lm[i] += float(((ob - plm) ** 2).sum())
+            obs = plane[ys[:, None, None] + oy[None, :, None],
+                        xs[:, None, None] + oy[None, None, :]].astype(np.int64)
+            cost_dm[idxs] += ((obs - pdm) ** 2).sum(axis=(1, 2))
+            # per-leaf model derivation (cheap), vectorized prediction
+            ab = np.array([derive_model(
+                gather_model_points(ds, plane, all_coded, int(xs[k]),
+                                    int(ys[k]), cs), bit_depth)
+                for k in range(len(idxs))], dtype=np.int64)
+            plm = ((ab[:, 0:1, None] * ds_blocks) >> 13) + ab[:, 1:2, None]
+            plm = np.clip(plm, 0, (1 << bit_depth) - 1)
+            cost_lm[idxs] += ((obs - plm) ** 2).sum(axis=(1, 2))
     for i, leaf in enumerate(leaves):
         leaf.chroma_mode = 1 if cost_lm[i] < cost_dm[i] else 0
 
