@@ -68,8 +68,9 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False) -> Frame:
     n_rows = -(-sps.height // sps.ctu_size)
     n_sub = n_rows if pps.wpp else len(tiles)
     n_ctus = (-(-sps.width // sps.ctu_size)) * n_rows
-    sh, substreams, alf_hdr = parse_slice_header(
-        rbsp, pps.init_qp, n_sub, alf_enabled=sps.alf, n_ctus=n_ctus)
+    sh, substreams, alf_hdr, lmcs_cw = parse_slice_header(
+        rbsp, pps.init_qp, n_sub, alf_enabled=sps.alf, n_ctus=n_ctus,
+        lmcs_enabled=sps.lmcs)
     recon = (np.zeros((sps.height, sps.width), dtype=np.int32),
              np.zeros((sps.height // 2, sps.width // 2), dtype=np.int32),
              np.zeros((sps.height // 2, sps.width // 2), dtype=np.int32))
@@ -154,6 +155,13 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False) -> Frame:
         leaves, ls = do_tile(0)
         all_leaves.extend(leaves)
         sao_params.update(ls)
+
+    # LMCS: reconstruction happened in the mapped luma domain; inverse-map
+    # before the in-loop filters (reference domain layout, Reshape.cpp)
+    if sps.lmcs and lmcs_cw is not None:
+        from vvc.kernels.lmcs import build_luts, map_plane
+        _, inv_lut = build_luts(lmcs_cw, sps.bit_depth)
+        recon[0][:] = map_plane(recon[0], inv_lut)
 
     # in-loop filters (reference: DecLib::executeLoopFilters order)
     if sps.deblocking:

@@ -182,11 +182,22 @@ class Encoder:
         qp = pps.init_qp
         bd = sps.bit_depth
 
+        lmcs_cw = None
+        src = frame
+        if sps.lmcs and not sps.lossless:
+            # forward-map luma; the whole search/recon pipeline then runs in
+            # the mapped domain (reference: Reshape.cpp domain layout)
+            from vvc.kernels.lmcs import derive_codewords, build_luts, map_plane
+            lmcs_cw = derive_codewords(frame.y, bd)
+            fwd_lut, self._inv_lut = build_luts(lmcs_cw, bd)
+            src = Frame(map_plane(frame.y, fwd_lut), frame.cb, frame.cr, bd)
+            rdo_result = None  # precomputed RDO used the unmapped domain
+
         split_map, leaf_map, leaves = rdo_result if rdo_result is not None \
-            else rdo_partition(frame.y, qp, bd, sps.ctu_size, sps.min_cu_size,
+            else rdo_partition(src.y, qp, bd, sps.ctu_size, sps.min_cu_size,
                                lossless=sps.lossless)
         if sps.cclm:
-            _decide_chroma_modes(leaves, frame, bd)
+            _decide_chroma_modes(leaves, src, bd)
 
         tiles = tile_columns(pps.num_tile_cols, sps.width, sps.ctu_size)
         recon = (np.zeros_like(frame.y), np.zeros_like(frame.cb),
@@ -197,7 +208,7 @@ class Encoder:
         # phase 1: reconstruction per tile (availability maps are per-call,
         # so tiles are isolated and parallel)
         def recon_tile(i):
-            self._recon_tile(frame, recon, leaves_per_tile[i], qp)
+            self._recon_tile(src, recon, leaves_per_tile[i], qp)
 
         if self.parallel_tiles and len(tiles) > 1:
             with concurrent.futures.ThreadPoolExecutor(len(tiles)) as ex:
@@ -205,6 +216,11 @@ class Encoder:
         else:
             for i in range(len(tiles)):
                 recon_tile(i)
+
+        # LMCS inverse map precedes the loop filters (original domain)
+        if lmcs_cw is not None:
+            from vvc.kernels.lmcs import map_plane
+            recon[0][:] = map_plane(recon[0], self._inv_lut)
 
         # phase 2+3: in-loop filters (reference order: deblock → SAO)
         tile_bx = tuple(t[0] for t in tiles[1:])
@@ -260,7 +276,8 @@ class Encoder:
         sh = SliceHeader(pps.pps_id, SliceType.I, poc, qp)
         header = write_slice_header(sh, pps.init_qp,
                                     entry_sizes=[len(s) for s in substreams],
-                                    alf=alf_hdr if sps.alf else None)
+                                    alf=alf_hdr if sps.alf else None,
+                                    lmcs_cw=lmcs_cw if sps.lmcs else None)
         slice_rbsp = header + b"".join(substreams)
         nals = [NalUnit(NalUnitType.IDR_N_LP, slice_rbsp),
                 NalUnit(NalUnitType.SUFFIX_SEI, _hash_sei_payload(recon, bd))]
@@ -278,13 +295,14 @@ class Encoder:
 
 def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
                     num_tile_cols: int = 1, lossless: bool = False,
-                    parallel_tiles: bool = True, wpp: bool = False):
+                    parallel_tiles: bool = True, wpp: bool = False,
+                    lmcs: bool = False):
     """Encode frames (list of Frame) All-Intra → (annexb bytes, recons, stats)."""
     h, w = frames[0].y.shape
     sps = SPS(width=w, height=h, bit_depth=bit_depth,
               deblocking=not lossless, mts_intra=not lossless,
               sao=not lossless, alf=not lossless, cclm=not lossless,
-              lossless=lossless)
+              lmcs=lmcs and not lossless, lossless=lossless)
     pps = PPS(init_qp=qp, num_tile_cols=num_tile_cols, wpp=wpp)
     enc = Encoder(sps, pps, parallel_tiles)
     nals = [NalUnit(NalUnitType.SPS, write_sps(sps)),

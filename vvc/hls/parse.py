@@ -38,14 +38,20 @@ def parse_pps(rbsp: bytes) -> PPS:
 
 
 def parse_slice_header(rbsp: bytes, init_qp: int, num_tiles: int = 1,
-                       alf_enabled: bool = False, n_ctus: int = 0):
-    """Returns (SliceHeader, [tile substream bytes, ...], alf) where alf =
-    (luma_coeffs|None, ctu_flag_list|None, chroma_coeffs|None) or None."""
+                       alf_enabled: bool = False, n_ctus: int = 0,
+                       lmcs_enabled: bool = False):
+    """Returns (SliceHeader, [tile substream bytes, ...], alf, lmcs_cw)
+    where alf = (luma_coeffs|None, ctu_flag_list|None, chroma_coeffs|None)
+    or None and lmcs_cw = 16 codeword counts or None."""
     br = BitReader(rbsp)
     pps_id = br.read(6)
     stype = br.read_ue()
     poc = br.read(16)
     qp = br.read_se() + init_qp
+    lmcs_cw = None
+    if lmcs_enabled:
+        if br.read_flag():
+            lmcs_cw = [br.read_ue() for _ in range(16)]
     alf = None
     if alf_enabled:
         luma = flags = chroma = None
@@ -64,4 +70,4 @@ def parse_slice_header(rbsp: bytes, init_qp: int, num_tiles: int = 1,
         subs.append(payload[off:off + sz])
         off += sz
     subs.append(payload[off:])
-    return SliceHeader(pps_id, stype, poc, qp), subs, alf
+    return SliceHeader(pps_id, stype, poc, qp), subs, alf, lmcs_cw

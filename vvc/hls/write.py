@@ -45,7 +45,7 @@ def write_pps(pps: PPS) -> bytes:
 
 
 def write_slice_header(sh: SliceHeader, init_qp: int,
-                       entry_sizes=None, alf=None) -> bytes:
+                       entry_sizes=None, alf=None, lmcs_cw=None) -> bytes:
     """Slice header RBSP bits (byte-aligned); CABAC payload is appended by
     the caller (slice_data starts at a byte boundary, spec 7.3.7).
 
@@ -59,6 +59,11 @@ def write_slice_header(sh: SliceHeader, init_qp: int,
     bw.write_ue(sh.slice_type)
     bw.write(sh.poc & 0xFFFF, 16)
     bw.write_se(sh.qp - init_qp)
+    if lmcs_cw is not None:
+        bw.write_flag(bool(lmcs_cw[0] is not None) if isinstance(lmcs_cw, tuple)
+                      else True)
+        for c in (lmcs_cw if not isinstance(lmcs_cw, tuple) else lmcs_cw[0] or []):
+            bw.write_ue(int(c))
     if alf is not None:
         luma, flags, chroma = alf
         bw.write_flag(luma is not None)
