@@ -77,3 +77,18 @@ def test_parcat(tmp_path):
     assert len(frames) == 2
     assert (frames[0].y == rec0[0].y).all()
     assert (frames[1].y == rec1[0].y).all()
+
+
+def test_parcat_mixed_qp_segments():
+    """Segments with different PPS content must keep their parameter sets
+    through concatenation (regression: parcat dropped all non-first PS)."""
+    from vvc.cli.parcat import concat
+    from vvc.enc.encoder import encode_sequence
+    from vvc.dec.decoder import decode_stream
+    s0, r0, _ = encode_sequence([synth_frame(64, 64, 0)], qp=35)
+    s1, r1, _ = encode_sequence([synth_frame(64, 64, 1)], qp=30)
+    frames, info = decode_stream(concat([s0, s1]))
+    assert len(frames) == 2
+    assert all(info["hash_ok"])
+    assert (frames[0].y == r0[0].y).all()
+    assert (frames[1].y == r1[0].y).all()

@@ -19,15 +19,19 @@ from vvc.io.nal import read_annexb, write_annexb
 
 
 def concat(segments: list) -> bytes:
+    """Concatenate segments; parameter sets repeat unless byte-identical to
+    the currently active one (segments encoded with different QP/tiling
+    carry different PPS content — dropping those would make later slices
+    decode against the wrong parameter set)."""
     nals = []
-    seen_ps = False
+    active = {}
     for data in segments:
         for nal in read_annexb(data):
             if nal.nal_type in (NalUnitType.SPS, NalUnitType.PPS):
-                if seen_ps:
+                if active.get(nal.nal_type) == nal.payload:
                     continue
+                active[nal.nal_type] = nal.payload
             nals.append(nal)
-        seen_ps = True
     return write_annexb(nals)
 
 
