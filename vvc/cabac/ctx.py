@@ -49,6 +49,16 @@ CTX_SETS = [
     ("PAR_CHROMA", 5),
     ("GT3_LUMA", 16),
     ("GT3_CHROMA", 5),
+    # inter syntax families (S4; appended to keep existing offsets stable)
+    ("CU_SKIP_FLAG", 3),
+    ("PRED_MODE", 2),
+    ("MERGE_FLAG", 1),
+    ("MERGE_IDX", 1),
+    ("INTER_DIR", 6),
+    ("REF_IDX", 2),
+    ("MVP_FLAG", 1),
+    ("MVD", 2),
+    ("ROOT_CBF", 1),
 ]
 
 _OFFSETS = {}

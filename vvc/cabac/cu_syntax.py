@@ -60,6 +60,28 @@ def mpm_list(left_mode: int, above_mode: int):
     return [PLANAR_IDX] + lst
 
 
+def _eg_write(enc, v: int, k: int):
+    """Exp-Golomb order-k, bypass bins (reference: BinEncoder
+    encodeRemAbsEP / xWriteEpExGolomb shape)."""
+    while v >= (1 << k):
+        enc.encode_bin_ep(1)
+        v -= 1 << k
+        k += 1
+    enc.encode_bin_ep(0)
+    if k:
+        enc.encode_bins_ep(v, k)
+
+
+def _eg_read(dec, k: int) -> int:
+    v = 0
+    while dec.decode_bin_ep():
+        v += 1 << k
+        k += 1
+    if k:
+        v += dec.decode_bins_ep(k)
+    return v
+
+
 def _tb_write(enc, x: int, n: int):
     """Truncated binary code (spec 9.3.3.7), bypass bins."""
     k = (n).bit_length() - 1
@@ -85,7 +107,8 @@ class TreeCoder:
 
     def __init__(self, ctxs, state: CodingState, width: int, height: int,
                  ctu_size: int = 64, min_cu: int = 8, mts_enabled: bool = False,
-                 cclm_enabled: bool = False):
+                 cclm_enabled: bool = False, slice_type: int = 2,
+                 mstate=None, n_ref=(0, 0), max_merge: int = 6):
         self.ctxs = ctxs
         self.state = state
         self.w = width
@@ -95,6 +118,40 @@ class TreeCoder:
         self.mts_enabled = mts_enabled
         self.cclm_enabled = cclm_enabled
         self.max_depth = (ctu_size.bit_length() - 1) - (min_cu.bit_length() - 1)
+        self.slice_type = slice_type          # 0=B, 1=P, 2=I (spec values)
+        self.inter_slice = slice_type != 2
+        self.is_b = slice_type == 0
+        self.mstate = mstate
+        self.n_ref = n_ref
+        self.max_merge = max_merge
+
+    def _skip_ctx(self, x0: int, y0: int) -> int:
+        """cu_skip_flag ctx from left/above skip (reference:
+        CABACWriter::cu_skip_flag neighbour derivation)."""
+        ms = self.mstate
+        c = 0
+        for px, py in ((x0 - 1, y0), (x0, y0 - 1)):
+            if (px >= 0 and py >= 0 and (px >> 2) < ms.w4
+                    and (py >> 2) < ms.h4 and ms.skip[py >> 2, px >> 2]):
+                c += 1
+        return c
+
+    def _pred_mode_ctx(self, x0: int, y0: int) -> int:
+        ms = self.mstate
+        for px, py in ((x0 - 1, y0), (x0, y0 - 1)):
+            if (px >= 0 and py >= 0 and (px >> 2) < ms.w4
+                    and (py >> 2) < ms.h4 and ms.coded[py >> 2, px >> 2]
+                    and not ms.inter[py >> 2, px >> 2]):
+                return 1
+        return 0
+
+    def _mark_inter(self, leaf: Leaf, skip: bool):
+        self.mstate.set_inter(leaf.x0, leaf.y0, leaf.size, leaf.inter_dir,
+                              leaf.mv, leaf.ref_idx, skip)
+        d = (self.ctu.bit_length() - 1) - (leaf.size.bit_length() - 1)
+        # intra-mode plane sees inter CUs as planar (spec MPM rule)
+        self.state.set_cu(leaf.x0, leaf.y0, leaf.size, PLANAR_IDX, d)
+        self.state.mark_coded(leaf.x0, leaf.y0, leaf.size)
 
     def _mts_signaled(self, size: int, cbf_y: int) -> bool:
         # sps_explicit_mts_intra; DST7/DCT8 defined for 4..32 (spec 8.7.4)
@@ -118,9 +175,10 @@ class TreeCoder:
 
 class TreeWriter(TreeCoder):
     def __init__(self, enc, ctxs, state, width, height, split_map, leaf_map,
-                 ctu_size=64, min_cu=8, mts_enabled=False, cclm_enabled=False):
+                 ctu_size=64, min_cu=8, mts_enabled=False, cclm_enabled=False,
+                 **kw):
         super().__init__(ctxs, state, width, height, ctu_size, min_cu,
-                         mts_enabled, cclm_enabled)
+                         mts_enabled, cclm_enabled, **kw)
         self.enc = enc
         self.split_map = split_map    # {(x0,y0,size): bool}
         self.leaf_map = leaf_map      # {(x0,y0,size): Leaf}
@@ -149,6 +207,128 @@ class TreeWriter(TreeCoder):
 
     def _cu(self, leaf: Leaf):
         enc, ctxs = self.enc, self.ctxs
+        x0, y0, size = leaf.x0, leaf.y0, leaf.size
+        if self.inter_slice:
+            from vvc.model.motion import merge_candidates, amvp_candidates
+            is_inter = leaf.pred == 1
+            cbf_any = bool(leaf.cbf_y or leaf.cbf_cb or leaf.cbf_cr)
+            midx = None
+            if is_inter:
+                cands = merge_candidates(self.mstate, x0, y0, size,
+                                         self.is_b, *self.n_ref,
+                                         self.max_merge)
+                midx = self._match_merge(leaf, cands)
+            skip = is_inter and midx is not None and not cbf_any
+            enc.encode_bin(1 if skip else 0,
+                           ctxs("CU_SKIP_FLAG", self._skip_ctx(x0, y0)))
+            if skip:
+                self._write_merge_idx(midx)
+                leaf.skip, leaf.merge, leaf.merge_idx = True, True, midx
+                self._mark_inter(leaf, skip=True)
+                return
+            enc.encode_bin(0 if is_inter else 1,
+                           ctxs("PRED_MODE", self._pred_mode_ctx(x0, y0)))
+            if is_inter:
+                merge = midx is not None
+                enc.encode_bin(1 if merge else 0, ctxs("MERGE_FLAG", 0))
+                if merge:
+                    self._write_merge_idx(midx)
+                    leaf.merge, leaf.merge_idx = True, midx
+                else:
+                    if self.is_b:
+                        bi = leaf.inter_dir == 3
+                        enc.encode_bin(
+                            1 if bi else 0,
+                            ctxs("INTER_DIR",
+                                 min(4, size.bit_length() - 4)))
+                        if not bi:
+                            enc.encode_bin(1 if leaf.inter_dir == 2 else 0,
+                                           ctxs("INTER_DIR", 5))
+                    for l in (0, 1):
+                        if (leaf.inter_dir >> l) & 1:
+                            self._write_ref_idx(l, leaf.ref_idx[l])
+                            mvp = amvp_candidates(self.mstate, x0, y0, size,
+                                                  l, leaf.ref_idx[l])
+                            # pick the predictor minimizing |mvd| bits
+                            mv = leaf.mv[l]
+                            costs = [abs(mv[0] - p[0]) + abs(mv[1] - p[1])
+                                     for p in mvp]
+                            pi = int(np.argmin(costs))
+                            self._write_mvd(mv[0] - mvp[pi][0],
+                                            mv[1] - mvp[pi][1])
+                            enc.encode_bin(pi, ctxs("MVP_FLAG", 0))
+                enc.encode_bin(1 if cbf_any else 0, ctxs("ROOT_CBF", 0))
+                if cbf_any:
+                    self._residuals(leaf)
+                self._mark_inter(leaf, skip=False)
+                return
+        self._cu_intra(leaf)
+
+    def _match_merge(self, leaf: Leaf, cands):
+        """Index of the merge candidate equal to the leaf's motion, else
+        None (the encoder signals merge whenever its decided motion is
+        derivable — the batched-RDO counterpart of the reference's explicit
+        merge-mode RD check)."""
+        for i, (d, mv, ref) in enumerate(cands):
+            if d != leaf.inter_dir:
+                continue
+            ok = True
+            for l in (0, 1):
+                if (d >> l) & 1:
+                    if (int(mv[l][0]) != leaf.mv[l][0]
+                            or int(mv[l][1]) != leaf.mv[l][1]
+                            or int(ref[l]) != leaf.ref_idx[l]):
+                        ok = False
+                        break
+            if ok:
+                return i
+        return None
+
+    def _write_merge_idx(self, idx: int):
+        if self.max_merge <= 1:
+            return
+        enc = self.enc
+        enc.encode_bin(1 if idx > 0 else 0, self.ctxs("MERGE_IDX", 0))
+        if idx > 0:
+            for _ in range(idx - 1):
+                enc.encode_bin_ep(1)
+            if idx < self.max_merge - 1:
+                enc.encode_bin_ep(0)
+
+    def _write_ref_idx(self, lst: int, ridx: int):
+        n = self.n_ref[lst]
+        if n <= 1:
+            return
+        enc = self.enc
+        enc.encode_bin(1 if ridx > 0 else 0, self.ctxs("REF_IDX", 0))
+        if n > 2 and ridx > 0:
+            enc.encode_bin(1 if ridx > 1 else 0, self.ctxs("REF_IDX", 1))
+            for k in range(2, n - 1):
+                if ridx <= k:
+                    break
+                enc.encode_bin_ep(1)
+            if 2 <= ridx < n - 1:
+                enc.encode_bin_ep(0)
+
+    def _write_mvd(self, dx: int, dy: int):
+        """mvd_coding (spec 7.3.11.8): gt0/gt1 ctx flags, EG1 remainder,
+        sign — per component."""
+        enc, ctxs = self.enc, self.ctxs
+        for v in (dx, dy):
+            a = abs(v)
+            enc.encode_bin(1 if a > 0 else 0, ctxs("MVD", 0))
+        for v in (dx, dy):
+            if v != 0:
+                enc.encode_bin(1 if abs(v) > 1 else 0, ctxs("MVD", 1))
+        for v in (dx, dy):
+            a = abs(v)
+            if a > 0:
+                if a > 1:
+                    _eg_write(enc, a - 2, 1)
+                enc.encode_bin_ep(1 if v < 0 else 0)
+
+    def _cu_intra(self, leaf: Leaf):
+        enc, ctxs = self.enc, self.ctxs
         x0, y0, size, mode = leaf.x0, leaf.y0, leaf.size, leaf.luma_mode
         # intra_luma_ref_idx (always reference line 0)
         if (y0 % self.ctu) > 0:
@@ -174,12 +354,21 @@ class TreeWriter(TreeCoder):
             enc.encode_bin(leaf.chroma_mode, ctxs("CCLM_FLAG", 0))
         if not (self.cclm_enabled and leaf.chroma_mode):
             enc.encode_bin(1, ctxs("INTRA_CHROMA_PRED_MODE", 0))
+        self._residuals(leaf)
+        d = (self.ctu.bit_length() - 1) - (size.bit_length() - 1)
+        self.state.set_cu(x0, y0, size, mode, d)
+        self.state.mark_coded(x0, y0, size)
+        if self.inter_slice:
+            self.mstate.set_intra(x0, y0, size)
+
+    def _residuals(self, leaf: Leaf):
+        enc, ctxs = self.enc, self.ctxs
         # CBFs (order: cb, cr, luma — reference CABACWriter order)
         cbf_cb, cbf_cr, cbf_y = leaf.cbf_cb, leaf.cbf_cr, leaf.cbf_y
         enc.encode_bin(cbf_cb, ctxs("CBF_CB", 0))
         enc.encode_bin(cbf_cr, ctxs("CBF_CR", cbf_cb))
         enc.encode_bin(cbf_y, ctxs("CBF_LUMA", 0))
-        if self._mts_signaled(size, cbf_y):
+        if self._mts_signaled(leaf.size, cbf_y) and leaf.pred == 0:
             # mts_idx: truncated unary, cMax 4, one ctx per bin (reference:
             # CABACWriter::mts_idx)
             for i in range(leaf.mts):
@@ -192,16 +381,13 @@ class TreeWriter(TreeCoder):
             write_residual(enc, ctxs, leaf.lev_cr, is_luma=False)
         if cbf_y:
             write_residual(enc, ctxs, leaf.lev_y, is_luma=True)
-        d = (self.ctu.bit_length() - 1) - (size.bit_length() - 1)
-        self.state.set_cu(x0, y0, size, mode, d)
-        self.state.mark_coded(x0, y0, size)
 
 
 class TreeReader(TreeCoder):
     def __init__(self, dec, ctxs, state, width, height, ctu_size=64, min_cu=8,
-                 mts_enabled=False, cclm_enabled=False):
+                 mts_enabled=False, cclm_enabled=False, **kw):
         super().__init__(ctxs, state, width, height, ctu_size, min_cu,
-                         mts_enabled, cclm_enabled)
+                         mts_enabled, cclm_enabled, **kw)
         self.dec = dec
         self.leaves: list[Leaf] = []
 
@@ -228,6 +414,107 @@ class TreeReader(TreeCoder):
 
     def _cu(self, x0: int, y0: int, size: int):
         dec, ctxs = self.dec, self.ctxs
+        if self.inter_slice:
+            from vvc.model.motion import merge_candidates, amvp_candidates
+            skip = dec.decode_bin(ctxs("CU_SKIP_FLAG",
+                                       self._skip_ctx(x0, y0)))
+            if skip:
+                midx = self._read_merge_idx()
+                cands = merge_candidates(self.mstate, x0, y0, size,
+                                         self.is_b, *self.n_ref,
+                                         self.max_merge)
+                leaf = self._leaf_from_cand(x0, y0, size, cands[midx], midx,
+                                            skip=True)
+                self._mark_inter(leaf, skip=True)
+                self.leaves.append(leaf)
+                return
+            intra = dec.decode_bin(ctxs("PRED_MODE",
+                                        self._pred_mode_ctx(x0, y0)))
+            if not intra:
+                merge = dec.decode_bin(ctxs("MERGE_FLAG", 0))
+                if merge:
+                    midx = self._read_merge_idx()
+                    cands = merge_candidates(self.mstate, x0, y0, size,
+                                             self.is_b, *self.n_ref,
+                                             self.max_merge)
+                    leaf = self._leaf_from_cand(x0, y0, size, cands[midx],
+                                                midx, skip=False)
+                else:
+                    d = 1
+                    if self.is_b:
+                        if dec.decode_bin(ctxs("INTER_DIR",
+                                               min(4, size.bit_length() - 4))):
+                            d = 3
+                        elif dec.decode_bin(ctxs("INTER_DIR", 5)):
+                            d = 2
+                    mv = [(0, 0), (0, 0)]
+                    ref = [0, 0]
+                    for l in (0, 1):
+                        if (d >> l) & 1:
+                            ref[l] = self._read_ref_idx(l)
+                            dxy = self._read_mvd()
+                            pi = dec.decode_bin(ctxs("MVP_FLAG", 0))
+                            mvp = amvp_candidates(self.mstate, x0, y0, size,
+                                                  l, ref[l])
+                            mv[l] = (mvp[pi][0] + dxy[0], mvp[pi][1] + dxy[1])
+                    leaf = Leaf(x0, y0, size, pred=1, inter_dir=d,
+                                mv=tuple(mv), ref_idx=tuple(ref))
+                if dec.decode_bin(ctxs("ROOT_CBF", 0)):
+                    self._read_residuals(leaf)
+                self._mark_inter(leaf, skip=False)
+                self.leaves.append(leaf)
+                return
+        self._cu_intra(x0, y0, size)
+
+    def _leaf_from_cand(self, x0, y0, size, cand, midx, skip):
+        d, mv, ref = cand
+        return Leaf(x0, y0, size, pred=1, skip=skip, merge=True,
+                    merge_idx=midx, inter_dir=d,
+                    mv=((int(mv[0][0]), int(mv[0][1])),
+                        (int(mv[1][0]), int(mv[1][1]))),
+                    ref_idx=(int(ref[0]) if d & 1 else 0,
+                             int(ref[1]) if d & 2 else 0))
+
+    def _read_merge_idx(self) -> int:
+        if self.max_merge <= 1:
+            return 0
+        dec = self.dec
+        if not dec.decode_bin(self.ctxs("MERGE_IDX", 0)):
+            return 0
+        idx = 1
+        while idx < self.max_merge - 1 and dec.decode_bin_ep():
+            idx += 1
+        return idx
+
+    def _read_ref_idx(self, lst: int) -> int:
+        n = self.n_ref[lst]
+        if n <= 1:
+            return 0
+        dec = self.dec
+        if not dec.decode_bin(self.ctxs("REF_IDX", 0)):
+            return 0
+        if n == 2 or not dec.decode_bin(self.ctxs("REF_IDX", 1)):
+            return 1
+        ridx = 2
+        while ridx < n - 1 and dec.decode_bin_ep():
+            ridx += 1
+        return ridx
+
+    def _read_mvd(self):
+        dec, ctxs = self.dec, self.ctxs
+        gt0 = [dec.decode_bin(ctxs("MVD", 0)) for _ in range(2)]
+        gt1 = [dec.decode_bin(ctxs("MVD", 1)) if g else 0 for g in gt0]
+        out = []
+        for g0, g1 in zip(gt0, gt1):
+            if not g0:
+                out.append(0)
+                continue
+            a = (_eg_read(dec, 1) + 2) if g1 else 1
+            out.append(-a if dec.decode_bin_ep() else a)
+        return out
+
+    def _cu_intra(self, x0: int, y0: int, size: int):
+        dec, ctxs = self.dec, self.ctxs
         if (y0 % self.ctu) > 0:
             ref_idx_bin = dec.decode_bin(ctxs("INTRA_LUMA_REF_IDX", 0))
             assert ref_idx_bin == 0, "multi-ref-line not supported yet"
@@ -250,14 +537,24 @@ class TreeReader(TreeCoder):
         if not chroma_mode:
             dm = dec.decode_bin(ctxs("INTRA_CHROMA_PRED_MODE", 0))
             assert dm == 1, "non-DM chroma not supported yet"
+        leaf = Leaf(x0, y0, size, mode, chroma_mode=chroma_mode)
+        self._read_residuals(leaf)
+        d = (self.ctu.bit_length() - 1) - (size.bit_length() - 1)
+        self.state.set_cu(x0, y0, size, mode, d)
+        self.state.mark_coded(x0, y0, size)
+        if self.inter_slice:
+            self.mstate.set_intra(x0, y0, size)
+        self.leaves.append(leaf)
+
+    def _read_residuals(self, leaf: Leaf):
+        dec, ctxs = self.dec, self.ctxs
+        size = leaf.size
         cbf_cb = dec.decode_bin(ctxs("CBF_CB", 0))
         cbf_cr = dec.decode_bin(ctxs("CBF_CR", cbf_cb))
         cbf_y = dec.decode_bin(ctxs("CBF_LUMA", 0))
-        mts = 0
-        if self._mts_signaled(size, cbf_y):
-            while mts < 4 and dec.decode_bin(ctxs("MTS_IDX", mts)):
-                mts += 1
-        leaf = Leaf(x0, y0, size, mode, mts=mts, chroma_mode=chroma_mode)
+        if self._mts_signaled(size, cbf_y) and leaf.pred == 0:
+            while leaf.mts < 4 and dec.decode_bin(ctxs("MTS_IDX", leaf.mts)):
+                leaf.mts += 1
         cs = size >> 1
         if cbf_cb:
             leaf.lev_cb = read_residual(dec, ctxs, cs, is_luma=False)
@@ -265,7 +562,3 @@ class TreeReader(TreeCoder):
             leaf.lev_cr = read_residual(dec, ctxs, cs, is_luma=False)
         if cbf_y:
             leaf.lev_y = read_residual(dec, ctxs, size, is_luma=True)
-        d = (self.ctu.bit_length() - 1) - (size.bit_length() - 1)
-        self.state.set_cu(x0, y0, size, mode, d)
-        self.state.mark_coded(x0, y0, size)
-        self.leaves.append(leaf)

@@ -93,6 +93,17 @@ def build_encoder_config(opts: dict):
         ctu = 64  # round-1 cap; 128 lands with the MTT stage [verify]
     sps = SPS(width=w, height=h, bit_depth=bd, ctu_size=ctu)
     pps = PPS(init_qp=as_int(opts.get("QP"), 32))
+    # GOP shape from IntraPeriod/GOPSize (reference: EncAppCfg GOP table
+    # selection): IntraPeriod 1 → AI; IntraPeriod > 1 → random access;
+    # IntraPeriod <= 0 with GOPSize → low delay
+    ip = as_int(opts.get("IntraPeriod"), 1)
+    gop_size = as_int(opts.get("GOPSize"), 16)
+    if ip == 1:
+        mode = "ai"
+    elif ip > 1:
+        mode = "ra"
+    else:
+        mode = "ldp"
     io = {
         "input": opts.get("InputFile"),
         "bitstream": opts.get("BitstreamFile", "out.266"),
@@ -100,6 +111,9 @@ def build_encoder_config(opts: dict):
         "frames": as_int(opts.get("FramesToBeEncoded"), 0),
         "skip": as_int(opts.get("FrameSkip"), 0),
         "fps": as_int(opts.get("FrameRate"), 30),
+        "mode": mode,
+        "gop_size": gop_size,
+        "intra_period": ip,
     }
     leftover = {k: v for k, v in opts.items() if k not in SUPPORTED_KEYS}
     return sps, pps, io, leftover

@@ -34,9 +34,11 @@ def main(argv=None):
     t0 = time.perf_counter()
     frames, info = decode_stream(data)
     dt = time.perf_counter() - t0
-    for poc, (f, ok) in enumerate(zip(frames, info["hash_ok"])):
+    # hash status is per-picture in DECODE order (frames are output order)
+    dec_pocs = info.get("decode_order_pocs", list(range(len(frames))))
+    for poc, ok in zip(dec_pocs, info["hash_ok"]):
         status = "[OK]" if ok else ("[ERROR]" if ok is False else "")
-        print(f"POC {poc:4d} ( I-SLICE )  {status}")
+        print(f"POC {poc:4d}  {status}")
     if out:
         bd = info["sps"].bit_depth if info["sps"] else 8
         with YuvWriter(out, bd) as w:

@@ -34,8 +34,9 @@ def main(argv=None):
                 break
             frames.append(f)
     t0 = time.perf_counter()
-    bitstream, recons, stats = encode_sequence(frames, qp=pps.init_qp,
-                                               bit_depth=sps.bit_depth)
+    bitstream, recons, stats = encode_sequence(
+        frames, qp=pps.init_qp, bit_depth=sps.bit_depth, mode=io["mode"],
+        gop_size=io["gop_size"], intra_period=io["intra_period"])
     dt = time.perf_counter() - t0
     with open(io["bitstream"], "wb") as f:
         f.write(bitstream)
@@ -45,9 +46,12 @@ def main(argv=None):
                 w.write_frame(r_)
     # per-picture log (reference: EncGOP::xCalculateAddPSNR format)
     total_bits = 0
+    st_name = {0: "B", 1: "P", 2: "I"}
     for poc, s in enumerate(stats):
         total_bits += s["bits"]
-        print(f"POC {poc:4d} ( I-SLICE, QP {pps.init_qp} ) {s['bits']:10d} bits "
+        st = st_name.get(s.get("slice_type", 2), "I")
+        print(f"POC {poc:4d} ( {st}-SLICE, QP {pps.init_qp} ) "
+              f"{s['bits']:10d} bits "
               f"[Y {s['psnr_y']:.4f} dB  U {s['psnr_cb']:.4f} dB  "
               f"V {s['psnr_cr']:.4f} dB]")
     n = max(1, len(frames))

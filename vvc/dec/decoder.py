@@ -42,7 +42,9 @@ def decode_stream(data: bytes, verify_hash: bool = True,
     either way (test-enforced)."""
     sps = None
     pps = None
-    frames = []
+    frames = []          # decode order
+    pocs = []
+    dpb = {}             # poc -> Frame (reference: DecLib m_cListPic)
     hash_status = []
     for nal in read_annexb(data):
         if nal.nal_type == NalUnitType.SPS:
@@ -52,17 +54,25 @@ def decode_stream(data: bytes, verify_hash: bool = True,
         elif nal.nal_type in (NalUnitType.IDR_N_LP, NalUnitType.IDR_W_RADL,
                               NalUnitType.TRAIL, NalUnitType.CRA):
             assert sps is not None and pps is not None, "slice before SPS/PPS"
-            frames.append(_decode_slice(nal.payload, sps, pps, wavefront))
+            frame, poc = _decode_slice(nal.payload, sps, pps, wavefront, dpb)
+            frames.append(frame)
+            pocs.append(poc)
+            dpb[poc] = frame
         elif nal.nal_type == NalUnitType.SUFFIX_SEI:
             st = _check_hash_sei(nal.payload, frames[-1]) if frames else None
             hash_status.append(st)
             if verify_hash and st is False:
                 raise HashMismatch(f"picture {len(frames) - 1} hash mismatch")
-    return frames, {"sps": sps, "pps": pps, "hash_ok": hash_status}
+    # output (display) order = POC order (reference: DPB bumping)
+    out = [f for _, f in sorted(zip(pocs, frames), key=lambda t: t[0])]
+    return out, {"sps": sps, "pps": pps, "hash_ok": hash_status,
+                 "decode_order_pocs": pocs}
 
 
-def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False) -> Frame:
+def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
+                  dpb: dict | None = None):
     from vvc.enc.encoder import tile_columns  # shared tile geometry
+    from vvc.model.motion import MotionState
 
     tiles = tile_columns(pps.num_tile_cols, sps.width, sps.ctu_size)
     n_rows = -(-sps.height // sps.ctu_size)
@@ -71,6 +81,14 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False) -> Frame:
     sh, substreams, alf_hdr, lmcs_cw = parse_slice_header(
         rbsp, pps.init_qp, n_sub, alf_enabled=sps.alf, n_ctus=n_ctus,
         lmcs_enabled=sps.lmcs)
+    # reference picture lists from POC deltas (reference:
+    # Slice::constructRefPicList)
+    refs_l0 = [dpb[sh.poc - d] for d in sh.l0_deltas]
+    refs_l1 = [dpb[sh.poc - d] for d in sh.l1_deltas]
+    refs = ([(f.y, f.cb, f.cr) for f in refs_l0],
+            [(f.y, f.cb, f.cr) for f in refs_l1])
+    n_ref = (len(refs_l0), len(refs_l1))
+    inter = sh.slice_type != 2
     recon = (np.zeros((sps.height, sps.width), dtype=np.int32),
              np.zeros((sps.height // 2, sps.width // 2), dtype=np.int32),
              np.zeros((sps.height // 2, sps.width // 2), dtype=np.int32))
@@ -78,9 +96,20 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False) -> Frame:
 
     sao_params = {}
 
+    def _recon(leaves):
+        if wavefront and not inter:
+            from vvc.dec.wavefront import reconstruct_leaves_wavefront
+            reconstruct_leaves_wavefront(leaves, recon, sh.qp,
+                                         sps.bit_depth, sps.lossless)
+        else:
+            reconstruct_leaves(leaves, recon, sh.qp, sps.bit_depth,
+                               lossless=sps.lossless,
+                               refs=refs if inter else None)
+
     def do_wpp_rows():
         from vvc.cabac.sao_syntax import read_sao_params
         state = CodingState(sps.width, sps.height)
+        mstate = MotionState(sps.width, sps.height)
         leaves = []
         inherit = None
         for r, cy in enumerate(range(0, sps.height, sps.ctu_size)):
@@ -93,7 +122,9 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False) -> Frame:
             reader = TreeReader(dec, ctxs, state, sps.width, sps.height,
                                 sps.ctu_size, sps.min_cu_size,
                                 mts_enabled=sps.mts_intra,
-                                cclm_enabled=sps.cclm)
+                                cclm_enabled=sps.cclm,
+                                slice_type=sh.slice_type, mstate=mstate,
+                                n_ref=n_ref)
             first = True
             for cx in range(0, sps.width, sps.ctu_size):
                 if sps.sao:
@@ -104,13 +135,7 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False) -> Frame:
                     first = False
             assert dec.decode_bin_trm() == 1, "row substream termination"
             leaves.extend(reader.leaves)
-        if wavefront:
-            from vvc.dec.wavefront import reconstruct_leaves_wavefront
-            reconstruct_leaves_wavefront(leaves, recon, sh.qp,
-                                         sps.bit_depth, sps.lossless)
-        else:
-            reconstruct_leaves(leaves, recon, sh.qp, sps.bit_depth,
-                               lossless=sps.lossless)
+        _recon(leaves)
         return leaves
 
     def do_tile(i):
@@ -124,7 +149,10 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False) -> Frame:
         reader = TreeReader(dec, ctxs, state, min(tx1, sps.width), sps.height,
                             sps.ctu_size, sps.min_cu_size,
                             mts_enabled=sps.mts_intra,
-                            cclm_enabled=sps.cclm)
+                            cclm_enabled=sps.cclm,
+                            slice_type=sh.slice_type,
+                            mstate=MotionState(sps.width, sps.height),
+                            n_ref=n_ref)
         local_sao = {}
         for cy in range(0, sps.height, sps.ctu_size):
             for cx in range(tx0, tx1, sps.ctu_size):
@@ -134,13 +162,7 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False) -> Frame:
         assert dec.decode_bin_trm() == 1, "tile substream termination missing"
         # per-tile recon — availability maps are fresh per call, so tile
         # isolation (no cross-tile prediction) holds by construction
-        if wavefront:
-            from vvc.dec.wavefront import reconstruct_leaves_wavefront
-            reconstruct_leaves_wavefront(reader.leaves, recon, sh.qp,
-                                         sps.bit_depth, sps.lossless)
-        else:
-            reconstruct_leaves(reader.leaves, recon, sh.qp, sps.bit_depth,
-                               lossless=sps.lossless)
+        _recon(reader.leaves)
         return reader.leaves, local_sao
 
     if pps.wpp:
@@ -190,7 +212,7 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False) -> Frame:
         if chroma_c is not None:
             apply_alf_plane(recon[1], chroma_c, 2, sps.bit_depth)
             apply_alf_plane(recon[2], chroma_c, 2, sps.bit_depth)
-    return Frame(*recon, sps.bit_depth)
+    return Frame(*recon, sps.bit_depth), sh.poc
 
 
 def _check_hash_sei(payload: bytes, frame: Frame):

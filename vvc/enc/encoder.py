@@ -114,13 +114,14 @@ class Encoder:
         self.pps = pps
         self.parallel_tiles = parallel_tiles
 
-    def _recon_tile(self, frame, recon, leaves_t, qp):
+    def _recon_tile(self, frame, recon, leaves_t, qp, refs=None):
         sps = self.sps
         reconstruct_leaves(leaves_t, recon, qp, sps.bit_depth,
                            orig_planes=(frame.y, frame.cb, frame.cr),
-                           lossless=sps.lossless)
+                           lossless=sps.lossless, refs=refs)
 
-    def _entropy_rows_wpp(self, split_map, leaf_map, qp, sao_params):
+    def _entropy_rows_wpp(self, split_map, leaf_map, qp, sao_params,
+                          slice_type=SliceType.I, n_ref=(0, 0)):
         """WPP (sps_entropy_coding_sync, SURVEY.md §2.7 P-2): one CABAC
         substream per CTU row; row r+1's contexts initialize from a
         snapshot of row r's state taken after its first CTU — the 1-CTU
@@ -128,8 +129,10 @@ class Encoder:
         prediction still crosses rows (unlike tiles), so syntax state and
         reconstruction stay frame-wide."""
         from vvc.cabac.sao_syntax import write_sao_params
+        from vvc.model.motion import MotionState
         sps = self.sps
         state = CodingState(sps.width, sps.height)   # shared across rows
+        mstate = MotionState(sps.width, sps.height)
         inherit = None
         substreams = []
         for cy in range(0, sps.height, sps.ctu_size):
@@ -141,7 +144,9 @@ class Encoder:
             writer = TreeWriter(enc, ctxs, state, sps.width, sps.height,
                                 split_map, leaf_map, sps.ctu_size,
                                 sps.min_cu_size, mts_enabled=sps.mts_intra,
-                                cclm_enabled=sps.cclm)
+                                cclm_enabled=sps.cclm,
+                                slice_type=int(slice_type), mstate=mstate,
+                                n_ref=n_ref)
             first = True
             for cx in range(0, sps.width, sps.ctu_size):
                 if sao_params is not None:
@@ -154,8 +159,10 @@ class Encoder:
             substreams.append(enc.finish())
         return substreams
 
-    def _entropy_tile(self, split_map, leaf_map, tx0, tx1, qp, sao_params):
+    def _entropy_tile(self, split_map, leaf_map, tx0, tx1, qp, sao_params,
+                      slice_type=SliceType.I, n_ref=(0, 0)):
         from vvc.cabac.sao_syntax import write_sao_params
+        from vvc.model.motion import MotionState
         sps = self.sps
         ctxs = SliceContexts(qp)
         enc = (native_packer.NativeBinEncoder(ctxs)
@@ -164,7 +171,10 @@ class Encoder:
         writer = TreeWriter(enc, ctxs, state, min(tx1, sps.width), sps.height,
                             split_map, leaf_map, sps.ctu_size,
                             sps.min_cu_size, mts_enabled=sps.mts_intra,
-                            cclm_enabled=sps.cclm)
+                            cclm_enabled=sps.cclm,
+                            slice_type=int(slice_type),
+                            mstate=MotionState(sps.width, sps.height),
+                            n_ref=n_ref)
         for cy in range(0, sps.height, sps.ctu_size):
             for cx in range(tx0, tx1, sps.ctu_size):
                 if sao_params is not None:
@@ -173,18 +183,26 @@ class Encoder:
         enc.encode_bin_trm(1)
         return enc.finish()
 
-    def encode_frame(self, frame: Frame, poc: int, rdo_result=None):
+    def encode_frame(self, frame: Frame, poc: int, rdo_result=None,
+                     slice_type=SliceType.I, refs_l0=(), refs_l1=(),
+                     qp=None):
         """Returns (nal_units, recon Frame, stats dict).
 
         rdo_result: optional precomputed (split_map, leaf_map, leaves) from
-        the GOP-batched search (rdo_partition_frames)."""
+        the GOP-batched search (rdo_partition_frames).
+        refs_l0/refs_l1: [(poc, Frame), ...] reference pictures (filtered
+        reconstructions, nearest first) for P/B slices."""
         sps, pps = self.sps, self.pps
-        qp = pps.init_qp
+        qp = pps.init_qp if qp is None else qp
         bd = sps.bit_depth
+        inter_slice = slice_type != SliceType.I
+        n_ref = (len(refs_l0), len(refs_l1))
+        ref_planes = ([(f.y, f.cb, f.cr) for _, f in refs_l0],
+                      [(f.y, f.cb, f.cr) for _, f in refs_l1])
 
         lmcs_cw = None
         src = frame
-        if sps.lmcs and not sps.lossless:
+        if sps.lmcs and not sps.lossless and not inter_slice:
             # forward-map luma; the whole search/recon pipeline then runs in
             # the mapped domain (reference: Reshape.cpp domain layout)
             from vvc.kernels.lmcs import derive_codewords, build_luts, map_plane
@@ -193,11 +211,22 @@ class Encoder:
             src = Frame(map_plane(frame.y, fwd_lut), frame.cb, frame.cr, bd)
             rdo_result = None  # precomputed RDO used the unmapped domain
 
-        split_map, leaf_map, leaves = rdo_result if rdo_result is not None \
-            else rdo_partition(src.y, qp, bd, sps.ctu_size, sps.min_cu_size,
-                               lossless=sps.lossless)
+        if rdo_result is not None:
+            split_map, leaf_map, leaves = rdo_result
+        elif inter_slice:
+            from vvc.enc.inter_search import rdo_inter_partition
+            split_map, leaf_map, leaves = rdo_inter_partition(
+                src.y, [f.y for _, f in refs_l0], [f.y for _, f in refs_l1],
+                qp, bd, sps.ctu_size, sps.min_cu_size,
+                is_b=slice_type == SliceType.B)
+        else:
+            split_map, leaf_map, leaves = rdo_partition(
+                src.y, qp, bd, sps.ctu_size, sps.min_cu_size,
+                lossless=sps.lossless)
         if sps.cclm:
-            _decide_chroma_modes(leaves, src, bd)
+            intra_leaves = [l for l in leaves if l.pred == 0]
+            if intra_leaves:
+                _decide_chroma_modes(intra_leaves, src, bd)
 
         tiles = tile_columns(pps.num_tile_cols, sps.width, sps.ctu_size)
         recon = (np.zeros_like(frame.y), np.zeros_like(frame.cb),
@@ -208,7 +237,8 @@ class Encoder:
         # phase 1: reconstruction per tile (availability maps are per-call,
         # so tiles are isolated and parallel)
         def recon_tile(i):
-            self._recon_tile(src, recon, leaves_per_tile[i], qp)
+            self._recon_tile(src, recon, leaves_per_tile[i], qp,
+                             refs=ref_planes if inter_slice else None)
 
         if self.parallel_tiles and len(tiles) > 1:
             with concurrent.futures.ThreadPoolExecutor(len(tiles)) as ex:
@@ -260,12 +290,12 @@ class Encoder:
         if pps.wpp:
             assert len(tiles) == 1, "tiles+WPP combination lands later"
             substreams = self._entropy_rows_wpp(split_map, leaf_map, qp,
-                                                sao_params)
+                                                sao_params, slice_type, n_ref)
         else:
             def entropy_tile(i):
                 tx0, tx1 = tiles[i]
                 return self._entropy_tile(split_map, leaf_map, tx0, tx1, qp,
-                                          sao_params)
+                                          sao_params, slice_type, n_ref)
 
             if self.parallel_tiles and len(tiles) > 1:
                 with concurrent.futures.ThreadPoolExecutor(len(tiles)) as ex:
@@ -273,13 +303,17 @@ class Encoder:
             else:
                 substreams = [entropy_tile(i) for i in range(len(tiles))]
 
-        sh = SliceHeader(pps.pps_id, SliceType.I, poc, qp)
+        sh = SliceHeader(pps.pps_id, int(slice_type), poc, qp,
+                         l0_deltas=tuple(poc - p for p, _ in refs_l0),
+                         l1_deltas=tuple(poc - p for p, _ in refs_l1))
         header = write_slice_header(sh, pps.init_qp,
                                     entry_sizes=[len(s) for s in substreams],
                                     alf=alf_hdr if sps.alf else None,
                                     lmcs_cw=lmcs_cw if sps.lmcs else None)
         slice_rbsp = header + b"".join(substreams)
-        nals = [NalUnit(NalUnitType.IDR_N_LP, slice_rbsp),
+        nal_type = (NalUnitType.IDR_N_LP if slice_type == SliceType.I
+                    else NalUnitType.TRAIL)
+        nals = [NalUnit(nal_type, slice_rbsp),
                 NalUnit(NalUnitType.SUFFIX_SEI, _hash_sei_payload(recon, bd))]
         rec_frame = Frame(*recon, bd)
         stats = {
@@ -296,8 +330,15 @@ class Encoder:
 def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
                     num_tile_cols: int = 1, lossless: bool = False,
                     parallel_tiles: bool = True, wpp: bool = False,
-                    lmcs: bool = False):
-    """Encode frames (list of Frame) All-Intra → (annexb bytes, recons, stats)."""
+                    lmcs: bool = False, mode: str = "ai",
+                    gop_size: int = 16, intra_period: int = -1):
+    """Encode frames (list of Frame) → (annexb bytes, recons, stats).
+
+    mode: "ai" (all-intra), "ldp" (low-delay P), "ra" (random access
+    hierarchical B) — reference: EncGOP::compressGOP GOP structures.
+    recons/stats are returned in display (POC) order."""
+    from vvc.enc.gop import gop_order
+
     h, w = frames[0].y.shape
     sps = SPS(width=w, height=h, bit_depth=bit_depth,
               deblocking=not lossless, mts_intra=not lossless,
@@ -307,16 +348,33 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
     enc = Encoder(sps, pps, parallel_tiles)
     nals = [NalUnit(NalUnitType.SPS, write_sps(sps)),
             NalUnit(NalUnitType.PPS, write_pps(pps))]
-    recons = []
-    stats = []
-    # one device dispatch for the whole sequence's RDO search (AI frames
-    # are independent); host recon/entropy then proceeds per frame
-    rdo_results = rdo_partition_frames([f.y for f in frames], qp, bit_depth,
-                                       sps.ctu_size, sps.min_cu_size,
-                                       lossless=lossless)
-    for poc, f in enumerate(frames):
-        n, r, s = enc.encode_frame(f, poc, rdo_results[poc])
+    recons = [None] * len(frames)
+    stats = [None] * len(frames)
+    order = gop_order(len(frames), mode, gop_size, intra_period)
+
+    if mode == "ai":
+        # one device dispatch for the whole sequence's RDO search (AI frames
+        # are independent); host recon/entropy then proceeds per frame
+        rdo_results = rdo_partition_frames(
+            [f.y for f in frames], qp, bit_depth, sps.ctu_size,
+            sps.min_cu_size, lossless=lossless)
+    else:
+        rdo_results = None
+
+    dpb = {}   # poc -> filtered recon Frame (reference: DecLib m_cListPic)
+    for e in order:
+        f = frames[e.poc]
+        refs_l0 = [(p, dpb[p]) for p in e.l0]
+        refs_l1 = [(p, dpb[p]) for p in e.l1]
+        n, r, s = enc.encode_frame(
+            f, e.poc,
+            rdo_results[e.poc] if rdo_results is not None else None,
+            slice_type=e.slice_type, refs_l0=refs_l0, refs_l1=refs_l1,
+            qp=min(63, qp + e.qp_offset))
         nals += n
-        recons.append(r)
-        stats.append(s)
+        dpb[e.poc] = r
+        recons[e.poc] = r
+        s["slice_type"] = int(e.slice_type)
+        s["poc"] = e.poc
+        stats[e.poc] = s
     return write_annexb(nals), recons, stats

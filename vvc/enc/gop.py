@@ -1,0 +1,92 @@
+"""GOP structures: coding order, reference lists, per-layer QP offsets.
+
+TPU-native analog of the reference's GOP engine
+(`/root/reference/source/Lib/EncoderLib/EncGOP.cpp` → compressGOP driving
+the GOPEntry table from encoder_randomaccess_vtm.cfg; EncSlice.cpp →
+initEncSlice hierarchy-level QP/lambda).  The cfg's explicit 16-row GOP
+table becomes a recursive bisection that yields the same hierarchical-B
+shape for ANY segment length (tail GOPs need no special-casing).
+
+Modes:
+  ai  — all-intra (BASELINE configs 1/2)
+  ldp — low-delay P: IPPP…, each frame references the previous one
+        (config 4 shape; B-with-past lists lands with rate control)
+  ra  — random access: IDR + hierarchical B, mini-GOP by bisection
+        (config 3 shape, GOP16 when n allows)
+"""
+from __future__ import annotations
+
+import dataclasses
+
+from vvc.common.types import SliceType
+
+# temporal-layer QP offsets (reference: GOPEntry QPOffset column of
+# encoder_randomaccess_vtm.cfg — [verify] exact model-offset variant)
+RA_TID_QP_OFFSET = [1, 1, 2, 3, 4, 5, 6, 6]
+LDP_QP_OFFSET_CYCLE = [1, 3, 2, 3]   # position % 4 within the GOP
+
+
+@dataclasses.dataclass
+class GopEntry:
+    poc: int
+    slice_type: int          # SliceType value (0 B, 1 P, 2 I)
+    qp_offset: int = 0
+    tid: int = 0
+    l0: tuple = ()           # reference POCs, nearest first
+    l1: tuple = ()
+
+
+def gop_order(n_frames: int, mode: str = "ai", gop_size: int = 16,
+              intra_period: int = -1, n_ref: int = 1):
+    """Coding-order list of GopEntry for the sequence."""
+    if mode == "ai":
+        return [GopEntry(p, SliceType.I) for p in range(n_frames)]
+    if mode == "ldp":
+        out = [GopEntry(0, SliceType.I)]
+        for p in range(1, n_frames):
+            if intra_period > 0 and p % intra_period == 0:
+                out.append(GopEntry(p, SliceType.I))
+                continue
+            refs = tuple(range(p - 1, max(-1, p - 1 - n_ref), -1))
+            out.append(GopEntry(p, SliceType.P,
+                                LDP_QP_OFFSET_CYCLE[p % 4],
+                                tid=0, l0=refs))
+        return out
+    if mode == "ra":
+        out = [GopEntry(0, SliceType.I)]
+        done = 1
+        anchor = 0
+        while done < n_frames:
+            end = min(anchor + gop_size, n_frames - 1)
+            if end <= anchor:
+                break
+            # GOP boundary picture: P referencing the previous anchor
+            out.append(GopEntry(end, SliceType.P, RA_TID_QP_OFFSET[0],
+                                tid=0, l0=(anchor,)))
+            _bisect(anchor, end, 1, out)
+            done = end + 1
+            anchor = end
+        return sorted_unique(out, n_frames)
+    raise ValueError(f"unknown gop mode {mode!r}")
+
+
+def _bisect(a: int, b: int, tid: int, out: list):
+    """Emit the hierarchical-B entries between coded endpoints a < b."""
+    if b - a <= 1:
+        return
+    m = (a + b) // 2
+    off = RA_TID_QP_OFFSET[min(tid, len(RA_TID_QP_OFFSET) - 1)]
+    out.append(GopEntry(m, SliceType.B, off, tid=tid, l0=(a,), l1=(b,)))
+    _bisect(a, m, tid + 1, out)
+    _bisect(m, b, tid + 1, out)
+
+
+def sorted_unique(entries, n_frames):
+    seen = set()
+    out = []
+    for e in entries:
+        if e.poc < n_frames and e.poc not in seen:
+            seen.add(e.poc)
+            out.append(e)
+    assert len(out) == n_frames, f"GOP covers {len(out)}/{n_frames} frames"
+    return out

@@ -48,6 +48,11 @@ def parse_slice_header(rbsp: bytes, init_qp: int, num_tiles: int = 1,
     stype = br.read_ue()
     poc = br.read(16)
     qp = br.read_se() + init_qp
+    l0_deltas = l1_deltas = ()
+    if stype != 2:
+        l0_deltas = tuple(br.read_se() for _ in range(br.read_ue()))
+        if stype == 0:
+            l1_deltas = tuple(br.read_se() for _ in range(br.read_ue()))
     lmcs_cw = None
     if lmcs_enabled:
         if br.read_flag():
@@ -70,4 +75,5 @@ def parse_slice_header(rbsp: bytes, init_qp: int, num_tiles: int = 1,
         subs.append(payload[off:off + sz])
         off += sz
     subs.append(payload[off:])
-    return SliceHeader(pps_id, stype, poc, qp), subs, alf, lmcs_cw
+    return (SliceHeader(pps_id, stype, poc, qp, l0_deltas, l1_deltas),
+            subs, alf, lmcs_cw)

@@ -59,3 +59,7 @@ class SliceHeader:
     slice_type: int = 2               # I
     poc: int = 0
     qp: int = 32
+    # explicit reference picture lists as POC deltas (poc - ref_poc),
+    # nearest first (reference: ReferencePictureList / RPL in slice header)
+    l0_deltas: tuple = ()
+    l1_deltas: tuple = ()

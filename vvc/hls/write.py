@@ -59,6 +59,14 @@ def write_slice_header(sh: SliceHeader, init_qp: int,
     bw.write_ue(sh.slice_type)
     bw.write(sh.poc & 0xFFFF, 16)
     bw.write_se(sh.qp - init_qp)
+    if sh.slice_type != 2:            # P/B: explicit RPL as POC deltas
+        bw.write_ue(len(sh.l0_deltas))
+        for d in sh.l0_deltas:
+            bw.write_se(d)
+        if sh.slice_type == 0:        # B
+            bw.write_ue(len(sh.l1_deltas))
+            for d in sh.l1_deltas:
+                bw.write_se(d)
     if lmcs_cw is not None:
         bw.write_flag(bool(lmcs_cw[0] is not None) if isinstance(lmcs_cw, tuple)
                       else True)

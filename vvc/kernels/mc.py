@@ -1,0 +1,199 @@
+"""Motion compensation: sub-pel interpolation filters (inter prediction).
+
+TPU-native analog of the reference's interpolation stack
+(`/root/reference/source/Lib/CommonLib/InterpolationFilter.cpp` →
+InterpolationFilter::filterHor/filterVer 8-tap luma / 4-tap chroma DCTIF;
+InterPrediction.cpp → xPredInterBlk; OpenVVC libovvc/rcn_mc.c + SIMD
+x86/rcn_mc_sse.c).
+
+TPU-first design (SURVEY.md §2.7 P-1): instead of the reference's
+per-block on-demand filtering, the encoder interpolates each reference
+plane ONCE per phase as full-plane separable convolutions (perfectly
+batched VPU/MXU work) and motion search/compensation become pure gathers.
+The per-block numpy path below is the normative oracle shared by encoder
+reconstruction and decoder.
+
+Deviations from the reference, chosen for self-consistency + batchability
+(documented per SURVEY.md §0 [verify] discipline):
+  - Luma MV precision 1/4-pel (HEVC-style 4-phase 8-tap DCTIF) instead of
+    VVC's 1/16-pel 16-phase table; chroma 1/8-pel 4-phase.
+  - Uni prediction rounds to pixel precision before bi averaging
+    (bi = (P0+P1+1)>>1) instead of high-precision intermediate averaging —
+    lets both uni and bi prediction gather from the same phase planes.
+Both halves of the codec share these rules, so streams stay bit-exact
+end-to-end.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+# 8-tap luma DCTIF, quarter-pel phases (gain 64).
+LUMA_FILTERS = np.array([
+    [0, 0, 0, 64, 0, 0, 0, 0],
+    [-1, 4, -10, 58, 17, -5, 1, 0],
+    [-1, 4, -11, 40, 40, -11, 4, -1],
+    [0, 1, -5, 17, 58, -10, 4, -1],
+], dtype=np.int32)
+
+# 4-tap chroma DCTIF, eighth-pel phases (gain 64).
+CHROMA_FILTERS = np.array([
+    [0, 64, 0, 0],
+    [-2, 58, 10, -2],
+    [-4, 54, 16, -2],
+    [-6, 46, 28, -4],
+    [-4, 36, 36, -4],
+    [-4, 28, 46, -6],
+    [-2, 16, 54, -4],
+    [-2, 10, 58, -2],
+], dtype=np.int32)
+
+LUMA_TAPS = 8
+CHROMA_TAPS = 4
+
+
+def _gather_window_np(plane: np.ndarray, x0: int, y0: int, w: int, h: int,
+                      taps: int) -> np.ndarray:
+    """Clamped-gather of the (h+taps-1, w+taps-1) window needed to filter an
+    (h, w) block whose top-left integer sample is (x0, y0).  Coordinate
+    clamping == spec reference-sample padding at picture borders."""
+    half = taps // 2 - 1
+    ph, pw = plane.shape
+    ys = np.clip(np.arange(y0 - half, y0 + h + taps - 1 - half), 0, ph - 1)
+    xs = np.clip(np.arange(x0 - half, x0 + w + taps - 1 - half), 0, pw - 1)
+    return plane[np.ix_(ys, xs)]
+
+
+def _filter_sep_np(win: np.ndarray, fh: np.ndarray, fv: np.ndarray,
+                   w: int, h: int) -> np.ndarray:
+    """Separable filter on a gathered window (int64 accumulate), returns the
+    un-normalized accumulator (gain 4096) of shape (h, w)."""
+    win = win.astype(np.int64)
+    taps = len(fh)
+    # horizontal: [h+taps-1, w]
+    tmp = np.zeros((win.shape[0], w), dtype=np.int64)
+    for k in range(taps):
+        tmp += fh[k] * win[:, k:k + w]
+    out = np.zeros((h, w), dtype=np.int64)
+    for k in range(taps):
+        out += fv[k] * tmp[k:k + h, :]
+    return out
+
+
+def mc_block_np(plane: np.ndarray, x0: int, y0: int, w: int, h: int,
+                mv_x: int, mv_y: int, bit_depth: int,
+                chroma: bool = False) -> np.ndarray:
+    """Normative per-block MC oracle: predict an (h, w) block at (x0, y0)
+    displaced by (mv_x, mv_y) in 1/4-pel (luma) or 1/8-pel (chroma) units.
+
+    Returns int32 prediction clipped to [0, 2^bd - 1]."""
+    if chroma:
+        ix, fx = mv_x >> 3, mv_x & 7
+        iy, fy = mv_y >> 3, mv_y & 7
+        filt, taps = CHROMA_FILTERS, CHROMA_TAPS
+    else:
+        ix, fx = mv_x >> 2, mv_x & 3
+        iy, fy = mv_y >> 2, mv_y & 3
+        filt, taps = LUMA_FILTERS, LUMA_TAPS
+    bx, by = x0 + ix, y0 + iy
+    if fx == 0 and fy == 0:
+        ph, pw = plane.shape
+        ys = np.clip(np.arange(by, by + h), 0, ph - 1)
+        xs = np.clip(np.arange(bx, bx + w), 0, pw - 1)
+        return plane[np.ix_(ys, xs)].astype(np.int32)
+    win = _gather_window_np(plane, bx, by, w, h, taps)
+    acc = _filter_sep_np(win, filt[fx], filt[fy], w, h)
+    pred = (acc + 2048) >> 12
+    return np.clip(pred, 0, (1 << bit_depth) - 1).astype(np.int32)
+
+
+def mc_pred_np(planes, x0: int, y0: int, size: int, leaf, bit_depth: int,
+               refs_l0, refs_l1, comp: int) -> np.ndarray:
+    """Prediction for one leaf/component from its MV/ref fields.
+
+    planes: unused (interface symmetry); refs_l*: list of (y, cb, cr) plane
+    tuples.  comp 0 = luma (size×size), 1/2 = chroma (size/2 each, MV
+    converted to 1/8-pel chroma units)."""
+    def one(refs, ridx, mv):
+        ref = refs[ridx][comp]
+        if comp == 0:
+            return mc_block_np(ref, x0, y0, size, size, mv[0], mv[1],
+                               bit_depth)
+        # chroma: luma qpel mv → chroma (half-res) 1/8-pel units: same number
+        return mc_block_np(ref, x0 >> 1, y0 >> 1, size >> 1, size >> 1,
+                           mv[0], mv[1], bit_depth, chroma=True)
+
+    d = leaf.inter_dir
+    if d == 1:
+        return one(refs_l0, leaf.ref_idx[0], leaf.mv[0])
+    if d == 2:
+        return one(refs_l1, leaf.ref_idx[1], leaf.mv[1])
+    p0 = one(refs_l0, leaf.ref_idx[0], leaf.mv[0])
+    p1 = one(refs_l1, leaf.ref_idx[1], leaf.mv[1])
+    return (p0 + p1 + 1) >> 1
+
+
+# ---------------------------------------------------------------------------
+# Batched full-plane interpolation (encoder search path) — JAX
+
+
+def interp_luma_planes(plane, bit_depth: int):
+    """[H, W] int32 reference → [4, 4, H, W] int32 quarter-pel phase planes
+    (phase [fy, fx]); plane[0, 0] is the integer-pel original.
+
+    One separable conv pass per phase — all 16 run in a single fused device
+    program; motion search then only gathers.  Edge handling replicates
+    (same as the per-block clamp)."""
+    import jax
+    import jax.numpy as jnp
+    global _INTERP_JIT
+    if _INTERP_JIT is None:
+        _INTERP_JIT = jax.jit(_interp_impl, static_argnames=("bit_depth",))
+    return _INTERP_JIT(jnp.asarray(plane, dtype=jnp.int32), bit_depth)
+
+
+_INTERP_JIT = None
+
+
+def _interp_impl(p, bit_depth: int):
+    import jax.numpy as jnp
+    h, w = p.shape
+    mx = (1 << bit_depth) - 1
+    # pad 3 left/top, 4 right/bottom (8-tap window)
+    pp = jnp.pad(p, ((3, 4), (3, 4)), mode="edge").astype(jnp.int32)
+    filt = jnp.asarray(LUMA_FILTERS)
+    # horizontal pass for each fx: [4, H+7, W]
+    hor = []
+    for fx in range(4):
+        acc = jnp.zeros((h + 7, w), dtype=jnp.int32)
+        for k in range(8):
+            acc = acc + filt[fx, k] * pp[:, k:k + w]
+        hor.append(acc)
+    out = []
+    for fy in range(4):
+        row = []
+        for fx in range(4):
+            acc = jnp.zeros((h, w), dtype=jnp.int32)
+            for k in range(8):
+                acc = acc + filt[fy, k] * hor[fx][k:k + h, :]
+            row.append(jnp.clip((acc + 2048) >> 12, 0, mx))
+        out.append(jnp.stack(row))
+    return jnp.stack(out)  # [fy, fx, H, W]
+
+
+def gather_pred_planes(phase_planes, xs, ys, mvx, mvy, size: int):
+    """Gather [N, S, S] predictions from quarter-pel phase planes.
+
+    xs/ys: block origins [N]; mvx/mvy: qpel MVs [N].  Integer parts index
+    into the plane with clamping; fractional parts select the phase."""
+    import jax.numpy as jnp
+
+    h, w = phase_planes.shape[2:]
+    fx = mvx & 3
+    fy = mvy & 3
+    bx = xs + (mvx >> 2)
+    by = ys + (mvy >> 2)
+    o = jnp.arange(size)
+    yy = jnp.clip(by[:, None] + o[None, :], 0, h - 1)       # [N,S]
+    xx = jnp.clip(bx[:, None] + o[None, :], 0, w - 1)       # [N,S]
+    return phase_planes[fy[:, None, None], fx[:, None, None],
+                        yy[:, :, None], xx[:, None, :]]

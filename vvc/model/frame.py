@@ -18,7 +18,7 @@ import numpy as np
 
 @dataclasses.dataclass
 class Leaf:
-    """One intra coding unit (single tree: luma + collocated chroma)."""
+    """One coding unit (single tree: luma + collocated chroma)."""
 
     x0: int
     y0: int
@@ -26,6 +26,15 @@ class Leaf:
     luma_mode: int = 0
     mts: int = 0  # MTS index: 0 DCT2/DCT2, 1 DST7/DST7, 2 DCT8/DST7, 3 DST7/DCT8, 4 DCT8/DCT8
     chroma_mode: int = 0  # 0 = DM (luma mode), 1 = CCLM (LM)
+    # inter fields (pred 0 = intra, 1 = inter); MVs in luma quarter-pel
+    pred: int = 0
+    skip: bool = False
+    merge: bool = False
+    merge_idx: int = 0
+    inter_dir: int = 1            # 1 = L0, 2 = L1, 3 = bi
+    mv: tuple = ((0, 0), (0, 0))  # per-list (mvx, mvy)
+    ref_idx: tuple = (0, 0)
+    mvp_idx: tuple = (0, 0)
     # quantized levels; None until reconstruction (encoder) / parse (decoder)
     lev_y: np.ndarray | None = None
     lev_cb: np.ndarray | None = None

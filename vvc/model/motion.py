@@ -1,0 +1,157 @@
+"""Motion field state + merge/AMVP candidate derivation.
+
+TPU-native analog of the reference's motion model
+(`/root/reference/source/Lib/CommonLib/MotionInfo.h` → MotionInfo/MotionBuf
+4×4-granularity field; UnitTools.cpp → PU::getInterMergeCandidates,
+PU::fillMvpCand; OpenVVC libovvc/drv_mvp.c).  SoA per-4×4 planes like
+CodingState (SURVEY.md §7.0 tenet 1).
+
+Candidate derivation here is deliberately simplified relative to the spec
+(no TMVP/HMVP yet, no MV scaling across ref indices — [verify] tags):
+encoder and decoder call the SAME functions on identically-updated state,
+which is what end-to-end bit-exactness rests on.  Spatial order follows
+the spec: A1, B1, B0, A0, B2.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+MAX_MERGE_CAND = 6
+
+
+class MotionState:
+    """Per-4×4 motion planes, updated in syntax (z-)order by writer+reader."""
+
+    def __init__(self, width: int, height: int):
+        self.w4 = (width + 3) >> 2
+        self.h4 = (height + 3) >> 2
+        self.mv = np.zeros((self.h4, self.w4, 2, 2), dtype=np.int32)
+        self.ref = np.full((self.h4, self.w4, 2), -1, dtype=np.int8)
+        self.inter = np.zeros((self.h4, self.w4), dtype=bool)
+        self.coded = np.zeros((self.h4, self.w4), dtype=bool)
+        self.skip = np.zeros((self.h4, self.w4), dtype=bool)
+
+    def set_inter(self, x0, y0, size, inter_dir, mv, ref_idx,
+                  skip: bool = False):
+        s4 = size >> 2
+        ys, xs = y0 >> 2, x0 >> 2
+        sl = (slice(ys, ys + s4), slice(xs, xs + s4))
+        self.inter[sl] = True
+        self.coded[sl] = True
+        self.skip[sl] = skip
+        for l in range(2):
+            use = (inter_dir >> l) & 1
+            self.mv[sl + (l,)] = np.asarray(mv[l] if use else (0, 0))
+            self.ref[sl + (l,)] = ref_idx[l] if use else -1
+
+    def set_intra(self, x0, y0, size):
+        s4 = size >> 2
+        ys, xs = y0 >> 2, x0 >> 2
+        sl = (slice(ys, ys + s4), slice(xs, xs + s4))
+        self.inter[sl] = False
+        self.coded[sl] = True
+        self.ref[sl] = -1
+
+    def at(self, x: int, y: int):
+        """Motion info of the 4×4 unit containing luma (x, y); None if
+        unavailable / not inter."""
+        if x < 0 or y < 0 or (x >> 2) >= self.w4 or (y >> 2) >= self.h4:
+            return None
+        ys, xs = y >> 2, x >> 2
+        if not self.coded[ys, xs] or not self.inter[ys, xs]:
+            return None
+        return (self.mv[ys, xs].copy(), self.ref[ys, xs].copy())
+
+
+def _cand_key(c):
+    d, mv, ref = c
+    return (d, tuple(mv[0]) if d & 1 else None, int(ref[0]) if d & 1 else -1,
+            tuple(mv[1]) if d & 2 else None, int(ref[1]) if d & 2 else -1)
+
+
+def merge_candidates(ms: MotionState, x0: int, y0: int, size: int,
+                     is_b: bool, n_ref_l0: int, n_ref_l1: int,
+                     max_cand: int = MAX_MERGE_CAND):
+    """Merge list: spatial A1,B1,B0,A0,(B2) + zero-MV padding.
+
+    Returns list of (inter_dir, mv [2,2] int array, ref_idx [2]) of length
+    max_cand.  Reference: PU::getInterMergeCandidates ([verify]: TMVP,
+    HMVP, pairwise-average candidates land later)."""
+    s = size
+    pos = [(x0 - 1, y0 + s - 1),   # A1
+           (x0 + s - 1, y0 - 1),   # B1
+           (x0 + s, y0 - 1),       # B0
+           (x0 - 1, y0 + s),       # A0
+           (x0 - 1, y0 - 1)]       # B2
+    cands = []
+    seen = set()
+    for i, (px, py) in enumerate(pos):
+        if i == 4 and len(cands) >= 4:
+            break  # B2 only when fewer than 4 spatial candidates (spec)
+        info = ms.at(px, py)
+        if info is None:
+            continue
+        mv, ref = info
+        d = (1 if ref[0] >= 0 else 0) | (2 if ref[1] >= 0 else 0)
+        if not is_b:
+            d &= 1
+        if d == 0:
+            continue
+        c = (d, mv, ref)
+        k = _cand_key(c)
+        if k in seen:
+            continue
+        seen.add(k)
+        cands.append(c)
+        if len(cands) >= max_cand:
+            break
+    # zero-MV padding cycling ref indices (spec: zero merge candidates)
+    zref = 0
+    while len(cands) < max_cand:
+        if is_b and n_ref_l1 > 0:
+            d = 3
+            ref = np.array([min(zref, n_ref_l0 - 1),
+                            min(zref, n_ref_l1 - 1)], dtype=np.int8)
+        else:
+            d = 1
+            ref = np.array([min(zref, n_ref_l0 - 1), -1], dtype=np.int8)
+        cands.append((d, np.zeros((2, 2), dtype=np.int32), ref))
+        zref += 1
+    return cands
+
+
+def amvp_candidates(ms: MotionState, x0: int, y0: int, size: int,
+                    lst: int, ref_idx: int):
+    """2-entry AMVP list for (list, ref_idx).
+
+    Reference: PU::fillMvpCand.  Simplification ([verify]): a neighbour
+    contributes its MV for the requested list if it has one, else its MV
+    from the other list — no POC-distance scaling (self-consistent since
+    both sides derive identically)."""
+    s = size
+    left_pos = [(x0 - 1, y0 + s), (x0 - 1, y0 + s - 1)]          # A0, A1
+    above_pos = [(x0 + s, y0 - 1), (x0 + s - 1, y0 - 1),
+                 (x0 - 1, y0 - 1)]                                # B0, B1, B2
+
+    def first_mv(positions):
+        for px, py in positions:
+            info = ms.at(px, py)
+            if info is None:
+                continue
+            mv, ref = info
+            if ref[lst] >= 0:
+                return tuple(int(v) for v in mv[lst])
+            if ref[1 - lst] >= 0:
+                return tuple(int(v) for v in mv[1 - lst])
+        return None
+
+    cands = []
+    a = first_mv(left_pos)
+    if a is not None:
+        cands.append(a)
+    b = first_mv(above_pos)
+    if b is not None and b not in cands:
+        cands.append(b)
+    while len(cands) < 2:
+        cands.append((0, 0))
+    return cands

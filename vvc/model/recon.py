@@ -39,26 +39,29 @@ def chroma_qp(qp: int) -> int:
 
 
 def _recon_block(plane, orig, coded, x0, y0, size, mode, qp, bit_depth, levels,
-                 tr_h=0, tr_v=0, lossless=False, cclm_ds=None):
+                 tr_h=0, tr_v=0, lossless=False, cclm_ds=None, pred=None,
+                 intra=True):
     """Predict + (inverse-)transform one block in `plane`.
 
     If `levels` is None (encode), derives them from `orig`; returns levels.
     Lossless (transquant bypass): levels ARE the residual — exact recon.
     cclm_ds: downsampled-luma plane → CCLM prediction instead of `mode`.
+    pred: externally computed prediction (inter MC) — skips intra predict.
     """
-    if cclm_ds is not None:
-        from vvc.kernels.cclm import predict_cclm
-        pred = predict_cclm(cclm_ds, plane, coded, x0, y0, size, bit_depth)
-    else:
-        c = build_ref_line(plane, coded, x0, y0, size, bit_depth)
-        pred = predict_intra(c, mode, size, bit_depth)
+    if pred is None:
+        if cclm_ds is not None:
+            from vvc.kernels.cclm import predict_cclm
+            pred = predict_cclm(cclm_ds, plane, coded, x0, y0, size, bit_depth)
+        else:
+            c = build_ref_line(plane, coded, x0, y0, size, bit_depth)
+            pred = predict_intra(c, mode, size, bit_depth)
     if levels is None:
         resi = orig[y0:y0 + size, x0:x0 + size].astype(np.int32) - pred
         if lossless:
             levels = resi.copy()
         else:
             coeff = fwd_transform_np(resi, bit_depth, tr_h, tr_v)
-            levels = quant_np(coeff, qp, bit_depth, intra=True)
+            levels = quant_np(coeff, qp, bit_depth, intra=intra)
     if np.any(levels):
         if lossless:
             rec_resi = levels
@@ -74,7 +77,7 @@ def _recon_block(plane, orig, coded, x0, y0, size, mode, qp, bit_depth, levels,
 
 def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
                        orig_planes=None, use_native: bool = True,
-                       lossless: bool = False):
+                       lossless: bool = False, refs=None):
     """Reconstruct all leaves in z-order into recon_planes (y, cb, cr).
 
     Encoder mode: orig_planes given, leaf.lev_* are None → derives and
@@ -82,16 +85,22 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
     Availability maps are (re)built here so they always reflect recon
     progress, independent of any syntax-phase state.
 
+    refs: (l0, l1) lists of (y, cb, cr) reference plane tuples for inter
+    leaves (reference: DecCu::xReconInter / InterPrediction).
+
     Dispatches to the native core (vvc.packer.native_recon) when built —
     bit-exact mirror of this function; pass use_native=False to force the
-    numpy oracle path.
+    numpy oracle path.  Inter leaves run the numpy path (native inter core
+    lands later), so mixed frames fall back entirely.
     """
-    if use_native:
+    has_inter = any(l.pred == 1 for l in leaves)
+    if use_native and not has_inter:
         from vvc.packer import native_recon
         if native_recon.available():
             return native_recon.reconstruct_leaves_native(
                 leaves, recon_planes, qp, bit_depth, orig_planes,
                 chroma_qp_fn=chroma_qp, lossless=lossless)
+    refs_l0, refs_l1 = refs if refs is not None else ([], [])
     y_pl, cb_pl, cr_pl = recon_planes
     h, w = y_pl.shape
     coded_y = np.zeros(((h + 3) >> 2, (w + 3) >> 2), dtype=bool)
@@ -105,34 +114,46 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
 
     from vvc.kernels.transform import MTS_TR
     from vvc.kernels.cclm import luma_ds_plane
+    from vvc.kernels.mc import mc_pred_np
     for leaf in leaves:
         s = leaf.size
         x0, y0 = leaf.x0, leaf.y0
         th, tv = MTS_TR[leaf.mts]
+        is_inter = leaf.pred == 1
+        pred_y = pred_cb = pred_cr = None
+        if is_inter:
+            pred_y = mc_pred_np(None, x0, y0, s, leaf, bit_depth,
+                                refs_l0, refs_l1, 0)
+            pred_cb = mc_pred_np(None, x0, y0, s, leaf, bit_depth,
+                                 refs_l0, refs_l1, 1)
+            pred_cr = mc_pred_np(None, x0, y0, s, leaf, bit_depth,
+                                 refs_l0, refs_l1, 2)
         lev = _recon_block(y_pl, o_y, coded_y, x0, y0, s, leaf.luma_mode,
                            qp, bit_depth,
                            None if encode_mode else dec_levels(leaf.lev_y, s),
-                           th, tv, lossless)
+                           th, tv, lossless, pred=pred_y, intra=not is_inter)
         if encode_mode:
             leaf.lev_y = lev if np.any(lev) else None
         # chroma (single tree, DM mode = luma mode), half resolution
         cs = s >> 1
         cx, cy = x0 >> 1, y0 >> 1
         ds = None
-        if leaf.chroma_mode == 1:
+        if leaf.chroma_mode == 1 and not is_inter:
             # region-local downsample would suffice; whole-plane keeps the
             # oracle simple (luma of this leaf is already reconstructed)
             ds = luma_ds_plane(y_pl)
         lev = _recon_block(cb_pl, o_cb, coded_c, cx, cy, cs, leaf.luma_mode,
                            qpc, bit_depth,
                            None if encode_mode else dec_levels(leaf.lev_cb, cs),
-                           lossless=lossless, cclm_ds=ds)
+                           lossless=lossless, cclm_ds=ds, pred=pred_cb,
+                           intra=not is_inter)
         if encode_mode:
             leaf.lev_cb = lev if np.any(lev) else None
         lev = _recon_block(cr_pl, o_cr, coded_c, cx, cy, cs, leaf.luma_mode,
                            qpc, bit_depth,
                            None if encode_mode else dec_levels(leaf.lev_cr, cs),
-                           lossless=lossless, cclm_ds=ds)
+                           lossless=lossless, cclm_ds=ds, pred=pred_cr,
+                           intra=not is_inter)
         if encode_mode:
             leaf.lev_cr = lev if np.any(lev) else None
         # mark availability
