@@ -77,7 +77,7 @@ SUPPORTED_KEYS = {
     "InputFile", "BitstreamFile", "ReconFile", "SourceWidth", "SourceHeight",
     "InputBitDepth", "InternalBitDepth", "FramesToBeEncoded", "FrameRate",
     "FrameSkip", "QP", "CTUSize", "IntraPeriod", "DecodingRefreshType",
-    "GOPSize", "Profile", "Level",
+    "GOPSize", "Profile", "Level", "RateControl", "TargetBitrate",
 }
 
 
@@ -114,6 +114,9 @@ def build_encoder_config(opts: dict):
         "mode": mode,
         "gop_size": gop_size,
         "intra_period": ip,
+        # RateControl + TargetBitrate (bps, reference option units)
+        "target_kbps": (as_int(opts.get("TargetBitrate")) / 1000.0
+                        if as_bool(opts.get("RateControl")) else 0.0),
     }
     leftover = {k: v for k, v in opts.items() if k not in SUPPORTED_KEYS}
     return sps, pps, io, leftover

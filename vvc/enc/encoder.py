@@ -331,11 +331,14 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
                     num_tile_cols: int = 1, lossless: bool = False,
                     parallel_tiles: bool = True, wpp: bool = False,
                     lmcs: bool = False, mode: str = "ai",
-                    gop_size: int = 16, intra_period: int = -1):
+                    gop_size: int = 16, intra_period: int = -1,
+                    target_kbps: float = 0.0, fps: float = 30.0):
     """Encode frames (list of Frame) → (annexb bytes, recons, stats).
 
     mode: "ai" (all-intra), "ldp" (low-delay P), "ra" (random access
     hierarchical B) — reference: EncGOP::compressGOP GOP structures.
+    target_kbps > 0 enables R-λ rate control (vvc.enc.ratectrl); QP then
+    tracks the bit budget instead of the fixed base QP.
     recons/stats are returned in display (POC) order."""
     from vvc.enc.gop import gop_order
 
@@ -361,20 +364,33 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
     else:
         rdo_results = None
 
+    rc = None
+    if target_kbps > 0:
+        from vvc.enc.ratectrl import RateCtrl
+        rc = RateCtrl(target_kbps, fps, len(frames), base_qp=qp)
+    n_pix = w * h
+
     dpb = {}   # poc -> filtered recon Frame (reference: DecLib m_cListPic)
     for e in order:
         f = frames[e.poc]
         refs_l0 = [(p, dpb[p]) for p in e.l0]
         refs_l1 = [(p, dpb[p]) for p in e.l1]
+        if rc is not None:
+            pic_qp, lam = rc.pic_qp(int(e.slice_type), e.tid, n_pix)
+        else:
+            pic_qp = min(63, qp + e.qp_offset)
         n, r, s = enc.encode_frame(
             f, e.poc,
             rdo_results[e.poc] if rdo_results is not None else None,
             slice_type=e.slice_type, refs_l0=refs_l0, refs_l1=refs_l1,
-            qp=min(63, qp + e.qp_offset))
+            qp=pic_qp)
+        if rc is not None:
+            rc.update(int(e.slice_type), e.tid, s["bits"], n_pix, lam)
         nals += n
         dpb[e.poc] = r
         recons[e.poc] = r
         s["slice_type"] = int(e.slice_type)
         s["poc"] = e.poc
+        s["qp"] = pic_qp
         stats[e.poc] = s
     return write_annexb(nals), recons, stats
