@@ -37,7 +37,8 @@ def main(argv=None):
     bitstream, recons, stats = encode_sequence(
         frames, qp=pps.init_qp, bit_depth=sps.bit_depth, mode=io["mode"],
         gop_size=io["gop_size"], intra_period=io["intra_period"],
-        target_kbps=io["target_kbps"], fps=io["fps"])
+        target_kbps=io["target_kbps"], fps=io["fps"],
+        dep_quant=io["dep_quant"])
     dt = time.perf_counter() - t0
     with open(io["bitstream"], "wb") as f:
         f.write(bitstream)

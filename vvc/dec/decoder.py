@@ -97,14 +97,15 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
     sao_params = {}
 
     def _recon(leaves):
-        if wavefront and not inter:
+        if wavefront and not inter and not sps.dep_quant:
             from vvc.dec.wavefront import reconstruct_leaves_wavefront
             reconstruct_leaves_wavefront(leaves, recon, sh.qp,
                                          sps.bit_depth, sps.lossless)
         else:
             reconstruct_leaves(leaves, recon, sh.qp, sps.bit_depth,
                                lossless=sps.lossless,
-                               refs=refs if inter else None)
+                               refs=refs if inter else None,
+                               dep_quant=sps.dep_quant)
 
     def do_wpp_rows():
         from vvc.cabac.sao_syntax import read_sao_params

@@ -118,7 +118,8 @@ class Encoder:
         sps = self.sps
         reconstruct_leaves(leaves_t, recon, qp, sps.bit_depth,
                            orig_planes=(frame.y, frame.cb, frame.cr),
-                           lossless=sps.lossless, refs=refs)
+                           lossless=sps.lossless, refs=refs,
+                           dep_quant=sps.dep_quant)
 
     def _entropy_rows_wpp(self, split_map, leaf_map, qp, sao_params,
                           slice_type=SliceType.I, n_ref=(0, 0)):
@@ -332,7 +333,8 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
                     parallel_tiles: bool = True, wpp: bool = False,
                     lmcs: bool = False, mode: str = "ai",
                     gop_size: int = 16, intra_period: int = -1,
-                    target_kbps: float = 0.0, fps: float = 30.0):
+                    target_kbps: float = 0.0, fps: float = 30.0,
+                    dep_quant: bool = False):
     """Encode frames (list of Frame) → (annexb bytes, recons, stats).
 
     mode: "ai" (all-intra), "ldp" (low-delay P), "ra" (random access
@@ -346,7 +348,8 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
     sps = SPS(width=w, height=h, bit_depth=bit_depth,
               deblocking=not lossless, mts_intra=not lossless,
               sao=not lossless, alf=not lossless, cclm=not lossless,
-              lmcs=lmcs and not lossless, lossless=lossless)
+              lmcs=lmcs and not lossless, lossless=lossless,
+              dep_quant=dep_quant and not lossless)
     pps = PPS(init_qp=qp, num_tile_cols=num_tile_cols, wpp=wpp)
     enc = Encoder(sps, pps, parallel_tiles)
     nals = [NalUnit(NalUnitType.SPS, write_sps(sps)),

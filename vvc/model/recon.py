@@ -40,7 +40,7 @@ def chroma_qp(qp: int) -> int:
 
 def _recon_block(plane, orig, coded, x0, y0, size, mode, qp, bit_depth, levels,
                  tr_h=0, tr_v=0, lossless=False, cclm_ds=None, pred=None,
-                 intra=True):
+                 intra=True, dep_quant=False):
     """Predict + (inverse-)transform one block in `plane`.
 
     If `levels` is None (encode), derives them from `orig`; returns levels.
@@ -61,13 +61,21 @@ def _recon_block(plane, orig, coded, x0, y0, size, mode, qp, bit_depth, levels,
             levels = resi.copy()
         else:
             coeff = fwd_transform_np(resi, bit_depth, tr_h, tr_v)
-            levels = quant_np(coeff, qp, bit_depth, intra=intra)
+            if dep_quant:
+                from vvc.kernels.depquant import quant_depquant_np
+                levels = quant_depquant_np(coeff, qp, bit_depth)
+            else:
+                levels = quant_np(coeff, qp, bit_depth, intra=intra)
     if np.any(levels):
         if lossless:
             rec_resi = levels
         else:
-            rec_resi = inv_transform_np(dequant_np(levels, qp, bit_depth),
-                                        bit_depth, tr_h, tr_v)
+            if dep_quant:
+                from vvc.kernels.depquant import dequant_depquant_np
+                deq = dequant_depquant_np(levels, qp, bit_depth)
+            else:
+                deq = dequant_np(levels, qp, bit_depth)
+            rec_resi = inv_transform_np(deq, bit_depth, tr_h, tr_v)
         rec = np.clip(pred + rec_resi, 0, (1 << bit_depth) - 1)
     else:
         rec = pred
@@ -77,7 +85,8 @@ def _recon_block(plane, orig, coded, x0, y0, size, mode, qp, bit_depth, levels,
 
 def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
                        orig_planes=None, use_native: bool = True,
-                       lossless: bool = False, refs=None):
+                       lossless: bool = False, refs=None,
+                       dep_quant: bool = False):
     """Reconstruct all leaves in z-order into recon_planes (y, cb, cr).
 
     Encoder mode: orig_planes given, leaf.lev_* are None → derives and
@@ -94,7 +103,7 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
     lands later), so mixed frames fall back entirely.
     """
     has_inter = any(l.pred == 1 for l in leaves)
-    if use_native and not has_inter:
+    if use_native and not has_inter and not dep_quant:
         from vvc.packer import native_recon
         if native_recon.available():
             return native_recon.reconstruct_leaves_native(
@@ -131,7 +140,8 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
         lev = _recon_block(y_pl, o_y, coded_y, x0, y0, s, leaf.luma_mode,
                            qp, bit_depth,
                            None if encode_mode else dec_levels(leaf.lev_y, s),
-                           th, tv, lossless, pred=pred_y, intra=not is_inter)
+                           th, tv, lossless, pred=pred_y, intra=not is_inter,
+                           dep_quant=dep_quant)
         if encode_mode:
             leaf.lev_y = lev if np.any(lev) else None
         # chroma (single tree, DM mode = luma mode), half resolution
@@ -146,14 +156,14 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
                            qpc, bit_depth,
                            None if encode_mode else dec_levels(leaf.lev_cb, cs),
                            lossless=lossless, cclm_ds=ds, pred=pred_cb,
-                           intra=not is_inter)
+                           intra=not is_inter, dep_quant=dep_quant)
         if encode_mode:
             leaf.lev_cb = lev if np.any(lev) else None
         lev = _recon_block(cr_pl, o_cr, coded_c, cx, cy, cs, leaf.luma_mode,
                            qpc, bit_depth,
                            None if encode_mode else dec_levels(leaf.lev_cr, cs),
                            lossless=lossless, cclm_ds=ds, pred=pred_cr,
-                           intra=not is_inter)
+                           intra=not is_inter, dep_quant=dep_quant)
         if encode_mode:
             leaf.lev_cr = lev if np.any(lev) else None
         # mark availability
