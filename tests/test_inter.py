@@ -147,4 +147,8 @@ class TestGopStructures:
         from vvc.enc.gop import gop_order
         order = gop_order(5, "ldp")
         assert order[0].slice_type == 2
-        assert all(e.l0 == (e.poc - 1,) for e in order[1:])
+        # nearest-first multi-ref L0 (2 refs where available)
+        assert order[1].l0 == (0,)
+        assert all(e.l0[0] == e.poc - 1 and len(e.l0) <= 2
+                   for e in order[1:])
+        assert order[3].l0 == (2, 1)

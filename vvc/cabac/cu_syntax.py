@@ -108,7 +108,8 @@ class TreeCoder:
     def __init__(self, ctxs, state: CodingState, width: int, height: int,
                  ctu_size: int = 64, min_cu: int = 8, mts_enabled: bool = False,
                  cclm_enabled: bool = False, slice_type: int = 2,
-                 mstate=None, n_ref=(0, 0), max_merge: int = 6):
+                 mstate=None, n_ref=(0, 0), max_merge: int = 6,
+                 col=None, cur_poc: int = 0, ref_pocs=((), ())):
         self.ctxs = ctxs
         self.state = state
         self.w = width
@@ -124,6 +125,16 @@ class TreeCoder:
         self.mstate = mstate
         self.n_ref = n_ref
         self.max_merge = max_merge
+        self.col = col               # ColMotion of the collocated picture
+        self.cur_poc = cur_poc
+        self.ref_pocs = ref_pocs
+
+    def _merge_list(self, x0: int, y0: int, size: int):
+        from vvc.model.motion import merge_candidates, temporal_candidate
+        tmvp = temporal_candidate(self.col, x0, y0, size, self.cur_poc,
+                                  self.ref_pocs, self.is_b)
+        return merge_candidates(self.mstate, x0, y0, size, self.is_b,
+                                *self.n_ref, self.max_merge, tmvp=tmvp)
 
     def _skip_ctx(self, x0: int, y0: int) -> int:
         """cu_skip_flag ctx from left/above skip (reference:
@@ -209,14 +220,12 @@ class TreeWriter(TreeCoder):
         enc, ctxs = self.enc, self.ctxs
         x0, y0, size = leaf.x0, leaf.y0, leaf.size
         if self.inter_slice:
-            from vvc.model.motion import merge_candidates, amvp_candidates
+            from vvc.model.motion import amvp_candidates
             is_inter = leaf.pred == 1
             cbf_any = bool(leaf.cbf_y or leaf.cbf_cb or leaf.cbf_cr)
             midx = None
             if is_inter:
-                cands = merge_candidates(self.mstate, x0, y0, size,
-                                         self.is_b, *self.n_ref,
-                                         self.max_merge)
+                cands = self._merge_list(x0, y0, size)
                 midx = self._match_merge(leaf, cands)
             skip = is_inter and midx is not None and not cbf_any
             enc.encode_bin(1 if skip else 0,
@@ -415,14 +424,12 @@ class TreeReader(TreeCoder):
     def _cu(self, x0: int, y0: int, size: int):
         dec, ctxs = self.dec, self.ctxs
         if self.inter_slice:
-            from vvc.model.motion import merge_candidates, amvp_candidates
+            from vvc.model.motion import amvp_candidates
             skip = dec.decode_bin(ctxs("CU_SKIP_FLAG",
                                        self._skip_ctx(x0, y0)))
             if skip:
                 midx = self._read_merge_idx()
-                cands = merge_candidates(self.mstate, x0, y0, size,
-                                         self.is_b, *self.n_ref,
-                                         self.max_merge)
+                cands = self._merge_list(x0, y0, size)
                 leaf = self._leaf_from_cand(x0, y0, size, cands[midx], midx,
                                             skip=True)
                 self._mark_inter(leaf, skip=True)
@@ -434,9 +441,7 @@ class TreeReader(TreeCoder):
                 merge = dec.decode_bin(ctxs("MERGE_FLAG", 0))
                 if merge:
                     midx = self._read_merge_idx()
-                    cands = merge_candidates(self.mstate, x0, y0, size,
-                                             self.is_b, *self.n_ref,
-                                             self.max_merge)
+                    cands = self._merge_list(x0, y0, size)
                     leaf = self._leaf_from_cand(x0, y0, size, cands[midx],
                                                 midx, skip=False)
                 else:

@@ -45,6 +45,7 @@ def decode_stream(data: bytes, verify_hash: bool = True,
     frames = []          # decode order
     pocs = []
     dpb = {}             # poc -> Frame (reference: DecLib m_cListPic)
+    col_dpb = {}         # poc -> ColMotion (TMVP)
     hash_status = []
     for nal in read_annexb(data):
         if nal.nal_type == NalUnitType.SPS:
@@ -54,7 +55,8 @@ def decode_stream(data: bytes, verify_hash: bool = True,
         elif nal.nal_type in (NalUnitType.IDR_N_LP, NalUnitType.IDR_W_RADL,
                               NalUnitType.TRAIL, NalUnitType.CRA):
             assert sps is not None and pps is not None, "slice before SPS/PPS"
-            frame, poc = _decode_slice(nal.payload, sps, pps, wavefront, dpb)
+            frame, poc = _decode_slice(nal.payload, sps, pps, wavefront, dpb,
+                                       col_dpb)
             frames.append(frame)
             pocs.append(poc)
             dpb[poc] = frame
@@ -70,9 +72,9 @@ def decode_stream(data: bytes, verify_hash: bool = True,
 
 
 def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
-                  dpb: dict | None = None):
+                  dpb: dict | None = None, col_dpb: dict | None = None):
     from vvc.enc.encoder import tile_columns  # shared tile geometry
-    from vvc.model.motion import MotionState
+    from vvc.model.motion import MotionState, motion_field_from_leaves
 
     tiles = tile_columns(pps.num_tile_cols, sps.width, sps.ctu_size)
     n_rows = -(-sps.height // sps.ctu_size)
@@ -89,6 +91,14 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
             [(f.y, f.cb, f.cr) for f in refs_l1])
     n_ref = (len(refs_l0), len(refs_l1))
     inter = sh.slice_type != 2
+    ref_pocs = (tuple(sh.poc - d for d in sh.l0_deltas),
+                tuple(sh.poc - d for d in sh.l1_deltas))
+    col = None
+    if col_dpb is not None:
+        if sh.slice_type == 0 and ref_pocs[1]:
+            col = col_dpb.get(ref_pocs[1][0])
+        elif sh.slice_type == 1 and ref_pocs[0]:
+            col = col_dpb.get(ref_pocs[0][0])
     recon = (np.zeros((sps.height, sps.width), dtype=np.int32),
              np.zeros((sps.height // 2, sps.width // 2), dtype=np.int32),
              np.zeros((sps.height // 2, sps.width // 2), dtype=np.int32))
@@ -125,7 +135,8 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
                                 mts_enabled=sps.mts_intra,
                                 cclm_enabled=sps.cclm,
                                 slice_type=sh.slice_type, mstate=mstate,
-                                n_ref=n_ref)
+                                n_ref=n_ref, col=col, cur_poc=sh.poc,
+                                ref_pocs=ref_pocs)
             first = True
             for cx in range(0, sps.width, sps.ctu_size):
                 if sps.sao:
@@ -153,7 +164,8 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
                             cclm_enabled=sps.cclm,
                             slice_type=sh.slice_type,
                             mstate=MotionState(sps.width, sps.height),
-                            n_ref=n_ref)
+                            n_ref=n_ref, col=col, cur_poc=sh.poc,
+                            ref_pocs=ref_pocs)
         local_sao = {}
         for cy in range(0, sps.height, sps.ctu_size):
             for cx in range(tx0, tx1, sps.ctu_size):
@@ -213,6 +225,9 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
         if chroma_c is not None:
             apply_alf_plane(recon[1], chroma_c, 2, sps.bit_depth)
             apply_alf_plane(recon[2], chroma_c, 2, sps.bit_depth)
+    if col_dpb is not None:
+        col_dpb[sh.poc] = motion_field_from_leaves(
+            all_leaves, sps.width, sps.height, sh.poc, ref_pocs)
     return Frame(*recon, sps.bit_depth), sh.poc
 
 

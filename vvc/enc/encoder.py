@@ -122,7 +122,8 @@ class Encoder:
                            dep_quant=sps.dep_quant)
 
     def _entropy_rows_wpp(self, split_map, leaf_map, qp, sao_params,
-                          slice_type=SliceType.I, n_ref=(0, 0)):
+                          slice_type=SliceType.I, n_ref=(0, 0),
+                          col_info=(None, 0, ((), ()))):
         """WPP (sps_entropy_coding_sync, SURVEY.md §2.7 P-2): one CABAC
         substream per CTU row; row r+1's contexts initialize from a
         snapshot of row r's state taken after its first CTU — the 1-CTU
@@ -147,7 +148,8 @@ class Encoder:
                                 sps.min_cu_size, mts_enabled=sps.mts_intra,
                                 cclm_enabled=sps.cclm,
                                 slice_type=int(slice_type), mstate=mstate,
-                                n_ref=n_ref)
+                                n_ref=n_ref, col=col_info[0],
+                                cur_poc=col_info[1], ref_pocs=col_info[2])
             first = True
             for cx in range(0, sps.width, sps.ctu_size):
                 if sao_params is not None:
@@ -161,7 +163,8 @@ class Encoder:
         return substreams
 
     def _entropy_tile(self, split_map, leaf_map, tx0, tx1, qp, sao_params,
-                      slice_type=SliceType.I, n_ref=(0, 0)):
+                      slice_type=SliceType.I, n_ref=(0, 0),
+                      col_info=(None, 0, ((), ()))):
         from vvc.cabac.sao_syntax import write_sao_params
         from vvc.model.motion import MotionState
         sps = self.sps
@@ -175,7 +178,8 @@ class Encoder:
                             cclm_enabled=sps.cclm,
                             slice_type=int(slice_type),
                             mstate=MotionState(sps.width, sps.height),
-                            n_ref=n_ref)
+                            n_ref=n_ref, col=col_info[0],
+                            cur_poc=col_info[1], ref_pocs=col_info[2])
         for cy in range(0, sps.height, sps.ctu_size):
             for cx in range(tx0, tx1, sps.ctu_size):
                 if sao_params is not None:
@@ -186,7 +190,7 @@ class Encoder:
 
     def encode_frame(self, frame: Frame, poc: int, rdo_result=None,
                      slice_type=SliceType.I, refs_l0=(), refs_l1=(),
-                     qp=None):
+                     qp=None, col=None):
         """Returns (nal_units, recon Frame, stats dict).
 
         rdo_result: optional precomputed (split_map, leaf_map, leaves) from
@@ -288,15 +292,19 @@ class Encoder:
                        chroma_c if chroma_c is not None else None)
 
         # phase 4: entropy — WPP row substreams or per-tile (parallel)
+        col_info = (col, poc, (tuple(p for p, _ in refs_l0),
+                               tuple(p for p, _ in refs_l1)))
         if pps.wpp:
             assert len(tiles) == 1, "tiles+WPP combination lands later"
             substreams = self._entropy_rows_wpp(split_map, leaf_map, qp,
-                                                sao_params, slice_type, n_ref)
+                                                sao_params, slice_type, n_ref,
+                                                col_info)
         else:
             def entropy_tile(i):
                 tx0, tx1 = tiles[i]
                 return self._entropy_tile(split_map, leaf_map, tx0, tx1, qp,
-                                          sao_params, slice_type, n_ref)
+                                          sao_params, slice_type, n_ref,
+                                          col_info)
 
             if self.parallel_tiles and len(tiles) > 1:
                 with concurrent.futures.ThreadPoolExecutor(len(tiles)) as ex:
@@ -317,6 +325,7 @@ class Encoder:
         nals = [NalUnit(nal_type, slice_rbsp),
                 NalUnit(NalUnitType.SUFFIX_SEI, _hash_sei_payload(recon, bd))]
         rec_frame = Frame(*recon, bd)
+        self.last_leaves = leaves   # for the sequence driver's TMVP field
         stats = {
             "bits": sum(8 * (len(n.payload) + 2) for n in nals),
             "psnr_y": psnr(frame.y, recon[0], bd),
@@ -374,10 +383,20 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
     n_pix = w * h
 
     dpb = {}   # poc -> filtered recon Frame (reference: DecLib m_cListPic)
+    col_dpb = {}  # poc -> ColMotion for TMVP
+    from vvc.model.motion import motion_field_from_leaves
+    from vvc.common.types import SliceType as ST
     for e in order:
         f = frames[e.poc]
         refs_l0 = [(p, dpb[p]) for p in e.l0]
         refs_l1 = [(p, dpb[p]) for p in e.l1]
+        # collocated picture: L1[0] for B, L0[0] for P (reference:
+        # Slice::setColFromL0Flag default)
+        col = None
+        if e.slice_type == ST.B and e.l1:
+            col = col_dpb.get(e.l1[0])
+        elif e.slice_type == ST.P and e.l0:
+            col = col_dpb.get(e.l0[0])
         if rc is not None:
             pic_qp, lam = rc.pic_qp(int(e.slice_type), e.tid, n_pix)
         else:
@@ -386,7 +405,9 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
             f, e.poc,
             rdo_results[e.poc] if rdo_results is not None else None,
             slice_type=e.slice_type, refs_l0=refs_l0, refs_l1=refs_l1,
-            qp=pic_qp)
+            qp=pic_qp, col=col)
+        col_dpb[e.poc] = motion_field_from_leaves(
+            enc.last_leaves, w, h, e.poc, (tuple(e.l0), tuple(e.l1)))
         if rc is not None:
             rc.update(int(e.slice_type), e.tid, s["bits"], n_pix, lam)
         nals += n

@@ -37,7 +37,7 @@ class GopEntry:
 
 
 def gop_order(n_frames: int, mode: str = "ai", gop_size: int = 16,
-              intra_period: int = -1, n_ref: int = 1):
+              intra_period: int = -1, n_ref: int = 2):
     """Coding-order list of GopEntry for the sequence."""
     if mode == "ai":
         return [GopEntry(p, SliceType.I) for p in range(n_frames)]

@@ -228,17 +228,26 @@ def rdo_inter_partition(y_plane: np.ndarray, refs_l0, refs_l1, qp: int,
         blocks_np, xs, ys, ny, nx = _blocks_grid(y_plane, s)
         n = len(blocks_np)
         l0 = per_list[0]
+
+        def sel_pred(refs, best):
+            """Per-block prediction at (best mv, best ref): gather per ref,
+            select by the block's chosen ref index."""
+            out = None
+            for ridx, ref in enumerate(refs):
+                p = gather_pred_planes(
+                    phase[id(ref)], jnp.asarray(xs), jnp.asarray(ys),
+                    jnp.asarray(best[0]), jnp.asarray(best[1]), s)
+                m = jnp.asarray(best[3] == ridx)[:, None, None]
+                out = p if out is None else jnp.where(m, p, out)
+            return out
+
         dirs = np.ones(n, dtype=np.int32)
         if is_b and per_list[1] is not None:
             l1 = per_list[1]
             # uni choice by SATD cost, then test bi (average of both best)
             dirs = np.where(l1[2] < l0[2], 2, 1).astype(np.int32)
-            p0 = gather_pred_planes(
-                _stack_phase(phase, refs_l0, l0[3]), jnp.asarray(xs),
-                jnp.asarray(ys), jnp.asarray(l0[0]), jnp.asarray(l0[1]), s)
-            p1 = gather_pred_planes(
-                _stack_phase(phase, refs_l1, l1[3]), jnp.asarray(xs),
-                jnp.asarray(ys), jnp.asarray(l1[0]), jnp.asarray(l1[1]), s)
+            p0 = sel_pred(refs_l0, l0)
+            p1 = sel_pred(refs_l1, l1)
             pbi = (p0 + p1 + 1) >> 1
             ob = jnp.asarray(blocks_np, dtype=jnp.int32)
             cbi = np.asarray(satd_batch(pbi, ob)).astype(np.float64) \
@@ -249,9 +258,7 @@ def rdo_inter_partition(y_plane: np.ndarray, refs_l0, refs_l1, qp: int,
                                  jnp.where((jnp.asarray(dirs) == 2)
                                            [:, None, None], p1, p0))
         else:
-            pred_dev = gather_pred_planes(
-                _stack_phase(phase, refs_l0, l0[3]), jnp.asarray(xs),
-                jnp.asarray(ys), jnp.asarray(l0[0]), jnp.asarray(l0[1]), s)
+            pred_dev = sel_pred(refs_l0, l0)
         # rough signalling bits: mvd + flags (merge discount applied at write)
         mvb = (np.log2(1 + np.abs(l0[0])) + np.log2(1 + np.abs(l0[1]))) + 6.0
         rd = np.asarray(_inter_rd(jnp.asarray(blocks_np, dtype=jnp.int32),
@@ -269,17 +276,6 @@ def rdo_inter_partition(y_plane: np.ndarray, refs_l0, refs_l1, qp: int,
 
     return _dp_backtrack_inter(intra_res, inter, w, h, qp, sizes, ctu_size,
                                min_cu)
-
-
-def _stack_phase(phase, refs, ridx_arr):
-    """Phase planes for per-block ref choice; with one ref this is just its
-    plane set (the common case — multi-ref gathers per unique idx)."""
-    uniq = np.unique(ridx_arr)
-    if len(uniq) == 1:
-        return phase[id(refs[int(uniq[0])])]
-    # mixed refs: gather per block is done by building a per-block selector;
-    # fall back to ref 0 planes for others' phase (rare; costs quality only)
-    return phase[id(refs[int(uniq[0])])]
 
 
 def _dp_backtrack_inter(intra_res, inter, w, h, qp, sizes, ctu_size, min_cu):

@@ -44,6 +44,7 @@ class RateCtrl:
         # per-(is_intra, tid) model state
         self.alpha = {}
         self.beta = {}
+        self.n_updates = {}
         self.last_qp = base_qp
         self.last_intra_qp = None
 
@@ -71,9 +72,10 @@ class RateCtrl:
         lam = min(max(lam, 0.1), 10000.0)
         qp = qp_from_lambda(lam)
         qp = min(max(qp, self.last_qp - 3), self.last_qp + 3)
-        if slice_type != 2 and self.last_intra_qp is not None:
-            # inter pictures never dip below the intra anchor (stability:
-            # the untrained inter model would over-allocate the first P)
+        if (slice_type != 2 and self.last_intra_qp is not None
+                and self.n_updates.get((False, min(tid, 5)), 0) == 0):
+            # an UNTRAINED inter model over-allocates the first P/B of its
+            # layer; floor it at the intra anchor until it has one update
             qp = max(qp, self.last_intra_qp + min(tid, 2) - 1)
         qp = min(max(qp, 1), 51)
         self._pending_qp = qp
@@ -91,6 +93,7 @@ class RateCtrl:
         self.alpha[key] = min(max(a * math.exp(0.10 * d), 0.05), 500.0)
         self.beta[key] = min(max(b + 0.05 * d * math.log(bpp_real), -3.0),
                              -0.1)
+        self.n_updates[key] = self.n_updates.get(key, 0) + 1
         self.bits_left -= bits
         self.frames_left -= 1
         self.last_qp = getattr(self, "_pending_qp", qp_from_lambda(lam_used))

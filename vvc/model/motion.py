@@ -63,6 +63,76 @@ class MotionState:
         return (self.mv[ys, xs].copy(), self.ref[ys, xs].copy())
 
 
+class ColMotion:
+    """Persisted motion field of a decoded picture, for TMVP (reference:
+    MotionBuf stored per Picture; Slice colFromL0).  Built identically by
+    encoder and decoder from the final leaf list."""
+
+    def __init__(self, mv, ref, inter, poc: int, ref_pocs):
+        self.mv = mv            # [h4, w4, 2, 2] qpel
+        self.ref = ref          # [h4, w4, 2] ref idx or -1
+        self.inter = inter      # [h4, w4] bool
+        self.poc = poc
+        self.ref_pocs = ref_pocs  # (l0 tuple, l1 tuple) of POCs
+
+
+def motion_field_from_leaves(leaves, width: int, height: int, poc: int,
+                             ref_pocs) -> ColMotion:
+    ms = MotionState(width, height)
+    for l in leaves:
+        if l.pred == 1:
+            ms.set_inter(l.x0, l.y0, l.size, l.inter_dir, l.mv, l.ref_idx)
+    return ColMotion(ms.mv, ms.ref, ms.inter, poc, ref_pocs)
+
+
+def scale_mv(mv, tb: int, td: int):
+    """Deterministic integer POC-distance scaling (reference:
+    PU::getDistScaleFactor shape; exact spec fixed-point [verify])."""
+    if td == 0 or tb == td:
+        return (int(mv[0]), int(mv[1]))
+
+    def sc(v):
+        v = int(v) * tb * 2
+        return (v + (td if v >= 0 else -td)) // (2 * td)
+    return (max(-(1 << 17), min((1 << 17) - 1, sc(mv[0]))),
+            max(-(1 << 17), min((1 << 17) - 1, sc(mv[1]))))
+
+
+def temporal_candidate(col: ColMotion, x0: int, y0: int, size: int,
+                       cur_poc: int, ref_pocs, is_b: bool):
+    """TMVP: collocated C0 (bottom-right) with C1 (center) fallback,
+    MV scaled to each list's ref 0 (reference: PU::getColocatedMVP)."""
+    if col is None:
+        return None
+    h4, w4 = col.inter.shape
+    for px, py in ((x0 + size, y0 + size),
+                   (x0 + size // 2, y0 + size // 2)):
+        cx, cy = px >> 2, py >> 2
+        if not (0 <= cx < w4 and 0 <= cy < h4) or not col.inter[cy, cx]:
+            continue
+        # source list: first available on the col picture
+        src = 0 if col.ref[cy, cx, 0] >= 0 else 1
+        cmv = col.mv[cy, cx, src]
+        cref = int(col.ref[cy, cx, src])
+        td = col.poc - col.ref_pocs[src][cref]
+        mv = [(0, 0), (0, 0)]
+        ref = [0, 0]
+        d = 0
+        if ref_pocs[0]:
+            tb = cur_poc - ref_pocs[0][0]
+            mv[0] = scale_mv(cmv, tb, td)
+            d |= 1
+        if is_b and ref_pocs[1]:
+            tb = cur_poc - ref_pocs[1][0]
+            mv[1] = scale_mv(cmv, tb, td)
+            d |= 2
+        if d == 0:
+            return None
+        return (d, np.array(mv, dtype=np.int32),
+                np.array(ref, dtype=np.int8))
+    return None
+
+
 def _cand_key(c):
     d, mv, ref = c
     return (d, tuple(mv[0]) if d & 1 else None, int(ref[0]) if d & 1 else -1,
@@ -71,12 +141,13 @@ def _cand_key(c):
 
 def merge_candidates(ms: MotionState, x0: int, y0: int, size: int,
                      is_b: bool, n_ref_l0: int, n_ref_l1: int,
-                     max_cand: int = MAX_MERGE_CAND):
-    """Merge list: spatial A1,B1,B0,A0,(B2) + zero-MV padding.
+                     max_cand: int = MAX_MERGE_CAND, tmvp=None):
+    """Merge list: spatial A1,B1,B0,A0,(B2) + TMVP + zero-MV padding.
 
+    tmvp: precomputed temporal candidate (temporal_candidate()) or None.
     Returns list of (inter_dir, mv [2,2] int array, ref_idx [2]) of length
-    max_cand.  Reference: PU::getInterMergeCandidates ([verify]: TMVP,
-    HMVP, pairwise-average candidates land later)."""
+    max_cand.  Reference: PU::getInterMergeCandidates ([verify]: HMVP and
+    pairwise-average candidates land later)."""
     s = size
     pos = [(x0 - 1, y0 + s - 1),   # A1
            (x0 + s - 1, y0 - 1),   # B1
@@ -105,6 +176,15 @@ def merge_candidates(ms: MotionState, x0: int, y0: int, size: int,
         cands.append(c)
         if len(cands) >= max_cand:
             break
+    if tmvp is not None and len(cands) < max_cand:
+        d, mv, ref = tmvp
+        if not is_b:
+            d &= 1
+        if d:
+            k = _cand_key((d, mv, ref))
+            if k not in seen:
+                seen.add(k)
+                cands.append((d, mv, ref))
     # zero-MV padding cycling ref indices (spec: zero merge candidates)
     zref = 0
     while len(cands) < max_cand:
