@@ -62,15 +62,13 @@ def _decide_chroma_modes(leaves, frame, bit_depth: int):
     from vvc.kernels.intra import predict_modes_np, build_ref_lines_orig_np
 
     ds = luma_ds_plane(frame.y)
-    ch, cw = frame.cb.shape
-    all_coded = np.ones(((ch + 3) >> 2, (cw + 3) >> 2), dtype=bool)
     by_size = {}
     for i, leaf in enumerate(leaves):
         by_size.setdefault(leaf.size >> 1, []).append(i)
     by_size = {k: np.asarray(v) for k, v in by_size.items()}
     cost_dm = np.zeros(len(leaves))
     cost_lm = np.zeros(len(leaves))
-    from vvc.kernels.cclm import gather_model_points, derive_model
+    from vvc.kernels.cclm import derive_models_batch
 
     for cs, idxs in by_size.items():
         xs = np.array([leaves[i].x0 >> 1 for i in idxs], dtype=np.int32)
@@ -86,11 +84,7 @@ def _decide_chroma_modes(leaves, frame, bit_depth: int):
             obs = plane[ys[:, None, None] + oy[None, :, None],
                         xs[:, None, None] + oy[None, None, :]].astype(np.int64)
             cost_dm[idxs] += ((obs - pdm) ** 2).sum(axis=(1, 2))
-            # per-leaf model derivation (cheap), vectorized prediction
-            ab = np.array([derive_model(
-                gather_model_points(ds, plane, all_coded, int(xs[k]),
-                                    int(ys[k]), cs), bit_depth)
-                for k in range(len(idxs))], dtype=np.int64)
+            ab = derive_models_batch(ds, plane, xs, ys, cs, bit_depth)
             plm = ((ab[:, 0:1, None] * ds_blocks) >> 13) + ab[:, 1:2, None]
             plm = np.clip(plm, 0, (1 << bit_depth) - 1)
             cost_lm[idxs] += ((obs - plm) ** 2).sum(axis=(1, 2))

@@ -94,6 +94,56 @@ def derive_model(pts, bit_depth: int):
     return alpha, beta
 
 
+def derive_models_batch(ds: np.ndarray, chroma: np.ndarray,
+                        xs: np.ndarray, ys: np.ndarray, cs: int,
+                        bit_depth: int):
+    """Vectorized (α, β) for N same-size chroma blocks, assuming all
+    inside-frame neighbours available (the encoder's orig-domain decision
+    approximation — reconstruction re-derives exactly per leaf).
+
+    Returns int64 [N, 2] (alpha, beta)."""
+    n = len(xs)
+    ch, cw = chroma.shape
+    top_ok = ys > 0
+    left_ok = xs > 0
+    # 4 sample points per block: both → 2 top + 2 left; top-only → 4 top;
+    # left-only → 4 left (mirrors gather_model_points)
+    k = np.arange(4)
+    x_top = np.where(top_ok[:, None] & left_ok[:, None],
+                     xs[:, None] + np.array([cs // 4, 3 * cs // 4,
+                                             cs // 4, 3 * cs // 4]),
+                     xs[:, None] + k[None, :] * cs // 4)
+    y_left = np.where(top_ok[:, None] & left_ok[:, None],
+                      ys[:, None] + np.array([0, 0, cs // 4, 3 * cs // 4]),
+                      ys[:, None] + k[None, :] * cs // 4)
+    # per point: from top row (y-1, x_top) or left col (x-1, y_left)
+    use_top = np.where((top_ok & left_ok)[:, None],
+                       np.array([1, 1, 0, 0], dtype=bool)[None, :],
+                       np.broadcast_to(top_ok[:, None], (n, 4)))
+    px = np.where(use_top, np.minimum(x_top, cw - 1),
+                  np.maximum(xs - 1, 0)[:, None])
+    py = np.where(use_top, np.maximum(ys - 1, 0)[:, None],
+                  np.minimum(y_left, ch - 1))
+    lum = ds[py, px].astype(np.int64)
+    chr_ = chroma[py, px].astype(np.int64)
+    order = np.argsort(lum, axis=1, kind="stable")
+    lum = np.take_along_axis(lum, order, axis=1)
+    chr_ = np.take_along_axis(chr_, order, axis=1)
+    lmin = (lum[:, 0] + lum[:, 1] + 1) >> 1
+    lmax = (lum[:, 2] + lum[:, 3] + 1) >> 1
+    cmin = (chr_[:, 0] + chr_[:, 1] + 1) >> 1
+    cmax = (chr_[:, 2] + chr_[:, 3] + 1) >> 1
+    den = lmax - lmin
+    alpha = np.where(den != 0,
+                     ((cmax - cmin) << CCLM_SHIFT) // np.maximum(den, 1), 0)
+    alpha = np.clip(alpha, -(1 << 17), (1 << 17) - 1)
+    beta = np.where(den != 0, cmin - ((alpha * lmin) >> CCLM_SHIFT), cmin)
+    none_ok = ~top_ok & ~left_ok
+    alpha = np.where(none_ok, 0, alpha)
+    beta = np.where(none_ok, 1 << (bit_depth - 1), beta)
+    return np.stack([alpha, beta], axis=1)
+
+
 def predict_cclm(ds: np.ndarray, chroma: np.ndarray, coded_c, cx0: int,
                  cy0: int, cs: int, bit_depth: int, log2_unit=2):
     """CCLM prediction for one chroma block from the downsampled-luma
