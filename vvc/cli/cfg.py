@@ -78,7 +78,7 @@ SUPPORTED_KEYS = {
     "InputBitDepth", "InternalBitDepth", "FramesToBeEncoded", "FrameRate",
     "FrameSkip", "QP", "CTUSize", "IntraPeriod", "DecodingRefreshType",
     "GOPSize", "Profile", "Level", "RateControl", "TargetBitrate",
-    "DepQuant",
+    "DepQuant", "TemporalFilter",
 }
 
 
@@ -119,6 +119,7 @@ def build_encoder_config(opts: dict):
         "target_kbps": (as_int(opts.get("TargetBitrate")) / 1000.0
                         if as_bool(opts.get("RateControl")) else 0.0),
         "dep_quant": as_bool(opts.get("DepQuant")),
+        "mctf": as_bool(opts.get("TemporalFilter")),
     }
     leftover = {k: v for k, v in opts.items() if k not in SUPPORTED_KEYS}
     return sps, pps, io, leftover

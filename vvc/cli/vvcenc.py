@@ -38,7 +38,7 @@ def main(argv=None):
         frames, qp=pps.init_qp, bit_depth=sps.bit_depth, mode=io["mode"],
         gop_size=io["gop_size"], intra_period=io["intra_period"],
         target_kbps=io["target_kbps"], fps=io["fps"],
-        dep_quant=io["dep_quant"])
+        dep_quant=io["dep_quant"], mctf=io["mctf"])
     dt = time.perf_counter() - t0
     with open(io["bitstream"], "wb") as f:
         f.write(bitstream)

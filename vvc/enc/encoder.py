@@ -337,7 +337,7 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
                     lmcs: bool = False, mode: str = "ai",
                     gop_size: int = 16, intra_period: int = -1,
                     target_kbps: float = 0.0, fps: float = 30.0,
-                    dep_quant: bool = False):
+                    dep_quant: bool = False, mctf: bool = False):
     """Encode frames (list of Frame) → (annexb bytes, recons, stats).
 
     mode: "ai" (all-intra), "ldp" (low-delay P), "ra" (random access
@@ -382,6 +382,11 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
     from vvc.common.types import SliceType as ST
     for e in order:
         f = frames[e.poc]
+        if mctf and mode != "ai" and e.tid == 0 and len(frames) > 1:
+            # MCTF pre-filter on temporal-layer-0 anchors (reference:
+            # EncTemporalFilter applied in EncLib::encodePrep)
+            from vvc.enc.mctf import mctf_filter
+            f = mctf_filter(frames, e.poc, qp, bit_depth)
         refs_l0 = [(p, dpb[p]) for p in e.l0]
         refs_l1 = [(p, dpb[p]) for p in e.l1]
         # collocated picture: L1[0] for B, L0[0] for P (reference:
@@ -407,6 +412,12 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
         nals += n
         dpb[e.poc] = r
         recons[e.poc] = r
+        if f is not frames[e.poc]:
+            # MCTF path: report fidelity vs the TRUE source (reference:
+            # xCalculateAddPSNR compares against the unfiltered original)
+            s["psnr_y"] = psnr(frames[e.poc].y, r.y, bit_depth)
+            s["psnr_cb"] = psnr(frames[e.poc].cb, r.cb, bit_depth)
+            s["psnr_cr"] = psnr(frames[e.poc].cr, r.cr, bit_depth)
         s["slice_type"] = int(e.slice_type)
         s["poc"] = e.poc
         s["qp"] = pic_qp
