@@ -78,7 +78,7 @@ SUPPORTED_KEYS = {
     "InputBitDepth", "InternalBitDepth", "FramesToBeEncoded", "FrameRate",
     "FrameSkip", "QP", "CTUSize", "IntraPeriod", "DecodingRefreshType",
     "GOPSize", "Profile", "Level", "RateControl", "TargetBitrate",
-    "DepQuant", "TemporalFilter",
+    "DepQuant", "TemporalFilter", "BIO", "DMVR",
 }
 
 
@@ -120,6 +120,8 @@ def build_encoder_config(opts: dict):
                         if as_bool(opts.get("RateControl")) else 0.0),
         "dep_quant": as_bool(opts.get("DepQuant")),
         "mctf": as_bool(opts.get("TemporalFilter")),
+        "bdof": as_bool(opts.get("BIO")),
+        "dmvr": as_bool(opts.get("DMVR")),
     }
     leftover = {k: v for k, v in opts.items() if k not in SUPPORTED_KEYS}
     return sps, pps, io, leftover

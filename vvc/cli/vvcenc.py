@@ -38,7 +38,8 @@ def main(argv=None):
         frames, qp=pps.init_qp, bit_depth=sps.bit_depth, mode=io["mode"],
         gop_size=io["gop_size"], intra_period=io["intra_period"],
         target_kbps=io["target_kbps"], fps=io["fps"],
-        dep_quant=io["dep_quant"], mctf=io["mctf"])
+        dep_quant=io["dep_quant"], mctf=io["mctf"],
+        bdof=io["bdof"], dmvr=io["dmvr"])
     dt = time.perf_counter() - t0
     with open(io["bitstream"], "wb") as f:
         f.write(bitstream)

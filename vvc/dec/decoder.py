@@ -112,10 +112,15 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
             reconstruct_leaves_wavefront(leaves, recon, sh.qp,
                                          sps.bit_depth, sps.lossless)
         else:
+            inter_cfg = None
+            if inter:
+                inter_cfg = {"bdof": sps.bdof, "dmvr": sps.dmvr,
+                             "cur_poc": sh.poc, "ref_pocs": ref_pocs}
             reconstruct_leaves(leaves, recon, sh.qp, sps.bit_depth,
                                lossless=sps.lossless,
                                refs=refs if inter else None,
-                               dep_quant=sps.dep_quant)
+                               dep_quant=sps.dep_quant,
+                               inter_cfg=inter_cfg)
 
     def do_wpp_rows():
         from vvc.cabac.sao_syntax import read_sao_params

@@ -108,12 +108,13 @@ class Encoder:
         self.pps = pps
         self.parallel_tiles = parallel_tiles
 
-    def _recon_tile(self, frame, recon, leaves_t, qp, refs=None):
+    def _recon_tile(self, frame, recon, leaves_t, qp, refs=None,
+                    inter_cfg=None):
         sps = self.sps
         reconstruct_leaves(leaves_t, recon, qp, sps.bit_depth,
                            orig_planes=(frame.y, frame.cb, frame.cr),
                            lossless=sps.lossless, refs=refs,
-                           dep_quant=sps.dep_quant)
+                           dep_quant=sps.dep_quant, inter_cfg=inter_cfg)
 
     def _entropy_rows_wpp(self, split_map, leaf_map, qp, sao_params,
                           slice_type=SliceType.I, n_ref=(0, 0),
@@ -235,9 +236,16 @@ class Encoder:
 
         # phase 1: reconstruction per tile (availability maps are per-call,
         # so tiles are isolated and parallel)
+        inter_cfg = None
+        if inter_slice:
+            inter_cfg = {"bdof": sps.bdof, "dmvr": sps.dmvr, "cur_poc": poc,
+                         "ref_pocs": (tuple(p for p, _ in refs_l0),
+                                      tuple(p for p, _ in refs_l1))}
+
         def recon_tile(i):
             self._recon_tile(src, recon, leaves_per_tile[i], qp,
-                             refs=ref_planes if inter_slice else None)
+                             refs=ref_planes if inter_slice else None,
+                             inter_cfg=inter_cfg)
 
         if self.parallel_tiles and len(tiles) > 1:
             with concurrent.futures.ThreadPoolExecutor(len(tiles)) as ex:
@@ -337,7 +345,8 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
                     lmcs: bool = False, mode: str = "ai",
                     gop_size: int = 16, intra_period: int = -1,
                     target_kbps: float = 0.0, fps: float = 30.0,
-                    dep_quant: bool = False, mctf: bool = False):
+                    dep_quant: bool = False, mctf: bool = False,
+                    bdof: bool = False, dmvr: bool = False):
     """Encode frames (list of Frame) → (annexb bytes, recons, stats).
 
     mode: "ai" (all-intra), "ldp" (low-delay P), "ra" (random access
@@ -352,7 +361,8 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
               deblocking=not lossless, mts_intra=not lossless,
               sao=not lossless, alf=not lossless, cclm=not lossless,
               lmcs=lmcs and not lossless, lossless=lossless,
-              dep_quant=dep_quant and not lossless)
+              dep_quant=dep_quant and not lossless,
+              bdof=bdof and mode == "ra", dmvr=dmvr and mode == "ra")
     pps = PPS(init_qp=qp, num_tile_cols=num_tile_cols, wpp=wpp)
     enc = Encoder(sps, pps, parallel_tiles)
     nals = [NalUnit(NalUnitType.SPS, write_sps(sps)),

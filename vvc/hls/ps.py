@@ -39,6 +39,8 @@ class SPS:
     lmcs: bool = False
     deblocking: bool = False
     lossless: bool = False  # transquant bypass (config-5 gate, SURVEY §7.2 S6)
+    bdof: bool = False      # bi-directional optical flow
+    dmvr: bool = False      # decoder-side MV refinement
 
 
 @dataclasses.dataclass(frozen=True)

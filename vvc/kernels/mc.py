@@ -132,6 +132,130 @@ def mc_pred_np(planes, x0: int, y0: int, size: int, leaf, bit_depth: int,
     return (p0 + p1 + 1) >> 1
 
 
+def _bi_eligible(leaf, cfg) -> bool:
+    """DMVR/BDOF eligibility: true bi with one past + one future ref at
+    equal POC distance, CU >= 16 (reference: InterPrediction.cpp
+    xProcessDMVR / applyBiOptFlow conditions, simplified [verify])."""
+    if cfg is None or leaf.inter_dir != 3 or leaf.size < 16:
+        return False
+    rp = cfg.get("ref_pocs", ((), ()))
+    cur = cfg.get("cur_poc", 0)
+    if not rp[0] or not rp[1]:
+        return False
+    p0 = rp[0][leaf.ref_idx[0]]
+    p1 = rp[1][leaf.ref_idx[1]]
+    return (cur - p0) == (p1 - cur) > 0
+
+
+def dmvr_refine_np(ref0, ref1, x0, y0, size, mv0, mv1, bit_depth,
+                   rng_i: int = 2):
+    """DMVR: mirrored ±rng integer search minimizing SAD(p0(+d), p1(−d))
+    (reference: InterPrediction::xProcessDMVR 25-point SAD; parametric
+    sub-pel step [verify] omitted).  Returns (d_x, d_y) in qpel units."""
+    best = None
+    bd = bit_depth
+    for dy in range(-rng_i, rng_i + 1):
+        for dx in range(-rng_i, rng_i + 1):
+            q = (4 * dx, 4 * dy)
+            p0 = mc_block_np(ref0, x0, y0, size, size,
+                             mv0[0] + q[0], mv0[1] + q[1], bd)
+            p1 = mc_block_np(ref1, x0, y0, size, size,
+                             mv1[0] - q[0], mv1[1] - q[1], bd)
+            sad = int(np.abs(p0 - p1).sum())
+            # centre bias (spec favours zero offset)
+            if dx == 0 and dy == 0:
+                sad -= sad >> 2
+            if best is None or sad < best[0]:
+                best = (sad, q, p0, p1)
+    return best[1], best[2], best[3]
+
+
+def bdof_refine_np(p0: np.ndarray, p1: np.ndarray,
+                   bit_depth: int) -> np.ndarray:
+    """BDOF: per-4×4 optical-flow correction of the bi average
+    (reference: InterPrediction::applyBiOptFlow; gradient window and
+    fixed-point schedule simplified [verify] — deterministic integers, so
+    encoder and decoder match exactly)."""
+    s = p0.shape[0]
+    a0 = p0.astype(np.int64)
+    a1 = p1.astype(np.int64)
+
+    def grads(a):
+        gx = np.empty_like(a)
+        gx[:, 1:-1] = (a[:, 2:] - a[:, :-2]) >> 1
+        gx[:, 0] = a[:, 1] - a[:, 0]
+        gx[:, -1] = a[:, -1] - a[:, -2]
+        gy = np.empty_like(a)
+        gy[1:-1] = (a[2:] - a[:-2]) >> 1
+        gy[0] = a[1] - a[0]
+        gy[-1] = a[-1] - a[-2]
+        return gx, gy
+
+    gx0, gy0 = grads(a0)
+    gx1, gy1 = grads(a1)
+    gxm = (gx0 + gx1) >> 1
+    gym = (gy0 + gy1) >> 1
+    diff = a0 - a1
+    n4 = s // 4
+
+    def blocksum(a):
+        return a.reshape(n4, 4, n4, 4).sum(axis=(1, 3))
+
+    s1 = blocksum(gxm * gxm)
+    s3 = blocksum(diff * gxm)
+    s5 = blocksum(gym * gym)
+    s6 = blocksum(diff * gym)
+    # v in 1/16-sample units, clipped (model: diff ≈ −2(vx·gxm + vy·gym))
+    vx = np.clip(-(s3 * 8) // np.maximum(s1, 1), -48, 48)
+    vy = np.clip(-(s6 * 8) // np.maximum(s5, 1), -48, 48)
+    vx = np.repeat(np.repeat(vx, 4, axis=0), 4, axis=1)
+    vy = np.repeat(np.repeat(vy, 4, axis=0), 4, axis=1)
+    # corr = v·(g0−g1)/4 (v = full displacement of I0; second-order Taylor:
+    # 2I − (I0+I1) = −I″·v², g0−g1 = −2I″·v)
+    corr = (vx * (gx0 - gx1) + vy * (gy0 - gy1) + 32) >> 6
+    out = ((a0 + a1 + 1) >> 1) + corr
+    return np.clip(out, 0, (1 << bit_depth) - 1).astype(np.int32)
+
+
+def inter_pred_leaf(leaf, comp: int, refs_l0, refs_l1, bit_depth: int,
+                    cfg=None) -> np.ndarray:
+    """Leaf prediction with optional DMVR/BDOF (cfg keys: 'dmvr', 'bdof',
+    'cur_poc', 'ref_pocs').  Shared encoder-recon/decoder path — this is
+    where decoder-side refinement stays bit-exact by construction."""
+    x0, y0, size = leaf.x0, leaf.y0, leaf.size
+    if not _bi_eligible(leaf, cfg) or not (cfg.get("dmvr") or
+                                           cfg.get("bdof")):
+        return mc_pred_np(None, x0, y0, size, leaf, bit_depth,
+                          refs_l0, refs_l1, comp)
+    mv0, mv1 = leaf.mv
+    dq = (0, 0)
+    if cfg.get("dmvr"):
+        if getattr(leaf, "_dmvr_d", None) is None:
+            ref0 = refs_l0[leaf.ref_idx[0]][0]
+            ref1 = refs_l1[leaf.ref_idx[1]][0]
+            leaf._dmvr_d, _, _ = dmvr_refine_np(
+                ref0, ref1, x0, y0, size, mv0, mv1, bit_depth)
+        dq = leaf._dmvr_d
+    if comp == 0:
+        ref0 = refs_l0[leaf.ref_idx[0]][0]
+        ref1 = refs_l1[leaf.ref_idx[1]][0]
+        p0 = mc_block_np(ref0, x0, y0, size, size,
+                         mv0[0] + dq[0], mv0[1] + dq[1], bit_depth)
+        p1 = mc_block_np(ref1, x0, y0, size, size,
+                         mv1[0] - dq[0], mv1[1] - dq[1], bit_depth)
+        if cfg.get("bdof"):
+            return bdof_refine_np(p0, p1, bit_depth)
+        return (p0 + p1 + 1) >> 1
+    # chroma follows the (DMVR-refined) MVs; BDOF is luma-only
+    ref0 = refs_l0[leaf.ref_idx[0]][comp]
+    ref1 = refs_l1[leaf.ref_idx[1]][comp]
+    p0 = mc_block_np(ref0, x0 >> 1, y0 >> 1, size >> 1, size >> 1,
+                     mv0[0] + dq[0], mv0[1] + dq[1], bit_depth, chroma=True)
+    p1 = mc_block_np(ref1, x0 >> 1, y0 >> 1, size >> 1, size >> 1,
+                     mv1[0] - dq[0], mv1[1] - dq[1], bit_depth, chroma=True)
+    return (p0 + p1 + 1) >> 1
+
+
 # ---------------------------------------------------------------------------
 # Batched full-plane interpolation (encoder search path) — JAX
 

@@ -86,7 +86,7 @@ def _recon_block(plane, orig, coded, x0, y0, size, mode, qp, bit_depth, levels,
 def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
                        orig_planes=None, use_native: bool = True,
                        lossless: bool = False, refs=None,
-                       dep_quant: bool = False):
+                       dep_quant: bool = False, inter_cfg=None):
     """Reconstruct all leaves in z-order into recon_planes (y, cb, cr).
 
     Encoder mode: orig_planes given, leaf.lev_* are None → derives and
@@ -123,7 +123,7 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
 
     from vvc.kernels.transform import MTS_TR
     from vvc.kernels.cclm import luma_ds_plane
-    from vvc.kernels.mc import mc_pred_np
+    from vvc.kernels.mc import inter_pred_leaf
     for leaf in leaves:
         s = leaf.size
         x0, y0 = leaf.x0, leaf.y0
@@ -131,12 +131,12 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
         is_inter = leaf.pred == 1
         pred_y = pred_cb = pred_cr = None
         if is_inter:
-            pred_y = mc_pred_np(None, x0, y0, s, leaf, bit_depth,
-                                refs_l0, refs_l1, 0)
-            pred_cb = mc_pred_np(None, x0, y0, s, leaf, bit_depth,
-                                 refs_l0, refs_l1, 1)
-            pred_cr = mc_pred_np(None, x0, y0, s, leaf, bit_depth,
-                                 refs_l0, refs_l1, 2)
+            pred_y = inter_pred_leaf(leaf, 0, refs_l0, refs_l1, bit_depth,
+                                     inter_cfg)
+            pred_cb = inter_pred_leaf(leaf, 1, refs_l0, refs_l1, bit_depth,
+                                      inter_cfg)
+            pred_cr = inter_pred_leaf(leaf, 2, refs_l0, refs_l1, bit_depth,
+                                      inter_cfg)
         lev = _recon_block(y_pl, o_y, coded_y, x0, y0, s, leaf.luma_mode,
                            qp, bit_depth,
                            None if encode_mode else dec_levels(leaf.lev_y, s),
