@@ -119,11 +119,13 @@ def _frac_refine(orig, planes, xs, ys, mvx, mvy, size: int, lam_m):
     return mvx2, mvy2, best
 
 
-@partial(jax.jit, static_argnames=("size", "qp", "bit_depth"))
-def _inter_rd(orig, pred, size: int, qp: int, bit_depth: int, extra_bits):
+@partial(jax.jit, static_argnames=("size", "bit_depth"))
+def _inter_rd(orig, pred, size: int, qp, bit_depth: int, extra_bits):
     """DCT2 RD cost of coding orig with the given inter prediction
-    (mirrors rdo.eval_blocks' rd_pass)."""
-    lam = rd_lambda(qp)
+    (mirrors rdo.eval_blocks' rd_pass).  qp is traced — one compile serves
+    all hierarchy/rate-control QPs."""
+    qp = jnp.asarray(qp, dtype=jnp.int32)
+    lam = 0.57 * jnp.exp2((qp.astype(jnp.float32) - 12.0) / 3.0)
     resi = orig - pred
     coeff = fwd_transform_batch(resi, bit_depth, 0, 0)
     lev = quant_batch(coeff, qp, bit_depth, intra=False)
@@ -195,7 +197,8 @@ def rdo_inter_partition(y_plane: np.ndarray, refs_l0, refs_l1, qp: int,
 
     # intra costs for all sizes (one dispatch — shared with the AI path)
     dev_plane = jax.device_put(jnp.asarray(y_plane, dtype=jnp.int32))
-    intra_res = eval_all_sizes(dev_plane, tuple(sizes), qp, bit_depth, w, h)
+    intra_res = eval_all_sizes(dev_plane, tuple(sizes), jnp.int32(qp),
+                               bit_depth, w, h)
     intra_res = {s: tuple(np.asarray(x) for x in r)
                  for s, r in intra_res.items()}
 
@@ -262,7 +265,7 @@ def rdo_inter_partition(y_plane: np.ndarray, refs_l0, refs_l1, qp: int,
         # rough signalling bits: mvd + flags (merge discount applied at write)
         mvb = (np.log2(1 + np.abs(l0[0])) + np.log2(1 + np.abs(l0[1]))) + 6.0
         rd = np.asarray(_inter_rd(jnp.asarray(blocks_np, dtype=jnp.int32),
-                                  pred_dev, s, qp, bit_depth,
+                                  pred_dev, s, jnp.int32(qp), bit_depth,
                                   jnp.asarray(mvb, dtype=jnp.float32)))
         ent = {"cost": rd.reshape(ny, nx),
                "dir": dirs.reshape(ny, nx),

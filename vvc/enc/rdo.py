@@ -95,8 +95,9 @@ def eval_blocks(orig: jax.Array, refs: jax.Array, size: int, qp: int,
     """
     from vvc.kernels.transform import MTS_TR
 
-    lam = rd_lambda(qp)
-    sqrt_lam = math.sqrt(lam)
+    qp = jnp.asarray(qp, dtype=jnp.int32)
+    lam = 0.57 * jnp.exp2((qp.astype(jnp.float32) - 12.0) / 3.0)
+    sqrt_lam = jnp.sqrt(lam)
     n, s, _ = orig.shape
     preds = predict_all_modes_batch(refs, size, bit_depth)      # [N,67,S,S]
     o = orig[:, None]                                           # [N,1,S,S]
@@ -179,18 +180,18 @@ def _eval_all_sizes_impl(plane, sizes, qp, bit_depth, w, h, lossless=False):
     return out
 
 
-@partial(jax.jit, static_argnames=("sizes", "qp", "bit_depth", "w", "h",
+@partial(jax.jit, static_argnames=("sizes", "bit_depth", "w", "h",
                                    "lossless"))
-def eval_all_sizes(plane: jax.Array, sizes: tuple, qp: int, bit_depth: int,
+def eval_all_sizes(plane: jax.Array, sizes: tuple, qp, bit_depth: int,
                    w: int, h: int, lossless: bool = False):
     """All candidate sizes in ONE dispatch — a single host↔device round
     trip per frame (the RDO search is latency-bound on small pictures)."""
     return _eval_all_sizes_impl(plane, sizes, qp, bit_depth, w, h, lossless)
 
 
-@partial(jax.jit, static_argnames=("sizes", "qp", "bit_depth", "w", "h",
+@partial(jax.jit, static_argnames=("sizes", "bit_depth", "w", "h",
                                    "lossless"))
-def eval_all_sizes_frames(planes: jax.Array, sizes: tuple, qp: int,
+def eval_all_sizes_frames(planes: jax.Array, sizes: tuple, qp,
                           bit_depth: int, w: int, h: int,
                           lossless: bool = False):
     """[F,H,W] plane batch → per-size ([F,ny,nx] cost, [F,ny,nx] mode).
@@ -225,8 +226,8 @@ def rdo_partition(y_plane: np.ndarray, qp: int, bit_depth: int = 8,
     assert w % min_cu == 0 and h % min_cu == 0, "pad input to min-CU multiple"
     sizes = _candidate_sizes(ctu_size, min_cu)
     dev_plane = jax.device_put(jnp.asarray(y_plane, dtype=jnp.int32))
-    results = eval_all_sizes(dev_plane, tuple(sizes), qp, bit_depth, w, h,
-                             lossless)
+    results = eval_all_sizes(dev_plane, tuple(sizes),
+                             jnp.int32(qp), bit_depth, w, h, lossless)
     results = {s: tuple(np.asarray(x) for x in r) for s, r in results.items()}
     return _dp_backtrack(results, w, h, qp, sizes, ctu_size, min_cu)
 
@@ -240,8 +241,8 @@ def rdo_partition_frames(y_planes, qp: int, bit_depth: int = 8,
     assert w % min_cu == 0 and h % min_cu == 0, "pad input to min-CU multiple"
     sizes = _candidate_sizes(ctu_size, min_cu)
     stack = jax.device_put(jnp.asarray(np.stack(y_planes), dtype=jnp.int32))
-    res = eval_all_sizes_frames(stack, tuple(sizes), qp, bit_depth, w, h,
-                                lossless)
+    res = eval_all_sizes_frames(stack, tuple(sizes), jnp.int32(qp),
+                                bit_depth, w, h, lossless)
     res = {s: tuple(np.asarray(x) for x in r) for s, r in res.items()}
     out = []
     for f in range(len(y_planes)):

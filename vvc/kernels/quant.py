@@ -80,26 +80,34 @@ def dequant_np(level: np.ndarray, qp: int, bit_depth: int = 8) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def quant_batch(coeff: jax.Array, qp: int, bit_depth: int = 8, intra: bool = True) -> jax.Array:
+def quant_batch(coeff: jax.Array, qp, bit_depth: int = 8,
+                intra: bool = True) -> jax.Array:
+    """qp may be a python int OR a traced int32 scalar — keeping it traced
+    lets one compiled RDO program serve every QP (hierarchy offsets, rate
+    control) instead of recompiling per value."""
     n, h, w = coeff.shape
     tshift = transform_shift(_log2(w), _log2(h), bit_depth)
+    qp = jnp.asarray(qp, dtype=jnp.int32)
     qbits = QUANT_SHIFT + qp // 6 + tshift
-    scale = int(QUANT_SCALES[qp % 6])
-    offset = (171 if intra else 85) << (qbits - 9)
+    scale = jnp.asarray(QUANT_SCALES, dtype=jnp.int32)[qp % 6]
+    offset = jnp.left_shift(171 if intra else 85, qbits - 9)
     # |coeff|*scale < 2^30 — exact in int32 (device default; no x64 needed)
     a = jnp.abs(coeff)
-    level = jnp.clip((a * scale + offset) >> qbits, 0, 32767)
+    level = jnp.clip(jnp.right_shift(a * scale + offset, qbits), 0, 32767)
     return (jnp.sign(coeff) * level).astype(jnp.int32)
 
 
-def dequant_batch(level: jax.Array, qp: int, bit_depth: int = 8) -> jax.Array:
+def dequant_batch(level: jax.Array, qp, bit_depth: int = 8) -> jax.Array:
     n, h, w = level.shape
     tshift = transform_shift(_log2(w), _log2(h), bit_depth)
-    shift = IQUANT_SHIFT - tshift
-    scale = int(INV_QUANT_SCALES[qp % 6])
+    shift = IQUANT_SHIFT - tshift                  # static (size-only)
+    qp = jnp.asarray(qp, dtype=jnp.int32)
+    scale = jnp.asarray(INV_QUANT_SCALES, dtype=jnp.int32)[qp % 6]
     sh6 = qp // 6
     lv = level * scale                             # < 2^22, int32-exact
-    lv = jnp.clip(lv, -(_DEQ_GUARD >> sh6), _DEQ_GUARD >> sh6) << sh6
+    lv = jnp.left_shift(
+        jnp.clip(lv, -jnp.right_shift(_DEQ_GUARD, sh6),
+                 jnp.right_shift(_DEQ_GUARD, sh6)), sh6)
     if shift > 0:
         c = (lv + (1 << (shift - 1))) >> shift
     else:
