@@ -59,6 +59,7 @@ CTX_SETS = [
     ("MVP_FLAG", 1),
     ("MVD", 2),
     ("ROOT_CBF", 1),
+    ("MIP_FLAG", 1),
 ]
 
 _OFFSETS = {}

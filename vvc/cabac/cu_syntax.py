@@ -109,7 +109,8 @@ class TreeCoder:
                  ctu_size: int = 64, min_cu: int = 8, mts_enabled: bool = False,
                  cclm_enabled: bool = False, slice_type: int = 2,
                  mstate=None, n_ref=(0, 0), max_merge: int = 6,
-                 col=None, cur_poc: int = 0, ref_pocs=((), ())):
+                 col=None, cur_poc: int = 0, ref_pocs=((), ()),
+                 mip_enabled: bool = False):
         self.ctxs = ctxs
         self.state = state
         self.w = width
@@ -118,6 +119,7 @@ class TreeCoder:
         self.min_cu = min_cu
         self.mts_enabled = mts_enabled
         self.cclm_enabled = cclm_enabled
+        self.mip_enabled = mip_enabled
         self.max_depth = (ctu_size.bit_length() - 1) - (min_cu.bit_length() - 1)
         self.slice_type = slice_type          # 0=B, 1=P, 2=I (spec values)
         self.inter_slice = slice_type != 2
@@ -337,27 +339,38 @@ class TreeWriter(TreeCoder):
                 enc.encode_bin_ep(1 if v < 0 else 0)
 
     def _cu_intra(self, leaf: Leaf):
+        from vvc.kernels.mip import mip_allowed, K_MIP_MODES
         enc, ctxs = self.enc, self.ctxs
         x0, y0, size, mode = leaf.x0, leaf.y0, leaf.size, leaf.luma_mode
-        # intra_luma_ref_idx (always reference line 0)
-        if (y0 % self.ctu) > 0:
-            enc.encode_bin(0, ctxs("INTRA_LUMA_REF_IDX", 0))
-        left, above = self._neighbor_modes(x0, y0, size)
-        mpm = mpm_list(left, above)
-        if mode in mpm:
-            idx = mpm.index(mode)
-            enc.encode_bin(1, ctxs("INTRA_LUMA_MPM_FLAG", 0))
-            enc.encode_bin(0 if idx == 0 else 1, ctxs("INTRA_LUMA_NOT_PLANAR", 0))
-            if idx > 0:
-                # truncated-unary of idx-1, cMax 4, bypass
-                for i in range(idx - 1):
-                    enc.encode_bin_ep(1)
-                if idx - 1 < 4:
-                    enc.encode_bin_ep(0)
+        is_mip = mode >= 67
+        # intra_mip_flag + mode (TB), before the conventional mode tree
+        if self.mip_enabled and mip_allowed(size):
+            enc.encode_bin(1 if is_mip else 0, ctxs("MIP_FLAG", 0))
+            if is_mip:
+                _tb_write(enc, mode - 67, K_MIP_MODES)
         else:
-            enc.encode_bin(0, ctxs("INTRA_LUMA_MPM_FLAG", 0))
-            rem = sorted(set(range(67)) - set(mpm))
-            _tb_write(enc, rem.index(mode), len(rem))
+            assert not is_mip, "MIP mode chosen but not signalable"
+        if not is_mip:
+            # intra_luma_ref_idx (always reference line 0)
+            if (y0 % self.ctu) > 0:
+                enc.encode_bin(0, ctxs("INTRA_LUMA_REF_IDX", 0))
+            left, above = self._neighbor_modes(x0, y0, size)
+            mpm = mpm_list(left, above)
+            if mode in mpm:
+                idx = mpm.index(mode)
+                enc.encode_bin(1, ctxs("INTRA_LUMA_MPM_FLAG", 0))
+                enc.encode_bin(0 if idx == 0 else 1,
+                               ctxs("INTRA_LUMA_NOT_PLANAR", 0))
+                if idx > 0:
+                    # truncated-unary of idx-1, cMax 4, bypass
+                    for i in range(idx - 1):
+                        enc.encode_bin_ep(1)
+                    if idx - 1 < 4:
+                        enc.encode_bin_ep(0)
+            else:
+                enc.encode_bin(0, ctxs("INTRA_LUMA_MPM_FLAG", 0))
+                rem = sorted(set(range(67)) - set(mpm))
+                _tb_write(enc, rem.index(mode), len(rem))
         # chroma mode: optional cclm_mode_flag, then DM (bin 1 = DM)
         if self.cclm_enabled:
             enc.encode_bin(leaf.chroma_mode, ctxs("CCLM_FLAG", 0))
@@ -365,7 +378,8 @@ class TreeWriter(TreeCoder):
             enc.encode_bin(1, ctxs("INTRA_CHROMA_PRED_MODE", 0))
         self._residuals(leaf)
         d = (self.ctu.bit_length() - 1) - (size.bit_length() - 1)
-        self.state.set_cu(x0, y0, size, mode, d)
+        # neighbours see a MIP CU as planar (spec MPM rule shape)
+        self.state.set_cu(x0, y0, size, PLANAR_IDX if is_mip else mode, d)
         self.state.mark_coded(x0, y0, size)
         if self.inter_slice:
             self.mstate.set_intra(x0, y0, size)
@@ -519,23 +533,30 @@ class TreeReader(TreeCoder):
         return out
 
     def _cu_intra(self, x0: int, y0: int, size: int):
+        from vvc.kernels.mip import mip_allowed, K_MIP_MODES
         dec, ctxs = self.dec, self.ctxs
-        if (y0 % self.ctu) > 0:
-            ref_idx_bin = dec.decode_bin(ctxs("INTRA_LUMA_REF_IDX", 0))
-            assert ref_idx_bin == 0, "multi-ref-line not supported yet"
-        left, above = self._neighbor_modes(x0, y0, size)
-        mpm = mpm_list(left, above)
-        if dec.decode_bin(ctxs("INTRA_LUMA_MPM_FLAG", 0)):
-            if dec.decode_bin(ctxs("INTRA_LUMA_NOT_PLANAR", 0)):
-                idx = 1
-                while idx - 1 < 4 and dec.decode_bin_ep():
-                    idx += 1
-                mode = mpm[idx]
-            else:
-                mode = mpm[0]
+        is_mip = False
+        if self.mip_enabled and mip_allowed(size):
+            is_mip = bool(dec.decode_bin(ctxs("MIP_FLAG", 0)))
+        if is_mip:
+            mode = 67 + _tb_read(dec, K_MIP_MODES)
         else:
-            rem = sorted(set(range(67)) - set(mpm))
-            mode = rem[_tb_read(dec, len(rem))]
+            if (y0 % self.ctu) > 0:
+                ref_idx_bin = dec.decode_bin(ctxs("INTRA_LUMA_REF_IDX", 0))
+                assert ref_idx_bin == 0, "multi-ref-line not supported yet"
+            left, above = self._neighbor_modes(x0, y0, size)
+            mpm = mpm_list(left, above)
+            if dec.decode_bin(ctxs("INTRA_LUMA_MPM_FLAG", 0)):
+                if dec.decode_bin(ctxs("INTRA_LUMA_NOT_PLANAR", 0)):
+                    idx = 1
+                    while idx - 1 < 4 and dec.decode_bin_ep():
+                        idx += 1
+                    mode = mpm[idx]
+                else:
+                    mode = mpm[0]
+            else:
+                rem = sorted(set(range(67)) - set(mpm))
+                mode = rem[_tb_read(dec, len(rem))]
         chroma_mode = 0
         if self.cclm_enabled:
             chroma_mode = dec.decode_bin(ctxs("CCLM_FLAG", 0))
@@ -545,7 +566,7 @@ class TreeReader(TreeCoder):
         leaf = Leaf(x0, y0, size, mode, chroma_mode=chroma_mode)
         self._read_residuals(leaf)
         d = (self.ctu.bit_length() - 1) - (size.bit_length() - 1)
-        self.state.set_cu(x0, y0, size, mode, d)
+        self.state.set_cu(x0, y0, size, PLANAR_IDX if is_mip else mode, d)
         self.state.mark_coded(x0, y0, size)
         if self.inter_slice:
             self.mstate.set_intra(x0, y0, size)

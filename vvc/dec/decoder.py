@@ -138,7 +138,7 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
             reader = TreeReader(dec, ctxs, state, sps.width, sps.height,
                                 sps.ctu_size, sps.min_cu_size,
                                 mts_enabled=sps.mts_intra,
-                                cclm_enabled=sps.cclm,
+                                cclm_enabled=sps.cclm, mip_enabled=sps.mip,
                                 slice_type=sh.slice_type, mstate=mstate,
                                 n_ref=n_ref, col=col, cur_poc=sh.poc,
                                 ref_pocs=ref_pocs)
@@ -166,7 +166,7 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
         reader = TreeReader(dec, ctxs, state, min(tx1, sps.width), sps.height,
                             sps.ctu_size, sps.min_cu_size,
                             mts_enabled=sps.mts_intra,
-                            cclm_enabled=sps.cclm,
+                            cclm_enabled=sps.cclm, mip_enabled=sps.mip,
                             slice_type=sh.slice_type,
                             mstate=MotionState(sps.width, sps.height),
                             n_ref=n_ref, col=col, cur_poc=sh.poc,

@@ -84,9 +84,17 @@ def _recon_wave_group(plane, order_map, group, qp, bit_depth, lossless, comp,
         mtss[k] = mts
         if lv is not None:
             levs[k] = lv
+    if comp != 0:
+        # chroma DM of a MIP leaf maps to planar
+        modes = np.where(modes >= 67, 0, modes)
     c_batch = jnp.asarray(np.stack(cs))
     preds = predict_all_modes_batch(c_batch, size, bit_depth)      # [N,67,S,S]
-    pred = np.asarray(preds)[np.arange(n), modes]                  # [N,S,S]
+    pred = np.asarray(preds)[np.arange(n), np.minimum(modes, 66)]  # [N,S,S]
+    if comp == 0 and np.any(modes >= 67):
+        from vvc.kernels.mip import mip_predict_np
+        for k in np.nonzero(modes >= 67)[0]:
+            pred[k] = mip_predict_np(cs[k], int(modes[k]) - 67, size,
+                                     bit_depth)
     if cclm_ds is not None:
         from vvc.kernels.cclm import predict_cclm
         for k, (leaf, s, x0, y0, lv, mts, zi) in enumerate(group):

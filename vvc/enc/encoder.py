@@ -74,6 +74,7 @@ def _decide_chroma_modes(leaves, frame, bit_depth: int):
         xs = np.array([leaves[i].x0 >> 1 for i in idxs], dtype=np.int32)
         ys = np.array([leaves[i].y0 >> 1 for i in idxs], dtype=np.int32)
         modes = np.array([leaves[i].luma_mode for i in idxs])
+        modes = np.where(modes >= 67, 0, modes)  # MIP leaves: DM = planar
         oy = np.arange(cs)
         # batched block extraction [N, cs, cs]
         ds_blocks = ds[ys[:, None, None] + oy[None, :, None],
@@ -141,7 +142,7 @@ class Encoder:
             writer = TreeWriter(enc, ctxs, state, sps.width, sps.height,
                                 split_map, leaf_map, sps.ctu_size,
                                 sps.min_cu_size, mts_enabled=sps.mts_intra,
-                                cclm_enabled=sps.cclm,
+                                cclm_enabled=sps.cclm, mip_enabled=sps.mip,
                                 slice_type=int(slice_type), mstate=mstate,
                                 n_ref=n_ref, col=col_info[0],
                                 cur_poc=col_info[1], ref_pocs=col_info[2])
@@ -170,7 +171,7 @@ class Encoder:
         writer = TreeWriter(enc, ctxs, state, min(tx1, sps.width), sps.height,
                             split_map, leaf_map, sps.ctu_size,
                             sps.min_cu_size, mts_enabled=sps.mts_intra,
-                            cclm_enabled=sps.cclm,
+                            cclm_enabled=sps.cclm, mip_enabled=sps.mip,
                             slice_type=int(slice_type),
                             mstate=MotionState(sps.width, sps.height),
                             n_ref=n_ref, col=col_info[0],
@@ -359,6 +360,7 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
     h, w = frames[0].y.shape
     sps = SPS(width=w, height=h, bit_depth=bit_depth,
               deblocking=not lossless, mts_intra=not lossless,
+              mip=not lossless,
               sao=not lossless, alf=not lossless, cclm=not lossless,
               lmcs=lmcs and not lossless, lossless=lossless,
               dep_quant=dep_quant and not lossless,

@@ -82,16 +82,21 @@ def build_ref_lines_device(plane: jax.Array, xs: jax.Array, ys: jax.Array,
 # approximate mts_idx signalling cost (truncated-unary ctx bins)
 _MTS_BITS = (0.5, 2.0, 3.0, 4.0, 4.0)
 
+# approximate MIP signalling cost: mip_flag + TB(K) mode bits
+_MIP_BITS = 4.5
+
 
 def eval_blocks(orig: jax.Array, refs: jax.Array, size: int, qp: int,
                 bit_depth: int = 8, try_mts: bool = False,
-                lossless: bool = False):
+                lossless: bool = False, try_mip: bool = False):
     """[N,S,S] originals + [N,4S+3] refs →
     (best_cost [N] f32, best_mode [N] i32, best_mts [N] i32).
 
-    SATD prescreen over 67 modes, then full RD on the shortlist — jointly
-    over MTS transform candidates when try_mts (reference:
-    IntraSearch::estIntraPredLumaQT's MTS loop).  Pure (trace-safe).
+    SATD prescreen over 67 modes (+ K MIP matrix modes when try_mip — mode
+    indices 67..67+K-1), then full RD on the shortlist — jointly over MTS
+    transform candidates when try_mts (reference:
+    IntraSearch::estIntraPredLumaQT's MTS loop + MIP candidates).  Pure
+    (trace-safe).
     """
     from vvc.kernels.transform import MTS_TR
 
@@ -100,11 +105,19 @@ def eval_blocks(orig: jax.Array, refs: jax.Array, size: int, qp: int,
     sqrt_lam = jnp.sqrt(lam)
     n, s, _ = orig.shape
     preds = predict_all_modes_batch(refs, size, bit_depth)      # [N,67,S,S]
+    mode_bits_np = _MODE_BITS
+    if try_mip:
+        from vvc.kernels.mip import mip_predict_all_batch, K_MIP_MODES
+        mip_preds = mip_predict_all_batch(refs, size, bit_depth)
+        preds = jnp.concatenate([preds, mip_preds], axis=1)  # [N,67+K,S,S]
+        mode_bits_np = np.concatenate(
+            [_MODE_BITS, np.full((K_MIP_MODES,), _MIP_BITS, np.float32)])
+    n_modes = preds.shape[1]
     o = orig[:, None]                                           # [N,1,S,S]
     satd = satd_batch(
         preds.reshape(-1, s, s),
-        jnp.broadcast_to(o, preds.shape).reshape(-1, s, s)).reshape(n, 67)
-    mode_bits = jnp.asarray(_MODE_BITS)
+        jnp.broadcast_to(o, preds.shape).reshape(-1, s, s)).reshape(n, n_modes)
+    mode_bits = jnp.asarray(mode_bits_np)
     pre_cost = satd.astype(jnp.float32) + sqrt_lam * mode_bits[None, :]
     if lossless:
         # transquant bypass: SATD is the rate proxy; no RD stage
@@ -165,8 +178,10 @@ def eval_size_plane(plane: jax.Array, size: int, qp: int, bit_depth: int,
     xs = (jnp.tile(jnp.arange(nx), ny) * s)
     refs = build_ref_lines_device(plane, xs, ys, s, bit_depth)
     try_mts = (not lossless) and mts_enabled and 8 <= s <= 32  # spec limit 32
+    from vvc.kernels.mip import mip_allowed
+    try_mip = (not lossless) and mip_allowed(s)
     cost, mode, mts = eval_blocks(blocks, refs, s, qp, bit_depth, try_mts,
-                                  lossless)
+                                  lossless, try_mip)
     return cost.reshape(ny, nx), mode.reshape(ny, nx), mts.reshape(ny, nx)
 
 

@@ -158,7 +158,12 @@ def _pdpc_planar_dc(pred: np.ndarray, c: np.ndarray, size: int) -> np.ndarray:
 
 def predict_intra(c: np.ndarray, mode: int, size: int, bit_depth: int = 8,
                   pdpc: bool = True) -> np.ndarray:
-    """Predict one S×S block from its reference line C.  Returns int32 [S, S]."""
+    """Predict one S×S block from its reference line C.  Returns int32 [S, S].
+
+    mode >= 67 dispatches to MIP (matrix intra prediction, no PDPC)."""
+    if mode >= 67:
+        from vvc.kernels.mip import mip_predict_np
+        return mip_predict_np(c, mode - 67, size, bit_depth)
     s = size
     log2s = int(np.log2(s))
     left = c[2 * s - 1::-1][:2 * s]  # left[k] = sample at (x0-1, y0+k)

@@ -144,7 +144,9 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
                            dep_quant=dep_quant)
         if encode_mode:
             leaf.lev_y = lev if np.any(lev) else None
-        # chroma (single tree, DM mode = luma mode), half resolution
+        # chroma (single tree, DM mode = luma mode; MIP maps to planar),
+        # half resolution
+        dm_mode = 0 if leaf.luma_mode >= 67 else leaf.luma_mode
         cs = s >> 1
         cx, cy = x0 >> 1, y0 >> 1
         ds = None
@@ -152,14 +154,14 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
             # region-local downsample would suffice; whole-plane keeps the
             # oracle simple (luma of this leaf is already reconstructed)
             ds = luma_ds_plane(y_pl)
-        lev = _recon_block(cb_pl, o_cb, coded_c, cx, cy, cs, leaf.luma_mode,
+        lev = _recon_block(cb_pl, o_cb, coded_c, cx, cy, cs, dm_mode,
                            qpc, bit_depth,
                            None if encode_mode else dec_levels(leaf.lev_cb, cs),
                            lossless=lossless, cclm_ds=ds, pred=pred_cb,
                            intra=not is_inter, dep_quant=dep_quant)
         if encode_mode:
             leaf.lev_cb = lev if np.any(lev) else None
-        lev = _recon_block(cr_pl, o_cr, coded_c, cx, cy, cs, leaf.luma_mode,
+        lev = _recon_block(cr_pl, o_cr, coded_c, cx, cy, cs, dm_mode,
                            qpc, bit_depth,
                            None if encode_mode else dec_levels(leaf.lev_cr, cs),
                            lossless=lossless, cclm_ds=ds, pred=pred_cr,

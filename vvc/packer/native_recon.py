@@ -30,6 +30,9 @@ def available() -> bool:
                 + [np.ascontiguousarray(dct8_matrix(n)) for n in (4, 8, 16, 32)])
         # keep refs alive for the process lifetime (recon_init copies anyway)
         l.recon_init(*[m.ctypes.data_as(ctypes.c_void_p) for m in mats])
+        from vvc.rom.mip_mats import mip_weights
+        w8 = np.ascontiguousarray(mip_weights().astype(np.int8))
+        l.mip_init(w8.ctypes.data_as(ctypes.c_void_p))
         _initialized = True
     return True
 
@@ -55,10 +58,13 @@ def _run_component(l, leaves, plane, coded, orig, qp, bit_depth, enc,
         if comp == 0:
             x0, y0, s = leaf.x0, leaf.y0, leaf.size
             th, tv = MTS_TR[leaf.mts]
+            mode = leaf.luma_mode
         else:
             x0, y0, s = leaf.x0 >> 1, leaf.y0 >> 1, leaf.size >> 1
             th, tv = 0, 0
-        meta[i] = (x0, y0, s, leaf.luma_mode, int(th), int(tv))
+            # chroma DM of a MIP leaf maps to planar (spec DM rule shape)
+            mode = 0 if leaf.luma_mode >= 67 else leaf.luma_mode
+        meta[i] = (x0, y0, s, mode, int(th), int(tv))
         offsets[i] = total
         total += s * s
     levels = np.zeros((total,), dtype=np.int32)

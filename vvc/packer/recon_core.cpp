@@ -91,6 +91,67 @@ void build_ref_line(const int32_t* plane, int h, int w, const uint8_t* coded,
   c[4 * s + 2] = c[4 * s];
 }
 
+// ---- MIP (mirror of vvc/kernels/mip.py mip_predict_np) ----
+
+constexpr int K_MIP_MODES = 9;
+int32_t g_mip_w[K_MIP_MODES * 64 * 8];  // int8 table widened at init
+bool g_mip_ready = false;
+
+void predict_mip(const int32_t* c, int k, int s, int bit_depth,
+                 int32_t* pred /*s*s*/) {
+  const int32_t* top = c + 2 * s + 1;
+  auto leftv = [&](int i) { return c[2 * s - 1 - i]; };
+  int pool = s >> 2, lp = 0;
+  while ((1 << lp) < pool) lp++;
+  int64_t b[8];
+  for (int j = 0; j < 4; j++) {
+    int64_t st = 0, sl = 0;
+    for (int t = 0; t < pool; t++) {
+      st += top[j * pool + t];
+      sl += leftv(j * pool + t);
+    }
+    b[j] = (st + (pool >> 1)) >> lp;
+    b[4 + j] = (sl + (pool >> 1)) >> lp;
+  }
+  int64_t m = (b[0] + b[1] + b[2] + b[3] + b[4] + b[5] + b[6] + b[7] + 4) >> 3;
+  const int32_t* w = g_mip_w + k * 64 * 8;
+  int mx = (1 << bit_depth) - 1;
+  int32_t red[64];
+  for (int o = 0; o < 64; o++) {
+    int64_t acc = 0;
+    for (int i = 0; i < 8; i++) acc += (int64_t)w[o * 8 + i] * (b[i] - m);
+    int64_t v = ((acc + 32) >> 6) + m;
+    red[o] = v < 0 ? 0 : (v > mx ? mx : (int32_t)v);
+  }
+  int u = s >> 3;
+  if (u == 1) {
+    for (int i = 0; i < 64; i++) pred[i] = red[i];
+    return;
+  }
+  int lu = 0;
+  while ((1 << lu) < u) lu++;
+  // horizontal: anchors left[(i+1)u-1] at x=-1 and red[i][j] at x=(j+1)u-1
+  std::vector<int32_t> hor(8 * s);
+  for (int i = 0; i < 8; i++) {
+    int la = leftv((i + 1) * u - 1);
+    for (int x = 0; x < s; x++) {
+      int j0 = x >> lu, d = (x & (u - 1)) + 1;
+      int a = j0 == 0 ? la : red[i * 8 + j0 - 1];
+      int bb = red[i * 8 + j0];
+      hor[i * s + x] = ((u - d) * a + d * bb + (u >> 1)) >> lu;
+    }
+  }
+  // vertical: anchors top[x] at y=-1 and hor[i][x] at y=(i+1)u-1
+  for (int y = 0; y < s; y++) {
+    int i0 = y >> lu, d = (y & (u - 1)) + 1;
+    for (int x = 0; x < s; x++) {
+      int a = i0 == 0 ? top[x] : hor[(i0 - 1) * s + x];
+      int bb = hor[i0 * s + x];
+      pred[y * s + x] = ((u - d) * a + d * bb + (u >> 1)) >> lu;
+    }
+  }
+}
+
 // ---- intra prediction (mirror of predict_intra) ----
 
 void predict_intra(const int32_t* c, int mode, int s, int bit_depth,
@@ -293,6 +354,18 @@ void recon_init(const int32_t* t4, const int32_t* t8, const int32_t* t16,
     }
 }
 
+// MIP weight upload: [K_MIP_MODES, 64, 8] int8 (vvc/rom/mip_mats.py)
+void mip_init(const int8_t* w) {
+  for (int i = 0; i < K_MIP_MODES * 64 * 8; i++) g_mip_w[i] = w[i];
+  g_mip_ready = true;
+}
+
+// direct MIP predict (test harness entry)
+void predict_mip_c(const int32_t* c, int k, int s, int bit_depth,
+                   int32_t* pred) {
+  predict_mip(c, k, s, bit_depth, pred);
+}
+
 // CCLM support (mirror of vvc/kernels/cclm.py) --------------------------
 
 static int cclm_luma_ds(const int32_t* luma, int lh, int lw, int cx, int cy) {
@@ -407,7 +480,10 @@ int recon_block_p(int32_t* plane, int h, int w, uint8_t* coded, int cw4,
   } else {
     build_ref_line(plane, h, w, coded, cw4, x0, y0, s, bit_depth, log2_unit,
                    c.data());
-    predict_intra(c.data(), mode, s, bit_depth, pred.data());
+    if (mode >= 67)
+      predict_mip(c.data(), mode - 67, s, bit_depth, pred.data());
+    else
+      predict_intra(c.data(), mode, s, bit_depth, pred.data());
   }
   int cbf;
   if (enc_mode) {
