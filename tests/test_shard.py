@@ -22,7 +22,7 @@ def test_sharded_rdo_matches_single_device():
     mesh = make_mesh(8, 1)
     c_sh, m_sh, tot = sharded_rdo_step(mesh, jnp.asarray(orig),
                                        jnp.asarray(refs), size, 32)
-    c_1, m_1, _ = eval_blocks(jnp.asarray(orig), jnp.asarray(refs), size, 32, 8)
+    c_1, m_1, _, _ = eval_blocks(jnp.asarray(orig), jnp.asarray(refs), size, 32, 8)
     np.testing.assert_array_equal(np.asarray(m_sh), np.asarray(m_1))
     np.testing.assert_allclose(np.asarray(c_sh), np.asarray(c_1), rtol=1e-6)
     assert np.isclose(float(tot), float(np.sum(np.asarray(c_1))), rtol=1e-5)

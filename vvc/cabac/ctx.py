@@ -33,6 +33,7 @@ CTX_SETS = [
     ("CCLM_FLAG", 1),
     ("CBF_LUMA", 4),
     ("MTS_IDX", 4),
+    ("LFNST_IDX", 2),
     ("CBF_CB", 2),
     ("CBF_CR", 3),
     ("LAST_X_LUMA", 20),

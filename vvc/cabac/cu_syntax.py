@@ -110,7 +110,7 @@ class TreeCoder:
                  cclm_enabled: bool = False, slice_type: int = 2,
                  mstate=None, n_ref=(0, 0), max_merge: int = 6,
                  col=None, cur_poc: int = 0, ref_pocs=((), ()),
-                 mip_enabled: bool = False):
+                 mip_enabled: bool = False, lfnst_enabled: bool = False):
         self.ctxs = ctxs
         self.state = state
         self.w = width
@@ -120,6 +120,7 @@ class TreeCoder:
         self.mts_enabled = mts_enabled
         self.cclm_enabled = cclm_enabled
         self.mip_enabled = mip_enabled
+        self.lfnst_enabled = lfnst_enabled
         self.max_depth = (ctu_size.bit_length() - 1) - (min_cu.bit_length() - 1)
         self.slice_type = slice_type          # 0=B, 1=P, 2=I (spec values)
         self.inter_slice = slice_type != 2
@@ -169,6 +170,14 @@ class TreeCoder:
     def _mts_signaled(self, size: int, cbf_y: int) -> bool:
         # sps_explicit_mts_intra; DST7/DCT8 defined for 4..32 (spec 8.7.4)
         return self.mts_enabled and cbf_y == 1 and 8 <= size <= 32
+
+    def _lfnst_signaled(self, size: int, cbf_y: int, mts: int,
+                        pred: int) -> bool:
+        # intra luma, primary DCT2 only, size >= 8 (reference:
+        # CABACWriter/Reader::residual_lfnst_mode conditions)
+        from vvc.kernels.lfnst import lfnst_allowed
+        return (self.lfnst_enabled and cbf_y == 1 and mts == 0
+                and pred == 0 and lfnst_allowed(size))
 
     def _split_ctx(self, x0: int, y0: int, size: int) -> int:
         d = (self.ctu.bit_length() - 1) - (size.bit_length() - 1)
@@ -398,6 +407,12 @@ class TreeWriter(TreeCoder):
                 enc.encode_bin(1, ctxs("MTS_IDX", i))
             if leaf.mts < 4:
                 enc.encode_bin(0, ctxs("MTS_IDX", leaf.mts))
+        if self._lfnst_signaled(leaf.size, cbf_y, leaf.mts, leaf.pred):
+            # lfnst_idx: truncated unary, cMax 2 (reference:
+            # CABACWriter::residual_lfnst_mode)
+            enc.encode_bin(1 if leaf.lfnst else 0, ctxs("LFNST_IDX", 0))
+            if leaf.lfnst:
+                enc.encode_bin(leaf.lfnst - 1, ctxs("LFNST_IDX", 1))
         if cbf_cb:
             write_residual(enc, ctxs, leaf.lev_cb, is_luma=False)
         if cbf_cr:
@@ -581,6 +596,9 @@ class TreeReader(TreeCoder):
         if self._mts_signaled(size, cbf_y) and leaf.pred == 0:
             while leaf.mts < 4 and dec.decode_bin(ctxs("MTS_IDX", leaf.mts)):
                 leaf.mts += 1
+        if self._lfnst_signaled(size, cbf_y, leaf.mts, leaf.pred):
+            if dec.decode_bin(ctxs("LFNST_IDX", 0)):
+                leaf.lfnst = 1 + dec.decode_bin(ctxs("LFNST_IDX", 1))
         cs = size >> 1
         if cbf_cb:
             leaf.lev_cb = read_residual(dec, ctxs, cs, is_luma=False)

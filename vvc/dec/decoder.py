@@ -139,6 +139,7 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
                                 sps.ctu_size, sps.min_cu_size,
                                 mts_enabled=sps.mts_intra,
                                 cclm_enabled=sps.cclm, mip_enabled=sps.mip,
+                            lfnst_enabled=sps.lfnst,
                                 slice_type=sh.slice_type, mstate=mstate,
                                 n_ref=n_ref, col=col, cur_poc=sh.poc,
                                 ref_pocs=ref_pocs)
@@ -167,6 +168,7 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
                             sps.ctu_size, sps.min_cu_size,
                             mts_enabled=sps.mts_intra,
                             cclm_enabled=sps.cclm, mip_enabled=sps.mip,
+                            lfnst_enabled=sps.lfnst,
                             slice_type=sh.slice_type,
                             mstate=MotionState(sps.width, sps.height),
                             n_ref=n_ref, col=col, cur_poc=sh.poc,

@@ -106,13 +106,24 @@ def _recon_wave_group(plane, order_map, group, qp, bit_depth, lossless, comp,
     if lossless:
         resi = levs
     else:
+        lfns = np.array([g[0].lfnst if comp == 0 else 0 for g in group],
+                        dtype=np.int32)
         for mi in np.unique(mtss):
             sel = mtss == mi
             if not np.any(levs[sel]):
                 continue
             th, tv = MTS_TR[int(mi)]
-            deq = dequant_batch(jnp.asarray(levs[sel]), qp, bit_depth)
-            resi[sel] = np.asarray(inv_transform_batch(deq, bit_depth, th, tv))
+            deq = np.asarray(dequant_batch(jnp.asarray(levs[sel]), qp,
+                                           bit_depth))
+            if np.any(lfns[sel]):
+                from vvc.kernels.lfnst import inv_lfnst_np
+                deq = deq.copy()  # jax buffers are read-only views
+                for j, k in enumerate(np.nonzero(sel)[0]):
+                    if lfns[k]:
+                        deq[j] = inv_lfnst_np(deq[j], int(modes[k]),
+                                              int(lfns[k]))
+            resi[sel] = np.asarray(inv_transform_batch(jnp.asarray(deq),
+                                                       bit_depth, th, tv))
     rec = np.clip(pred + resi, 0, (1 << bit_depth) - 1)
     for k, (leaf, s, x0, y0, lv, mts, zi) in enumerate(group):
         plane[y0:y0 + s, x0:x0 + s] = rec[k]

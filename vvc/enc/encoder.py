@@ -143,6 +143,7 @@ class Encoder:
                                 split_map, leaf_map, sps.ctu_size,
                                 sps.min_cu_size, mts_enabled=sps.mts_intra,
                                 cclm_enabled=sps.cclm, mip_enabled=sps.mip,
+                            lfnst_enabled=sps.lfnst,
                                 slice_type=int(slice_type), mstate=mstate,
                                 n_ref=n_ref, col=col_info[0],
                                 cur_poc=col_info[1], ref_pocs=col_info[2])
@@ -172,6 +173,7 @@ class Encoder:
                             split_map, leaf_map, sps.ctu_size,
                             sps.min_cu_size, mts_enabled=sps.mts_intra,
                             cclm_enabled=sps.cclm, mip_enabled=sps.mip,
+                            lfnst_enabled=sps.lfnst,
                             slice_type=int(slice_type),
                             mstate=MotionState(sps.width, sps.height),
                             n_ref=n_ref, col=col_info[0],
@@ -223,7 +225,7 @@ class Encoder:
         else:
             split_map, leaf_map, leaves = rdo_partition(
                 src.y, qp, bd, sps.ctu_size, sps.min_cu_size,
-                lossless=sps.lossless)
+                lossless=sps.lossless, lfnst=sps.lfnst)
         if sps.cclm:
             intra_leaves = [l for l in leaves if l.pred == 0]
             if intra_leaves:
@@ -360,7 +362,7 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
     h, w = frames[0].y.shape
     sps = SPS(width=w, height=h, bit_depth=bit_depth,
               deblocking=not lossless, mts_intra=not lossless,
-              mip=not lossless,
+              mip=not lossless, lfnst=not lossless,
               sao=not lossless, alf=not lossless, cclm=not lossless,
               lmcs=lmcs and not lossless, lossless=lossless,
               dep_quant=dep_quant and not lossless,
@@ -378,7 +380,7 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
         # are independent); host recon/entropy then proceeds per frame
         rdo_results = rdo_partition_frames(
             [f.y for f in frames], qp, bit_depth, sps.ctu_size,
-            sps.min_cu_size, lossless=lossless)
+            sps.min_cu_size, lossless=lossless, lfnst=sps.lfnst)
     else:
         rdo_results = None
 

@@ -85,12 +85,17 @@ _MTS_BITS = (0.5, 2.0, 3.0, 4.0, 4.0)
 # approximate MIP signalling cost: mip_flag + TB(K) mode bits
 _MIP_BITS = 4.5
 
+# approximate lfnst_idx signalling cost (truncated unary, cMax 2)
+_LFNST_BITS = (0.0, 2.0, 3.0)
+
 
 def eval_blocks(orig: jax.Array, refs: jax.Array, size: int, qp: int,
                 bit_depth: int = 8, try_mts: bool = False,
-                lossless: bool = False, try_mip: bool = False):
+                lossless: bool = False, try_mip: bool = False,
+                try_lfnst: bool = False):
     """[N,S,S] originals + [N,4S+3] refs →
-    (best_cost [N] f32, best_mode [N] i32, best_mts [N] i32).
+    (best_cost [N] f32, best_mode [N] i32, best_mts [N] i32,
+     best_lfnst [N] i32).
 
     SATD prescreen over 67 modes (+ K MIP matrix modes when try_mip — mode
     indices 67..67+K-1), then full RD on the shortlist — jointly over MTS
@@ -123,7 +128,8 @@ def eval_blocks(orig: jax.Array, refs: jax.Array, size: int, qp: int,
         # transquant bypass: SATD is the rate proxy; no RD stage
         best_mode = jnp.argmin(pre_cost, axis=1).astype(jnp.int32)
         best_cost = jnp.min(pre_cost, axis=1)
-        return best_cost, best_mode, jnp.zeros_like(best_mode)
+        return (best_cost, best_mode, jnp.zeros_like(best_mode),
+                jnp.zeros_like(best_mode))
     _, short = jax.lax.top_k(-pre_cost, RD_SHORTLIST)           # [N,K]
 
     def rd_pass(resi_, pred_, th, tv, extra_bits):
@@ -150,27 +156,54 @@ def eval_blocks(orig: jax.Array, refs: jax.Array, size: int, qp: int,
     best_cost = jnp.take_along_axis(cost_a, best_k[:, None], axis=1)[:, 0]
     best_mode = jnp.take_along_axis(short, best_k[:, None], axis=1)[:, 0]
     best_mts = jnp.zeros_like(best_mode)
+    best_lfnst = jnp.zeros_like(best_mode)
+    bp = jnp.take_along_axis(cand, best_k[:, None, None, None],
+                             axis=1)[:, 0]                          # [N,S,S]
+    br = orig - bp
+    bbits = mode_bits[best_mode]
     if try_mts:
         # stage B: MTS candidates on the winning mode only (the reference
         # also restricts the MTS loop to surviving candidates)
-        bp = jnp.take_along_axis(cand, best_k[:, None, None, None],
-                                 axis=1)[:, 0]                      # [N,S,S]
-        br = orig - bp
-        bbits = mode_bits[best_mode]
         for mi in range(1, len(MTS_TR)):
             th, tv = MTS_TR[mi]
             c_mi = rd_pass(br, bp, th, tv, bbits + _MTS_BITS[mi])
             better = c_mi < best_cost
             best_cost = jnp.where(better, c_mi, best_cost)
             best_mts = jnp.where(better, mi, best_mts)
-    return best_cost, best_mode, best_mts.astype(jnp.int32)
+    if try_lfnst:
+        # stage C: LFNST kernels on the winning mode's DCT2 path (competes
+        # with the stage-B MTS winner; reference IntraSearch's lfnst loop)
+        from vvc.kernels.lfnst import fwd_lfnst_batch, inv_lfnst_batch
+        th0, tv0 = MTS_TR[0]
+        coeff0 = fwd_transform_batch(br, bit_depth, th0, tv0)
+        maxv = (1 << bit_depth) - 1
+        for li in (1, 2):
+            lev = quant_batch(fwd_lfnst_batch(coeff0, best_mode, li),
+                              qp, bit_depth, intra=True)
+            deq = dequant_batch(lev, qp, bit_depth)
+            rec_resi = inv_transform_batch(
+                inv_lfnst_batch(deq, best_mode, li), bit_depth, th0, tv0)
+            rec = jnp.clip(bp + rec_resi, 0, maxv)
+            d = (rec - bp - br).astype(jnp.float32)
+            sse = jnp.sum(d * d, axis=(1, 2))
+            la = jnp.abs(lev).astype(jnp.float32)
+            rate = jnp.sum(jnp.where(la > 0, 2.0 * jnp.log2(la + 1.0) + 1.0,
+                                     0.02), axis=(1, 2))
+            c_li = sse + lam * (rate + bbits + _MTS_BITS[0] + _LFNST_BITS[li])
+            better = c_li < best_cost
+            best_cost = jnp.where(better, c_li, best_cost)
+            best_mts = jnp.where(better, 0, best_mts)
+            best_lfnst = jnp.where(better, li, best_lfnst)
+    return (best_cost, best_mode, best_mts.astype(jnp.int32),
+            best_lfnst.astype(jnp.int32))
 
 
 def eval_size_plane(plane: jax.Array, size: int, qp: int, bit_depth: int,
                     ny: int, nx: int, mts_enabled: bool = True,
-                    lossless: bool = False):
+                    lossless: bool = False, lfnst_enabled: bool = True):
     """Whole-frame single-size evaluation: plane [H,W] int32 →
-    (cost [ny,nx] f32, mode [ny,nx] i32, mts [ny,nx] i32).  Trace-safe."""
+    (cost [ny,nx] f32, mode [ny,nx] i32, mts [ny,nx] i32,
+     lfnst [ny,nx] i32).  Trace-safe."""
     s = size
     blocks = (plane[:ny * s, :nx * s]
               .reshape(ny, s, nx, s).transpose(0, 2, 1, 3).reshape(-1, s, s))
@@ -179,43 +212,50 @@ def eval_size_plane(plane: jax.Array, size: int, qp: int, bit_depth: int,
     refs = build_ref_lines_device(plane, xs, ys, s, bit_depth)
     try_mts = (not lossless) and mts_enabled and 8 <= s <= 32  # spec limit 32
     from vvc.kernels.mip import mip_allowed
+    from vvc.kernels.lfnst import lfnst_allowed
     try_mip = (not lossless) and mip_allowed(s)
-    cost, mode, mts = eval_blocks(blocks, refs, s, qp, bit_depth, try_mts,
-                                  lossless, try_mip)
-    return cost.reshape(ny, nx), mode.reshape(ny, nx), mts.reshape(ny, nx)
+    try_lfnst = (not lossless) and lfnst_enabled and lfnst_allowed(s)
+    cost, mode, mts, lfnst = eval_blocks(blocks, refs, s, qp, bit_depth,
+                                         try_mts, lossless, try_mip,
+                                         try_lfnst)
+    return (cost.reshape(ny, nx), mode.reshape(ny, nx), mts.reshape(ny, nx),
+            lfnst.reshape(ny, nx))
 
 
-def _eval_all_sizes_impl(plane, sizes, qp, bit_depth, w, h, lossless=False):
+def _eval_all_sizes_impl(plane, sizes, qp, bit_depth, w, h, lossless=False,
+                         lfnst=True):
     out = {}
     for s in sizes:
         ny, nx = h // s, w // s
         if ny and nx:
             out[s] = eval_size_plane(plane, s, qp, bit_depth, ny, nx,
-                                     lossless=lossless)
+                                     lossless=lossless, lfnst_enabled=lfnst)
     return out
 
 
 @partial(jax.jit, static_argnames=("sizes", "bit_depth", "w", "h",
-                                   "lossless"))
+                                   "lossless", "lfnst"))
 def eval_all_sizes(plane: jax.Array, sizes: tuple, qp, bit_depth: int,
-                   w: int, h: int, lossless: bool = False):
+                   w: int, h: int, lossless: bool = False,
+                   lfnst: bool = True):
     """All candidate sizes in ONE dispatch — a single host↔device round
     trip per frame (the RDO search is latency-bound on small pictures)."""
-    return _eval_all_sizes_impl(plane, sizes, qp, bit_depth, w, h, lossless)
+    return _eval_all_sizes_impl(plane, sizes, qp, bit_depth, w, h, lossless,
+                                lfnst)
 
 
 @partial(jax.jit, static_argnames=("sizes", "bit_depth", "w", "h",
-                                   "lossless"))
+                                   "lossless", "lfnst"))
 def eval_all_sizes_frames(planes: jax.Array, sizes: tuple, qp,
                           bit_depth: int, w: int, h: int,
-                          lossless: bool = False):
+                          lossless: bool = False, lfnst: bool = True):
     """[F,H,W] plane batch → per-size ([F,ny,nx] cost, [F,ny,nx] mode).
 
     All-Intra frames are independent (SURVEY.md §2.7 P-5 applies with no
     reference deps), so the whole GOP's search is one device dispatch."""
     return jax.vmap(
         lambda p: _eval_all_sizes_impl(p, sizes, qp, bit_depth, w, h,
-                                       lossless))(planes)
+                                       lossless, lfnst))(planes)
 
 
 SPLIT_BITS = 1.5  # approximate split_cu_flag cost
@@ -231,7 +271,8 @@ def _candidate_sizes(ctu_size: int, min_cu: int):
 
 
 def rdo_partition(y_plane: np.ndarray, qp: int, bit_depth: int = 8,
-                  ctu_size: int = 64, min_cu: int = 8, lossless: bool = False):
+                  ctu_size: int = 64, min_cu: int = 8, lossless: bool = False,
+                  lfnst: bool = True):
     """Full-frame partition + mode decision.
 
     Returns (split_map, leaf_map, leaves_zorder) consumed by the syntax
@@ -242,14 +283,14 @@ def rdo_partition(y_plane: np.ndarray, qp: int, bit_depth: int = 8,
     sizes = _candidate_sizes(ctu_size, min_cu)
     dev_plane = jax.device_put(jnp.asarray(y_plane, dtype=jnp.int32))
     results = eval_all_sizes(dev_plane, tuple(sizes),
-                             jnp.int32(qp), bit_depth, w, h, lossless)
+                             jnp.int32(qp), bit_depth, w, h, lossless, lfnst)
     results = {s: tuple(np.asarray(x) for x in r) for s, r in results.items()}
     return _dp_backtrack(results, w, h, qp, sizes, ctu_size, min_cu)
 
 
 def rdo_partition_frames(y_planes, qp: int, bit_depth: int = 8,
                          ctu_size: int = 64, min_cu: int = 8,
-                         lossless: bool = False):
+                         lossless: bool = False, lfnst: bool = True):
     """Batched variant: list of [H,W] planes → list of per-frame
     (split_map, leaf_map, leaves).  One device dispatch for the whole GOP."""
     h, w = y_planes[0].shape
@@ -257,7 +298,7 @@ def rdo_partition_frames(y_planes, qp: int, bit_depth: int = 8,
     sizes = _candidate_sizes(ctu_size, min_cu)
     stack = jax.device_put(jnp.asarray(np.stack(y_planes), dtype=jnp.int32))
     res = eval_all_sizes_frames(stack, tuple(sizes), jnp.int32(qp),
-                                bit_depth, w, h, lossless)
+                                bit_depth, w, h, lossless, lfnst)
     res = {s: tuple(np.asarray(x) for x in r) for s, r in res.items()}
     out = []
     for f in range(len(y_planes)):
@@ -271,15 +312,19 @@ def _dp_backtrack(results, w, h, qp, sizes, ctu_size, min_cu):
     cost = {}
     mode = {}
     mts = {}
+    lfn = {}
     for s in sizes:
         nx, ny = w // s, h // s
         cost[s] = np.full((ny, nx), np.inf, dtype=np.float64)
         mode[s] = np.zeros((ny, nx), dtype=np.int32)
         mts[s] = np.zeros((ny, nx), dtype=np.int32)
+        lfn[s] = np.zeros((ny, nx), dtype=np.int32)
         if s in results:
             cost[s][:] = results[s][0]
             mode[s][:] = results[s][1]
             mts[s][:] = results[s][2]
+            if len(results[s]) > 3:
+                lfn[s][:] = results[s][3]
 
     # bottom-up DP
     best = {min_cu: cost[min_cu].copy()}
@@ -318,7 +363,8 @@ def _dp_backtrack(results, w, h, qp, sizes, ctu_size, min_cu):
             if s > min_cu:
                 split_map[(x0, y0, s)] = False
             leaf = Leaf(x0, y0, s, int(mode[s][y0 // s, x0 // s]),
-                        mts=int(mts[s][y0 // s, x0 // s]))
+                        mts=int(mts[s][y0 // s, x0 // s]),
+                        lfnst=int(lfn[s][y0 // s, x0 // s]))
             leaf_map[(x0, y0, s)] = leaf
             leaves.append(leaf)
 

@@ -25,6 +25,7 @@ class Leaf:
     size: int
     luma_mode: int = 0
     mts: int = 0  # MTS index: 0 DCT2/DCT2, 1 DST7/DST7, 2 DCT8/DST7, 3 DST7/DCT8, 4 DCT8/DCT8
+    lfnst: int = 0  # LFNST kernel index (0 off, 1/2); luma, DCT2-only
     chroma_mode: int = 0  # 0 = DM (luma mode), 1 = CCLM (LM)
     # inter fields (pred 0 = intra, 1 = inter); MVs in luma quarter-pel
     pred: int = 0

@@ -40,7 +40,7 @@ def chroma_qp(qp: int) -> int:
 
 def _recon_block(plane, orig, coded, x0, y0, size, mode, qp, bit_depth, levels,
                  tr_h=0, tr_v=0, lossless=False, cclm_ds=None, pred=None,
-                 intra=True, dep_quant=False):
+                 intra=True, dep_quant=False, lfnst=0):
     """Predict + (inverse-)transform one block in `plane`.
 
     If `levels` is None (encode), derives them from `orig`; returns levels.
@@ -61,6 +61,9 @@ def _recon_block(plane, orig, coded, x0, y0, size, mode, qp, bit_depth, levels,
             levels = resi.copy()
         else:
             coeff = fwd_transform_np(resi, bit_depth, tr_h, tr_v)
+            if lfnst:
+                from vvc.kernels.lfnst import fwd_lfnst_np
+                coeff = fwd_lfnst_np(coeff, mode, lfnst)
             if dep_quant:
                 from vvc.kernels.depquant import quant_depquant_np
                 levels = quant_depquant_np(coeff, qp, bit_depth)
@@ -75,6 +78,9 @@ def _recon_block(plane, orig, coded, x0, y0, size, mode, qp, bit_depth, levels,
                 deq = dequant_depquant_np(levels, qp, bit_depth)
             else:
                 deq = dequant_np(levels, qp, bit_depth)
+            if lfnst:
+                from vvc.kernels.lfnst import inv_lfnst_np
+                deq = inv_lfnst_np(deq, mode, lfnst)
             rec_resi = inv_transform_np(deq, bit_depth, tr_h, tr_v)
         rec = np.clip(pred + rec_resi, 0, (1 << bit_depth) - 1)
     else:
@@ -141,7 +147,7 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
                            qp, bit_depth,
                            None if encode_mode else dec_levels(leaf.lev_y, s),
                            th, tv, lossless, pred=pred_y, intra=not is_inter,
-                           dep_quant=dep_quant)
+                           dep_quant=dep_quant, lfnst=leaf.lfnst)
         if encode_mode:
             leaf.lev_y = lev if np.any(lev) else None
         # chroma (single tree, DM mode = luma mode; MIP maps to planar),

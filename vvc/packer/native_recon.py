@@ -33,6 +33,9 @@ def available() -> bool:
         from vvc.rom.mip_mats import mip_weights
         w8 = np.ascontiguousarray(mip_weights().astype(np.int8))
         l.mip_init(w8.ctypes.data_as(ctypes.c_void_p))
+        from vvc.rom.lfnst_mats import lfnst_kernels
+        k8 = np.ascontiguousarray(lfnst_kernels().astype(np.int8))
+        l.lfnst_init(k8.ctypes.data_as(ctypes.c_void_p))
         _initialized = True
     return True
 
@@ -50,7 +53,7 @@ def _run_component(l, leaves, plane, coded, orig, qp, bit_depth, enc,
     n = len(leaves)
     if n == 0:
         return
-    meta = np.empty((n, 6), dtype=np.int32)
+    meta = np.empty((n, 7), dtype=np.int32)
     offsets = np.empty((n,), dtype=np.int64)
     total = 0
     attr = ("lev_y", "lev_cb", "lev_cr")[comp]
@@ -59,12 +62,14 @@ def _run_component(l, leaves, plane, coded, orig, qp, bit_depth, enc,
             x0, y0, s = leaf.x0, leaf.y0, leaf.size
             th, tv = MTS_TR[leaf.mts]
             mode = leaf.luma_mode
+            lfnst = leaf.lfnst
         else:
             x0, y0, s = leaf.x0 >> 1, leaf.y0 >> 1, leaf.size >> 1
             th, tv = 0, 0
             # chroma DM of a MIP leaf maps to planar (spec DM rule shape)
             mode = 0 if leaf.luma_mode >= 67 else leaf.luma_mode
-        meta[i] = (x0, y0, s, mode, int(th), int(tv))
+            lfnst = 0   # LFNST is luma-only in single tree
+        meta[i] = (x0, y0, s, mode, int(th), int(tv), lfnst)
         offsets[i] = total
         total += s * s
     levels = np.zeros((total,), dtype=np.int32)

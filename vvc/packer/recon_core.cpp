@@ -95,6 +95,59 @@ void build_ref_line(const int32_t* plane, int h, int w, const uint8_t* coded,
 
 constexpr int K_MIP_MODES = 9;
 int32_t g_mip_w[K_MIP_MODES * 64 * 8];  // int8 table widened at init
+
+// LFNST kernels [4 sets][2][16][64] (vvc/rom/lfnst_mats.py), widened at init
+int32_t g_lfnst_w[4 * 2 * 16 * 64];
+
+// mirror of vvc/kernels/lfnst.py lfnst_set: mode -> (set, transpose)
+void lfnst_set(int mode, int* g, int* t) {
+  if (mode >= 67) { *g = 0; *t = 0; return; }  // MIP
+  *t = mode > 34;
+  int m = *t ? 68 - mode : mode;
+  *g = m <= 1 ? 0 : (m <= 12 ? 1 : (m <= 23 ? 2 : 3));
+}
+
+// forward: top-left 8x8 primary coeffs -> 16 secondary in top-left 4x4,
+// everything else zeroed (mirror of fwd_lfnst_np)
+void fwd_lfnst(int32_t* coeff, int s, int mode, int li) {
+  int g, t;
+  lfnst_set(mode, &g, &t);
+  const int32_t* b = g_lfnst_w + ((g * 2) + (li - 1)) * 16 * 64;
+  int64_t c8[64];
+  for (int y = 0; y < 8; y++)
+    for (int x = 0; x < 8; x++)
+      c8[y * 8 + x] = t ? coeff[x * s + y] : coeff[y * s + x];
+  int32_t out16[16];
+  for (int o = 0; o < 16; o++) {
+    int64_t acc = 32;
+    for (int k = 0; k < 64; k++) acc += (int64_t)b[o * 64 + k] * c8[k];
+    acc >>= 6;
+    out16[o] = acc < -32768 ? -32768 : (acc > 32767 ? 32767 : (int32_t)acc);
+  }
+  std::memset(coeff, 0, sizeof(int32_t) * s * s);
+  for (int o = 0; o < 16; o++) coeff[(o / 4) * s + (o % 4)] = out16[o];
+}
+
+// inverse: 16 secondary (top-left 4x4) -> top-left 8x8 primary coeffs
+// (mirror of inv_lfnst_np)
+void inv_lfnst(int32_t* deq, int s, int mode, int li) {
+  int g, t;
+  lfnst_set(mode, &g, &t);
+  const int32_t* b = g_lfnst_w + ((g * 2) + (li - 1)) * 16 * 64;
+  int64_t y16[16];
+  for (int o = 0; o < 16; o++) y16[o] = deq[(o / 4) * s + (o % 4)];
+  int32_t c8[64];
+  for (int k = 0; k < 64; k++) {
+    int64_t acc = 32;
+    for (int o = 0; o < 16; o++) acc += (int64_t)b[o * 64 + k] * y16[o];
+    acc >>= 6;
+    c8[k] = acc < -32768 ? -32768 : (acc > 32767 ? 32767 : (int32_t)acc);
+  }
+  std::memset(deq, 0, sizeof(int32_t) * s * s);
+  for (int y = 0; y < 8; y++)
+    for (int x = 0; x < 8; x++)
+      deq[y * s + x] = t ? c8[x * 8 + y] : c8[y * 8 + x];
+}
 bool g_mip_ready = false;
 
 void predict_mip(const int32_t* c, int k, int s, int bit_depth,
@@ -360,6 +413,11 @@ void mip_init(const int8_t* w) {
   g_mip_ready = true;
 }
 
+// LFNST kernel upload: [4, 2, 16, 64] int8 (vvc/rom/lfnst_mats.py)
+void lfnst_init(const int8_t* w) {
+  for (int i = 0; i < 4 * 2 * 16 * 64; i++) g_lfnst_w[i] = w[i];
+}
+
 // direct MIP predict (test harness entry)
 void predict_mip_c(const int32_t* c, int k, int s, int bit_depth,
                    int32_t* pred) {
@@ -472,7 +530,7 @@ int recon_block_p(int32_t* plane, int h, int w, uint8_t* coded, int cw4,
                   const int32_t* orig, int x0, int y0, int size, int mode,
                   int qp, int bit_depth, int log2_unit, int32_t* levels_io,
                   int enc_mode, int tr_h, int tr_v, int lossless,
-                  const int32_t* ext_pred) {
+                  const int32_t* ext_pred, int lfnst = 0) {
   int s = size;
   std::vector<int32_t> c(4 * s + 3), pred(s * s), buf(s * s), buf2(s * s);
   if (ext_pred) {
@@ -498,6 +556,7 @@ int recon_block_p(int32_t* plane, int h, int w, uint8_t* coded, int cw4,
       }
     } else {
       fwd_dct2(buf.data(), s, bit_depth, buf2.data(), tr_h, tr_v);
+      if (lfnst) fwd_lfnst(buf2.data(), s, mode, lfnst);
       cbf = quant(buf2.data(), s, qp, bit_depth, levels_io);
     }
   } else {
@@ -511,6 +570,7 @@ int recon_block_p(int32_t* plane, int h, int w, uint8_t* coded, int cw4,
       std::memcpy(buf.data(), levels_io, sizeof(int32_t) * s * s);
     } else {
       dequant(levels_io, s, qp, bit_depth, buf2.data());
+      if (lfnst) inv_lfnst(buf2.data(), s, mode, lfnst);
       inv_dct2(buf2.data(), s, bit_depth, buf.data(), tr_h, tr_v);
     }
     for (int y = 0; y < s; y++)
@@ -541,7 +601,8 @@ int recon_block(int32_t* plane, int h, int w, uint8_t* coded, int cw4,
 }
 
 // Batched tile reconstruction: one call per (tile, component).
-// meta: int32 [n][6] = (x0, y0, size, mode, tr_h, tr_v) in plane coords.
+// meta: int32 [n][7] = (x0, y0, size, mode, tr_h, tr_v, lfnst) in plane
+// coords.
 // levels: packed int32 buffer; offsets[i] = start of leaf i's size*size
 // block.  enc_mode: derives levels into the buffer, writes cbf[i].
 // Decode: cbf[i] on input says whether levels are present for leaf i.
@@ -555,7 +616,7 @@ void recon_leaves(int32_t* plane, int h, int w, uint8_t* coded, int cw4,
                   const int32_t* cmodes) {
   std::vector<int32_t> predbuf;
   for (int i = 0; i < n; i++) {
-    const int32_t* m = meta + 6 * i;
+    const int32_t* m = meta + 7 * i;
     int32_t* lv = levels + offsets[i];
     int32_t* lv_arg = lv;
     if (!enc_mode && !cbf[i]) lv_arg = nullptr;
@@ -569,7 +630,7 @@ void recon_leaves(int32_t* plane, int h, int w, uint8_t* coded, int cw4,
     }
     cbf[i] = recon_block_p(plane, h, w, coded, cw4, orig, m[0], m[1], m[2],
                            m[3], qp, bit_depth, log2_unit, lv_arg, enc_mode,
-                           m[4], m[5], lossless, ext);
+                           m[4], m[5], lossless, ext, m[6]);
   }
 }
 

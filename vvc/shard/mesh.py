@@ -48,7 +48,7 @@ def sharded_rdo_step(mesh: Mesh, orig: jax.Array, refs: jax.Array,
 
     @jax.jit
     def step(o, r):
-        cost, mode, _mts = eval_blocks(o, r, size, qp, bit_depth)
+        cost, mode, _mts, _lfnst = eval_blocks(o, r, size, qp, bit_depth)
         return cost, mode, jnp.sum(cost)
 
     return step(orig, refs)
