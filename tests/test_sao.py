@@ -88,3 +88,32 @@ def test_sao_improves_psnr():
     post = psnr(f.y, rec[0])
     assert post >= pre - 1e-9
     assert any(v[0].mode for v in params.values())  # something was chosen
+
+
+def test_sao_merge_flags_roundtrip():
+    """Merge-left/up syntax: writer auto-merges equal params; reader copies."""
+    from vvc.cabac.engine import BinEncoder, BinDecoder
+    from vvc.cabac.ctx import SliceContexts
+    from vvc.cabac.sao_syntax import write_sao_params, read_sao_params
+    from vvc.kernels.sao import SaoParams, SAO_EO, SAO_BO
+
+    a = (SaoParams(SAO_EO, 1, 0, (2, 1, -1, -2)),
+         SaoParams(), SaoParams(SAO_BO, 0, 7, (1, 0, 0, -1)))
+    b = (SaoParams(), SaoParams(), SaoParams())
+    seq = [  # (params, left, up) mimicking a 2x2 CTU grid walk
+        (a, None, None),
+        (a, a, None),        # merges left
+        (b, None, a),        # differs: explicit after merge_left=0 skipped
+        (b, b, a),           # merges left
+    ]
+    ctxs = SliceContexts(32)
+    enc = BinEncoder()
+    for p, l, u in seq:
+        write_sao_params(enc, ctxs, p, left=l, up=u)
+    enc.encode_bin_trm(1)
+    data = enc.finish()
+    ctxs = SliceContexts(32)
+    dec = BinDecoder(data)
+    for p, l, u in seq:
+        got = read_sao_params(dec, ctxs, left=l, up=u)
+        assert tuple(got) == tuple(p)

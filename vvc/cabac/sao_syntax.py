@@ -5,11 +5,13 @@ TPU-native analog of the reference's SAO syntax
 sao_block_pars / sao_offset_pars; CABACReader mirror).  Coded once per CTU
 before the coding tree (slice_data order, spec 7.3.11.2).
 
-Per component: sao_type (1 ctx bin: on/off; 1 EP bin: BO/EO), then
-4 offset magnitudes (TR cMax 7, EP), BO: sign per nonzero offset + 5-bit
-band position; EO: 2-bit class (EO offset signs are inferred: categories
-1,2 ≥ 0, categories 3,4 ≤ 0).  Merge-left/up flags are a later stage
-[verify].
+CTU-level: sao_merge_left_flag then sao_merge_up_flag (one shared ctx,
+spec shape; signaled only when the neighbour CTU exists in the same
+substream region) — a set flag copies ALL components' parameters from
+the neighbour.  Otherwise per component: sao_type (1 ctx bin: on/off;
+1 EP bin: BO/EO), then 4 offset magnitudes (TR cMax 7, EP), BO: sign per
+nonzero offset + 5-bit band position; EO: 2-bit class (EO offset signs
+are inferred: categories 1,2 ≥ 0, categories 3,4 ≤ 0).
 """
 from __future__ import annotations
 
@@ -30,7 +32,20 @@ def _read_offset_mag(dec) -> int:
     return m
 
 
-def write_sao_params(enc, ctxs, params3):
+def write_sao_params(enc, ctxs, params3, left=None, up=None):
+    """left/up: neighbour CTUs' params3 (None = not available for merge).
+    The encoder merges when its decided params equal a neighbour's — a
+    pure rate win with identical reconstruction."""
+    if left is not None:
+        if tuple(params3) == tuple(left):
+            enc.encode_bin(1, ctxs("SAO_MERGE", 0))
+            return
+        enc.encode_bin(0, ctxs("SAO_MERGE", 0))
+    if up is not None:
+        if tuple(params3) == tuple(up):
+            enc.encode_bin(1, ctxs("SAO_MERGE", 0))
+            return
+        enc.encode_bin(0, ctxs("SAO_MERGE", 0))
     for p in params3:
         if p.mode == SAO_OFF:
             enc.encode_bin(0, ctxs("SAO_TYPE", 0))
@@ -48,7 +63,11 @@ def write_sao_params(enc, ctxs, params3):
             enc.encode_bins_ep(p.eo_class, 2)
 
 
-def read_sao_params(dec, ctxs):
+def read_sao_params(dec, ctxs, left=None, up=None):
+    if left is not None and dec.decode_bin(ctxs("SAO_MERGE", 0)):
+        return tuple(left)
+    if up is not None and dec.decode_bin(ctxs("SAO_MERGE", 0)):
+        return tuple(up)
     out = []
     for _ in range(3):
         if not dec.decode_bin(ctxs("SAO_TYPE", 0)):

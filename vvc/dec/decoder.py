@@ -146,7 +146,10 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
             first = True
             for cx in range(0, sps.width, sps.ctu_size):
                 if sps.sao:
-                    sao_params[(cx, cy)] = read_sao_params(dec, ctxs)
+                    cs = sps.ctu_size
+                    sao_params[(cx, cy)] = read_sao_params(
+                        dec, ctxs, left=sao_params.get((cx - cs, cy)),
+                        up=sao_params.get((cx, cy - cs)))
                 reader.read_ctu(cx, cy)
                 if first:
                     inherit = ctxs.states.copy()
@@ -177,7 +180,12 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
         for cy in range(0, sps.height, sps.ctu_size):
             for cx in range(tx0, tx1, sps.ctu_size):
                 if sps.sao:
-                    local_sao[(cx, cy)] = read_sao_params(dec, ctxs)
+                    cs = sps.ctu_size
+                    local_sao[(cx, cy)] = read_sao_params(
+                        dec, ctxs,
+                        left=(local_sao.get((cx - cs, cy))
+                              if cx - cs >= tx0 else None),
+                        up=local_sao.get((cx, cy - cs)))
                 reader.read_ctu(cx, cy)
         assert dec.decode_bin_trm() == 1, "tile substream termination missing"
         # per-tile recon — availability maps are fresh per call, so tile

@@ -150,7 +150,11 @@ class Encoder:
             first = True
             for cx in range(0, sps.width, sps.ctu_size):
                 if sao_params is not None:
-                    write_sao_params(enc, ctxs, sao_params[(cx, cy)])
+                    cs = self.sps.ctu_size
+                    write_sao_params(
+                        enc, ctxs, sao_params[(cx, cy)],
+                        left=sao_params.get((cx - cs, cy)),
+                        up=sao_params.get((cx, cy - cs)))
                 writer.write_ctu(cx, cy)
                 if first:
                     inherit = ctxs.states.copy()
@@ -181,7 +185,12 @@ class Encoder:
         for cy in range(0, sps.height, sps.ctu_size):
             for cx in range(tx0, tx1, sps.ctu_size):
                 if sao_params is not None:
-                    write_sao_params(enc, ctxs, sao_params[(cx, cy)])
+                    cs = sps.ctu_size
+                    write_sao_params(
+                        enc, ctxs, sao_params[(cx, cy)],
+                        left=(sao_params.get((cx - cs, cy))
+                              if cx - cs >= tx0 else None),
+                        up=sao_params.get((cx, cy - cs)))
                 writer.write_ctu(cx, cy)
         enc.encode_bin_trm(1)
         return enc.finish()
