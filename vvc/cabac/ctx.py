@@ -31,6 +31,7 @@ CTX_SETS = [
     ("INTRA_LUMA_NOT_PLANAR", 2),
     ("INTRA_CHROMA_PRED_MODE", 1),
     ("CCLM_FLAG", 1),
+    ("CCLM_MODE", 1),
     ("CBF_LUMA", 4),
     ("MTS_IDX", 4),
     ("LFNST_IDX", 2),

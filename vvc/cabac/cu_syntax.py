@@ -382,7 +382,15 @@ class TreeWriter(TreeCoder):
                 _tb_write(enc, rem.index(mode), len(rem))
         # chroma mode: optional cclm_mode_flag, then DM (bin 1 = DM)
         if self.cclm_enabled:
-            enc.encode_bin(leaf.chroma_mode, ctxs("CCLM_FLAG", 0))
+            is_lm = leaf.chroma_mode != 0
+            enc.encode_bin(1 if is_lm else 0, ctxs("CCLM_FLAG", 0))
+            if is_lm:
+                # cclm_mode_idx: LM, LM_L, LM_T (reference CABACWriter::
+                # intra_chroma_lmc_mode TU shape)
+                enc.encode_bin(1 if leaf.chroma_mode == 1 else 0,
+                               ctxs("CCLM_MODE", 0))
+                if leaf.chroma_mode != 1:
+                    enc.encode_bin_ep(leaf.chroma_mode - 2)
         if not (self.cclm_enabled and leaf.chroma_mode):
             enc.encode_bin(1, ctxs("INTRA_CHROMA_PRED_MODE", 0))
         self._residuals(leaf)
@@ -574,7 +582,11 @@ class TreeReader(TreeCoder):
                 mode = rem[_tb_read(dec, len(rem))]
         chroma_mode = 0
         if self.cclm_enabled:
-            chroma_mode = dec.decode_bin(ctxs("CCLM_FLAG", 0))
+            if dec.decode_bin(ctxs("CCLM_FLAG", 0)):
+                if dec.decode_bin(ctxs("CCLM_MODE", 0)):
+                    chroma_mode = 1
+                else:
+                    chroma_mode = 2 + dec.decode_bin_ep()
         if not chroma_mode:
             dm = dec.decode_bin(ctxs("INTRA_CHROMA_PRED_MODE", 0))
             assert dm == 1, "non-DM chroma not supported yet"

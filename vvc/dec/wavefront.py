@@ -98,10 +98,10 @@ def _recon_wave_group(plane, order_map, group, qp, bit_depth, lossless, comp,
     if cclm_ds is not None:
         from vvc.kernels.cclm import predict_cclm
         for k, (leaf, s, x0, y0, lv, mts, zi) in enumerate(group):
-            if leaf.chroma_mode == 1:
+            if leaf.chroma_mode:
                 avail = order_map < zi
                 pred[k] = predict_cclm(cclm_ds, plane, avail, x0, y0, s,
-                                       bit_depth)
+                                       bit_depth, variant=leaf.chroma_mode)
     resi = np.zeros_like(pred)
     if lossless:
         resi = levs
@@ -158,7 +158,7 @@ def reconstruct_leaves_wavefront(leaves, recon_planes, qp: int,
         for s, group in by_size_y.items():
             _recon_wave_group(y_pl, order_y, group, qp, bit_depth, lossless, 0)
         ds = None
-        if any(leaves[i].chroma_mode == 1 for i in wave):
+        if any(leaves[i].chroma_mode for i in wave):
             from vvc.kernels.cclm import luma_ds_plane
             ds = luma_ds_plane(y_pl)
         for s, lfs in by_size_c.items():

@@ -67,7 +67,7 @@ def _decide_chroma_modes(leaves, frame, bit_depth: int):
         by_size.setdefault(leaf.size >> 1, []).append(i)
     by_size = {k: np.asarray(v) for k, v in by_size.items()}
     cost_dm = np.zeros(len(leaves))
-    cost_lm = np.zeros(len(leaves))
+    cost_lm = {v: np.zeros(len(leaves)) for v in (1, 2, 3)}
     from vvc.kernels.cclm import derive_models_batch
 
     for cs, idxs in by_size.items():
@@ -85,12 +85,16 @@ def _decide_chroma_modes(leaves, frame, bit_depth: int):
             obs = plane[ys[:, None, None] + oy[None, :, None],
                         xs[:, None, None] + oy[None, None, :]].astype(np.int64)
             cost_dm[idxs] += ((obs - pdm) ** 2).sum(axis=(1, 2))
-            ab = derive_models_batch(ds, plane, xs, ys, cs, bit_depth)
-            plm = ((ab[:, 0:1, None] * ds_blocks) >> 13) + ab[:, 1:2, None]
-            plm = np.clip(plm, 0, (1 << bit_depth) - 1)
-            cost_lm[idxs] += ((obs - plm) ** 2).sum(axis=(1, 2))
+            for v in (1, 2, 3):   # LM, LM_L, LM_T
+                ab = derive_models_batch(ds, plane, xs, ys, cs, bit_depth,
+                                         variant=v)
+                plm = (((ab[:, 0:1, None] * ds_blocks) >> 13)
+                       + ab[:, 1:2, None])
+                plm = np.clip(plm, 0, (1 << bit_depth) - 1)
+                cost_lm[v][idxs] += ((obs - plm) ** 2).sum(axis=(1, 2))
     for i, leaf in enumerate(leaves):
-        leaf.chroma_mode = 1 if cost_lm[i] < cost_dm[i] else 0
+        costs = [cost_dm[i], cost_lm[1][i], cost_lm[2][i], cost_lm[3][i]]
+        leaf.chroma_mode = int(np.argmin(costs))
 
 
 def tile_columns(num_cols: int, width: int, ctu_size: int):

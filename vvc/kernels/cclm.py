@@ -10,8 +10,10 @@ Model: chroma = clip( (α · lumaDS) >> SHIFT + β ) with (α, β) derived
 from up to 4 (lumaDS, chroma) neighbour pairs — the two smallest-luma and
 two largest-luma points (spec 8.4.5.2.13 method).  [verify]: the spec
 computes the division through a 16-entry LUT; we use exact integer
-division (self-consistent between encoder and decoder).  Only the LM mode
-(both-side derivation) is implemented; LM_L/LM_T land later.
+division (self-consistent between encoder and decoder).  Variants
+(chroma_mode): 1 = LM (both sides), 2 = LM_L (left-only derivation),
+3 = LM_T (top-only) — reference MDLM_L/MDLM_T, simplified to the block's
+own boundary extent ([verify] spec extends the boundary to 2x).
 
 The 6-tap downsampled luma plane is computed vectorized once per call
 site; the C++ recon core mirrors the same per-sample formula bit-exactly.
@@ -38,8 +40,11 @@ def luma_ds_plane(luma: np.ndarray) -> np.ndarray:
 
 
 def gather_model_points(ds: np.ndarray, chroma: np.ndarray, coded_c,
-                        cx0: int, cy0: int, cs: int, log2_unit=2):
-    """Up to 4 (lumaDS, chroma) neighbour pairs for a chroma block."""
+                        cx0: int, cy0: int, cs: int, log2_unit=2,
+                        variant: int = 1):
+    """Up to 4 (lumaDS, chroma) neighbour pairs for a chroma block.
+    variant: 1 = LM (both sides), 2 = LM_L (left only), 3 = LM_T (top
+    only)."""
     ch, cw = chroma.shape
     pts = []
 
@@ -47,8 +52,8 @@ def gather_model_points(ds: np.ndarray, chroma: np.ndarray, coded_c,
         return (0 <= px < cw and 0 <= py < ch
                 and bool(coded_c[py >> log2_unit, px >> log2_unit]))
 
-    top_ok = cy0 > 0 and avail(cx0, cy0 - 1)
-    left_ok = cx0 > 0 and avail(cx0 - 1, cy0)
+    top_ok = (cy0 > 0 and avail(cx0, cy0 - 1)) and variant != 2
+    left_ok = (cx0 > 0 and avail(cx0 - 1, cy0)) and variant != 3
     if top_ok and left_ok:
         xs = [cx0 + cs // 4, cx0 + (3 * cs) // 4]
         ys = [cy0 + cs // 4, cy0 + (3 * cs) // 4]
@@ -96,7 +101,7 @@ def derive_model(pts, bit_depth: int):
 
 def derive_models_batch(ds: np.ndarray, chroma: np.ndarray,
                         xs: np.ndarray, ys: np.ndarray, cs: int,
-                        bit_depth: int):
+                        bit_depth: int, variant: int = 1):
     """Vectorized (α, β) for N same-size chroma blocks, assuming all
     inside-frame neighbours available (the encoder's orig-domain decision
     approximation — reconstruction re-derives exactly per leaf).
@@ -104,8 +109,8 @@ def derive_models_batch(ds: np.ndarray, chroma: np.ndarray,
     Returns int64 [N, 2] (alpha, beta)."""
     n = len(xs)
     ch, cw = chroma.shape
-    top_ok = ys > 0
-    left_ok = xs > 0
+    top_ok = (ys > 0) & (variant != 2)
+    left_ok = (xs > 0) & (variant != 3)
     # 4 sample points per block: both → 2 top + 2 left; top-only → 4 top;
     # left-only → 4 left (mirrors gather_model_points)
     k = np.arange(4)
@@ -145,10 +150,12 @@ def derive_models_batch(ds: np.ndarray, chroma: np.ndarray,
 
 
 def predict_cclm(ds: np.ndarray, chroma: np.ndarray, coded_c, cx0: int,
-                 cy0: int, cs: int, bit_depth: int, log2_unit=2):
+                 cy0: int, cs: int, bit_depth: int, log2_unit=2,
+                 variant: int = 1):
     """CCLM prediction for one chroma block from the downsampled-luma
     plane `ds` (numpy oracle)."""
-    pts = gather_model_points(ds, chroma, coded_c, cx0, cy0, cs, log2_unit)
+    pts = gather_model_points(ds, chroma, coded_c, cx0, cy0, cs, log2_unit,
+                              variant)
     alpha, beta = derive_model(pts, bit_depth)
     blk = ds[cy0:cy0 + cs, cx0:cx0 + cs].astype(np.int64)
     pred = (alpha * blk >> CCLM_SHIFT) + beta

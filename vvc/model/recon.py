@@ -51,7 +51,9 @@ def _recon_block(plane, orig, coded, x0, y0, size, mode, qp, bit_depth, levels,
     if pred is None:
         if cclm_ds is not None:
             from vvc.kernels.cclm import predict_cclm
-            pred = predict_cclm(cclm_ds, plane, coded, x0, y0, size, bit_depth)
+            ds, variant = cclm_ds
+            pred = predict_cclm(ds, plane, coded, x0, y0, size, bit_depth,
+                                variant=variant)
         else:
             c = build_ref_line(plane, coded, x0, y0, size, bit_depth)
             pred = predict_intra(c, mode, size, bit_depth)
@@ -156,10 +158,10 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
         cs = s >> 1
         cx, cy = x0 >> 1, y0 >> 1
         ds = None
-        if leaf.chroma_mode == 1 and not is_inter:
+        if leaf.chroma_mode and not is_inter:
             # region-local downsample would suffice; whole-plane keeps the
             # oracle simple (luma of this leaf is already reconstructed)
-            ds = luma_ds_plane(y_pl)
+            ds = (luma_ds_plane(y_pl), leaf.chroma_mode)
         lev = _recon_block(cb_pl, o_cb, coded_c, cx, cy, cs, dm_mode,
                            qpc, bit_depth,
                            None if encode_mode else dec_levels(leaf.lev_cb, cs),

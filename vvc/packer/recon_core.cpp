@@ -439,11 +439,12 @@ static int cclm_luma_ds(const int32_t* luma, int lh, int lw, int cx, int cy) {
 
 constexpr int CCLM_SHIFT = 13;
 
+// variant: 1 = LM (both sides), 2 = LM_L (left only), 3 = LM_T (top only)
 static void cclm_predict(const int32_t* luma, int lh, int lw,
                          const int32_t* chroma, int ch, int cw,
                          const uint8_t* coded, int cw4, int log2_unit,
                          int cx0, int cy0, int cs, int bit_depth,
-                         int32_t* pred) {
+                         int32_t* pred, int variant) {
   // gather up to 4 (lumaDS, chroma) pairs — mirror gather_model_points
   auto avail = [&](int px, int py) {
     return px >= 0 && py >= 0 && px < cw && py < ch &&
@@ -451,8 +452,8 @@ static void cclm_predict(const int32_t* luma, int lh, int lw,
   };
   int pl[4], pc[4];
   int np = 0;
-  bool top_ok = cy0 > 0 && avail(cx0, cy0 - 1);
-  bool left_ok = cx0 > 0 && avail(cx0 - 1, cy0);
+  bool top_ok = cy0 > 0 && avail(cx0, cy0 - 1) && variant != 2;
+  bool left_ok = cx0 > 0 && avail(cx0 - 1, cy0) && variant != 3;
   int xs[4], nxs = 0, ys[4], nys = 0;
   if (top_ok && left_ok) {
     xs[nxs++] = cx0 + cs / 4;
@@ -621,11 +622,11 @@ void recon_leaves(int32_t* plane, int h, int w, uint8_t* coded, int cw4,
     int32_t* lv_arg = lv;
     if (!enc_mode && !cbf[i]) lv_arg = nullptr;
     const int32_t* ext = nullptr;
-    if (cmodes && cmodes[i] == 1 && luma_plane) {
+    if (cmodes && cmodes[i] >= 1 && luma_plane) {
       int s = m[2];
       predbuf.resize(s * s);
       cclm_predict(luma_plane, lh, lw, plane, h, w, coded, cw4, log2_unit,
-                   m[0], m[1], s, bit_depth, predbuf.data());
+                   m[0], m[1], s, bit_depth, predbuf.data(), cmodes[i]);
       ext = predbuf.data();
     }
     cbf[i] = recon_block_p(plane, h, w, coded, cw4, orig, m[0], m[1], m[2],
