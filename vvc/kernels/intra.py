@@ -113,7 +113,9 @@ def build_ref_line(plane: np.ndarray, coded: np.ndarray, x0: int, y0: int,
 @lru_cache(maxsize=None)
 def angular_tables(size: int, mode: int):
     """(IDX, IDX2, FACT) int32 [S, S] matrices into C for a vertical-family
-    mode (34..66).  pred[y, x] = ((32-F)*C[IDX] + F*C[IDX2] + 16) >> 5."""
+    mode (34..66).  pred[y, x] = ((32-F)*C[IDX] + F*C[IDX2] + 16) >> 5.
+    (Legacy 2-tap form, kept for host heuristics; the prediction paths use
+    angular_tables4.)"""
     assert DIA_IDX <= mode <= 66
     s = size
     angle = pred_angle(mode)
@@ -136,6 +138,42 @@ def angular_tables(size: int, mode: int):
             idx2[y, x] = c_pos(x + off + 2)
             fact[y, x] = f
     return idx, idx2, fact
+
+
+@lru_cache(maxsize=None)
+def angular_tables4(size: int, mode: int):
+    """(IDX [4,S,S], CO [4,S,S]) gather tables for 4-tap fractional
+    interpolation of a vertical-family mode (34..66); reference:
+    IntraPrediction::xPredIntraAng's fC/fG interpolation
+    (filters: vvc/rom/intra_filters.py, analytically derived).
+
+    pred[y, x] = (sum_k CO[k]*C[IDX[k]] + 32) >> 6."""
+    assert DIA_IDX <= mode <= 66
+    from vvc.rom.intra_filters import (fc_filters, fg_filters,
+                                       use_smooth_filter)
+    s = size
+    angle = pred_angle(mode)
+    ia = inv_angle(angle) if angle < 0 else 0
+    filt = (fg_filters() if use_smooth_filter(mode, int(np.log2(s)))
+            else fc_filters())
+    idx = np.empty((4, s, s), dtype=np.int32)
+    co = np.empty((4, s, s), dtype=np.int32)
+
+    def c_pos(k: int) -> int:  # E-space -> C-space (edge-clamped)
+        if k >= 0:
+            return min(2 * s + k, 4 * s + 2)
+        i = -k
+        return max(0, 2 * s - ((i * ia + 256) >> 9))
+
+    for y in range(s):
+        off = ((y + 1) * angle) >> 5
+        f = ((y + 1) * angle) & 31
+        for x in range(s):
+            e = x + off + 1
+            for k in range(4):
+                idx[k, y, x] = c_pos(e + k - 1)
+                co[k, y, x] = filt[f, k]
+    return idx, co
 
 
 # ---------------------------------------------------------------------------
@@ -182,15 +220,15 @@ def predict_intra(c: np.ndarray, mode: int, size: int, bit_depth: int = 8,
         pred = np.full((s, s), dc, dtype=np.int32)
     else:
         if mode >= DIA_IDX:
-            idx, idx2, fact = angular_tables(s, mode)
-            pred = ((32 - fact) * c[idx] + fact * c[idx2] + 16) >> 5
+            idx, co = angular_tables4(s, mode)
+            pred = ((co * c[idx]).sum(axis=0) + 32) >> 6
         else:
             # horizontal family = transpose of vertical mode 68-m on the
             # reversed reference line (left/top swap roles)
-            idx, idx2, fact = angular_tables(s, 68 - mode)
+            idx, co = angular_tables4(s, 68 - mode)
             ct = c[:4 * s + 1][::-1]
             ct = np.concatenate([ct, ct[-1:], ct[-1:]])
-            pred = (((32 - fact) * ct[idx] + fact * ct[idx2] + 16) >> 5).T
+            pred = (((co * ct[idx]).sum(axis=0) + 32) >> 6).T
         pred = pred.astype(np.int32)
 
     if pdpc and mode in (PLANAR_IDX, DC_IDX) and s >= 4:
@@ -205,13 +243,12 @@ def predict_intra(c: np.ndarray, mode: int, size: int, bit_depth: int = 8,
 
 @lru_cache(maxsize=None)
 def _stacked_tables(size: int):
-    """Stack per-mode tables for the vertical family (modes 34..66):
-    IDX/[33,S,S], IDX2, FACT int32 arrays."""
-    mats = [angular_tables(size, m) for m in range(DIA_IDX, 67)]
+    """Stack per-mode 4-tap tables for the vertical family (modes 34..66):
+    IDX [33,4,S,S] and CO [33,4,S,S] int32 arrays."""
+    mats = [angular_tables4(size, m) for m in range(DIA_IDX, 67)]
     idx = np.stack([m[0] for m in mats])
-    idx2 = np.stack([m[1] for m in mats])
-    fact = np.stack([m[2] for m in mats])
-    return idx, idx2, fact
+    co = np.stack([m[1] for m in mats])
+    return idx, co
 
 
 def predict_all_modes_batch_np(c_batch: np.ndarray, size: int,
@@ -221,7 +258,7 @@ def predict_all_modes_batch_np(c_batch: np.ndarray, size: int,
     s = size
     log2s = int(np.log2(s))
     n = c_batch.shape[0]
-    idx, idx2, fact = _stacked_tables(size)
+    idx, co = _stacked_tables(size)
     left = c_batch[:, 2 * s - 1::-1]
     top = c_batch[:, 2 * s + 1:4 * s + 1]
     xs = np.arange(s)
@@ -246,14 +283,10 @@ def predict_all_modes_batch_np(c_batch: np.ndarray, size: int,
 
     planar = pdpc(planar)
     dc_pred = pdpc(dc_pred)
-    gv1 = c_batch[:, idx]
-    gv2 = c_batch[:, idx2]
-    pv = ((32 - fact)[None] * gv1 + fact[None] * gv2 + 16) >> 5
+    pv = ((co[None] * c_batch[:, idx]).sum(axis=2) + 32) >> 6
     ct = c_batch[:, 4 * s::-1]
     ct = np.concatenate([ct, ct[:, -1:], ct[:, -1:]], axis=1)
-    gh1 = ct[:, idx]
-    gh2 = ct[:, idx2]
-    ph = (((32 - fact)[None] * gh1 + fact[None] * gh2 + 16) >> 5).transpose(0, 1, 3, 2)
+    ph = (((co[None] * ct[:, idx]).sum(axis=2) + 32) >> 6).transpose(0, 1, 3, 2)
     hm = ph[:, np.arange(32, 0, -1)]
     out = np.concatenate([planar[:, None], dc_pred[:, None], hm, pv], axis=1)
     return np.clip(out, 0, (1 << bit_depth) - 1).astype(np.int32)
@@ -283,17 +316,14 @@ def predict_modes_np(c_batch: np.ndarray, modes: np.ndarray, size: int,
             k = j
             continue
         if m >= DIA_IDX:
-            idx, idx2, fact = angular_tables(s, int(m))
-            g1 = cb[:, idx]
-            g2 = cb[:, idx2]
-            out[sel] = ((32 - fact) * g1 + fact * g2 + 16) >> 5
+            idx, co = angular_tables4(s, int(m))
+            out[sel] = ((co[None] * cb[:, idx]).sum(axis=1) + 32) >> 6
         else:
-            idx, idx2, fact = angular_tables(s, 68 - int(m))
+            idx, co = angular_tables4(s, 68 - int(m))
             ct = cb[:, 4 * s::-1]
             ct = np.concatenate([ct, ct[:, -1:], ct[:, -1:]], axis=1)
-            g1 = ct[:, idx]
-            g2 = ct[:, idx2]
-            out[sel] = (((32 - fact) * g1 + fact * g2 + 16) >> 5).transpose(0, 2, 1)
+            out[sel] = (((co[None] * ct[:, idx]).sum(axis=1) + 32) >> 6
+                        ).transpose(0, 2, 1)
         k = j
     return np.clip(out, 0, (1 << bit_depth) - 1).astype(np.int32)
 
@@ -331,10 +361,9 @@ def predict_all_modes_batch(c_batch: jax.Array, size: int, bit_depth: int = 8) -
     s = size
     log2s = int(np.log2(s))
     n = c_batch.shape[0]
-    idx, idx2, fact = _stacked_tables(size)
+    idx, co = _stacked_tables(size)
     idx = jnp.asarray(idx)
-    idx2 = jnp.asarray(idx2)
-    fact = jnp.asarray(fact)
+    co = jnp.asarray(co)
 
     left = c_batch[:, 2 * s - 1::-1]          # [N, 2S]
     top = c_batch[:, 2 * s + 1:4 * s + 1]     # [N, 2S]
@@ -367,18 +396,16 @@ def predict_all_modes_batch(c_batch: jax.Array, size: int, bit_depth: int = 8) -
     planar = pdpc(planar)
     dc_pred = pdpc(dc_pred)
 
-    # vertical family (34..66): gather from C with the stacked static tables
-    gv1 = c_batch[:, idx]    # [N, 33, S, S]
-    gv2 = c_batch[:, idx2]
-    pv = ((32 - fact)[None] * gv1 + fact[None] * gv2 + 16) >> 5
+    # vertical family (34..66): 4-tap gather from C with the stacked tables
+    gv = c_batch[:, idx]     # [N, 33, 4, S, S]
+    pv = ((co[None] * gv).sum(axis=2) + 32) >> 6
 
     # horizontal family (2..33): prediction of vertical mode 68-m on the
     # reversed reference line (left/top swapped), then transposed
     ct = c_batch[:, 4 * s::-1]
     ct = jnp.concatenate([ct, ct[:, -1:], ct[:, -1:]], axis=1)
-    gh1 = ct[:, idx]
-    gh2 = ct[:, idx2]
-    ph = (((32 - fact)[None] * gh1 + fact[None] * gh2 + 16) >> 5).transpose(0, 1, 3, 2)
+    gh = ct[:, idx]
+    ph = (((co[None] * gh).sum(axis=2) + 32) >> 6).transpose(0, 1, 3, 2)
     # table position i holds vertical mode 34+i; horizontal mode m uses
     # position (68-m)-34 = 34-m, so modes m = 2..33 → positions 32..1
     hm = ph[:, jnp.arange(32, 0, -1)]

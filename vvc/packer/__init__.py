@@ -52,6 +52,7 @@ def recon_lib():
     l.recon_init.argtypes = [ctypes.c_void_p] * 13
     l.mip_init.argtypes = [ctypes.c_void_p]
     l.lfnst_init.argtypes = [ctypes.c_void_p]
+    l.intra_filt_init.argtypes = [ctypes.c_void_p] * 2
     l.predict_mip_c.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
                                 ctypes.c_int, ctypes.c_void_p]
     l.recon_block.restype = ctypes.c_int

@@ -36,6 +36,11 @@ def available() -> bool:
         from vvc.rom.lfnst_mats import lfnst_kernels
         k8 = np.ascontiguousarray(lfnst_kernels().astype(np.int8))
         l.lfnst_init(k8.ctypes.data_as(ctypes.c_void_p))
+        from vvc.rom.intra_filters import fc_filters, fg_filters
+        fc = np.ascontiguousarray(fc_filters())
+        fg = np.ascontiguousarray(fg_filters())
+        l.intra_filt_init(fc.ctypes.data_as(ctypes.c_void_p),
+                          fg.ctypes.data_as(ctypes.c_void_p))
         _initialized = True
     return True
 

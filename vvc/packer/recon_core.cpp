@@ -205,6 +205,20 @@ void predict_mip(const int32_t* c, int k, int s, int bit_depth,
   }
 }
 
+// intra 4-tap fractional filters [32][4] (vvc/rom/intra_filters.py)
+int32_t g_fc[32 * 4];
+int32_t g_fg[32 * 4];
+
+// mirror of vvc/rom/intra_filters.py use_smooth_filter
+bool use_smooth_filter(int mode, int log2s) {
+  if (mode < 2 || mode > 66) return false;
+  int d1 = mode - 18 < 0 ? 18 - mode : mode - 18;
+  int d2 = mode - 50 < 0 ? 50 - mode : mode - 50;
+  int dist = d1 < d2 ? d1 : d2;
+  int thres = log2s == 2 ? 24 : (log2s == 3 ? 14 : (log2s == 4 ? 2 : 0));
+  return dist > thres;
+}
+
 // ---- intra prediction (mirror of predict_intra) ----
 
 void predict_intra(const int32_t* c, int mode, int s, int bit_depth,
@@ -247,14 +261,19 @@ void predict_intra(const int32_t* c, int mode, int s, int bit_depth,
     auto c_pos = [&](int k) -> int {
       if (k >= 0) return 2 * s + k <= 4 * s + 2 ? 2 * s + k : 4 * s + 2;
       int i = -k;
-      return 2 * s - ((i * ia + 256) >> 9);
+      int v = 2 * s - ((i * ia + 256) >> 9);
+      return v < 0 ? 0 : v;
     };
+    const int32_t* filt = use_smooth_filter(m, log2s) ? g_fg : g_fc;
     for (int y = 0; y < s; y++) {
       int off = ((y + 1) * angle) >> 5;
       int f = ((y + 1) * angle) & 31;
+      const int32_t* fr = filt + 4 * f;
       for (int x = 0; x < s; x++) {
-        int p = ((32 - f) * cc[c_pos(x + off + 1)] +
-                 f * cc[c_pos(x + off + 2)] + 16) >> 5;
+        int e = x + off + 1;
+        int acc = 32;
+        for (int k = 0; k < 4; k++) acc += fr[k] * cc[c_pos(e + k - 1)];
+        int p = acc >> 6;
         if (vertical)
           pred[y * s + x] = p;
         else
@@ -411,6 +430,11 @@ void recon_init(const int32_t* t4, const int32_t* t8, const int32_t* t16,
 void mip_init(const int8_t* w) {
   for (int i = 0; i < K_MIP_MODES * 64 * 8; i++) g_mip_w[i] = w[i];
   g_mip_ready = true;
+}
+
+// intra filter upload: fc/fg [32][4] int32 (vvc/rom/intra_filters.py)
+void intra_filt_init(const int32_t* fc, const int32_t* fg) {
+  for (int i = 0; i < 32 * 4; i++) { g_fc[i] = fc[i]; g_fg[i] = fg[i]; }
 }
 
 // LFNST kernel upload: [4, 2, 16, 64] int8 (vvc/rom/lfnst_mats.py)
