@@ -24,6 +24,7 @@ class TestDepQuantKernel:
         trellis searches a superset that includes them)."""
         from vvc.kernels.depquant import (quant_depquant_np, NEXT_STATE,
                                           LAMBDA_T)
+        from vvc.cabac.rates import level_bits_scalar
         from vvc.kernels.quant import (quant_np, transform_shift, _log2)
         from vvc.kernels.transform import fwd_transform_np
         from vvc.rom.transform_mats import QUANT_SCALES, QUANT_SHIFT
@@ -41,7 +42,7 @@ class TestDepQuantKernel:
                 t = abs(int(coeff[y, x])) * scale / (1 << (qbits - 1))
                 l = abs(int(levels[y, x]))
                 r = 0.0 if l == 0 else 2.0 * l - (1.0 if state > 1 else 0.0)
-                rate = (2.0 * np.log2(l + 1.0) + 1.0) if l else 0.08
+                rate = level_bits_scalar(l)   # measured rate model
                 tot += (t - r) ** 2 + LAMBDA_T * rate
                 state = NEXT_STATE[state][l & 1]
             return tot

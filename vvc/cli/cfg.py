@@ -79,6 +79,9 @@ SUPPORTED_KEYS = {
     "FrameSkip", "QP", "CTUSize", "IntraPeriod", "DecodingRefreshType",
     "GOPSize", "Profile", "Level", "RateControl", "TargetBitrate",
     "DepQuant", "TemporalFilter", "BIO", "DMVR",
+    "NumTileColumns", "WaveFrontSynchro", "LMCSEnable", "SAO", "ALF",
+    "CostMode", "MTS", "LFNST", "MIP", "ISP", "MaxMTTHierarchyDepth",
+    "MaxMTTHierarchyDepthISliceL",
 }
 
 
@@ -92,8 +95,20 @@ def build_encoder_config(opts: dict):
     ctu = as_int(opts.get("CTUSize"), 64)
     if ctu > 64:
         ctu = 64  # round-1 cap; 128 lands with the MTT stage [verify]
-    sps = SPS(width=w, height=h, bit_depth=bd, ctu_size=ctu)
-    pps = PPS(init_qp=as_int(opts.get("QP"), 32))
+    lossless = (str(opts.get("CostMode", "")).strip().lower() == "lossless")
+    sps = SPS(width=w, height=h, bit_depth=bd, ctu_size=ctu,
+              lossless=lossless,
+              lmcs=as_bool(opts.get("LMCSEnable")),
+              sao=as_bool(opts.get("SAO"), True),
+              alf=as_bool(opts.get("ALF"), True),
+              mts_intra=as_bool(opts.get("MTS"), True),
+              lfnst=as_bool(opts.get("LFNST"), True),
+              mip=as_bool(opts.get("MIP"), True))
+    pps = PPS(init_qp=as_int(opts.get("QP"), 32),
+              num_tile_cols=as_int(opts.get("NumTileColumns"), 1),
+              wpp=as_bool(opts.get("WaveFrontSynchro")))
+    if as_bool(opts.get("RateControl")) and as_int(opts.get("TargetBitrate")) <= 0:
+        raise SystemExit("RateControl enabled but TargetBitrate missing/zero")
     # GOP shape from IntraPeriod/GOPSize (reference: EncAppCfg GOP table
     # selection): IntraPeriod 1 → AI; IntraPeriod > 1 → random access;
     # IntraPeriod <= 0 with GOPSize → low delay
@@ -122,6 +137,10 @@ def build_encoder_config(opts: dict):
         "mctf": as_bool(opts.get("TemporalFilter")),
         "bdof": as_bool(opts.get("BIO")),
         "dmvr": as_bool(opts.get("DMVR")),
+        "num_tile_cols": pps.num_tile_cols,
+        "wpp": pps.wpp,
+        "lossless": lossless,
+        "lmcs": sps.lmcs,
     }
     leftover = {k: v for k, v in opts.items() if k not in SUPPORTED_KEYS}
     return sps, pps, io, leftover

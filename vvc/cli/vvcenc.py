@@ -39,7 +39,9 @@ def main(argv=None):
         gop_size=io["gop_size"], intra_period=io["intra_period"],
         target_kbps=io["target_kbps"], fps=io["fps"],
         dep_quant=io["dep_quant"], mctf=io["mctf"],
-        bdof=io["bdof"], dmvr=io["dmvr"])
+        bdof=io["bdof"], dmvr=io["dmvr"],
+        num_tile_cols=io["num_tile_cols"], wpp=io["wpp"],
+        lossless=io["lossless"], lmcs=io["lmcs"])
     dt = time.perf_counter() - t0
     with open(io["bitstream"], "wb") as f:
         f.write(bitstream)
@@ -53,7 +55,7 @@ def main(argv=None):
     for poc, s in enumerate(stats):
         total_bits += s["bits"]
         st = st_name.get(s.get("slice_type", 2), "I")
-        print(f"POC {poc:4d} ( {st}-SLICE, QP {pps.init_qp} ) "
+        print(f"POC {poc:4d} ( {st}-SLICE, QP {s.get('qp', pps.init_qp)} ) "
               f"{s['bits']:10d} bits "
               f"[Y {s['psnr_y']:.4f} dB  U {s['psnr_cb']:.4f} dB  "
               f"V {s['psnr_cr']:.4f} dB]")

@@ -336,7 +336,8 @@ class Encoder:
         header = write_slice_header(sh, pps.init_qp,
                                     entry_sizes=[len(s) for s in substreams],
                                     alf=alf_hdr if sps.alf else None,
-                                    lmcs_cw=lmcs_cw if sps.lmcs else None)
+                                    lmcs_cw=lmcs_cw if sps.lmcs else None,
+                                    lmcs_enabled=sps.lmcs)
         slice_rbsp = header + b"".join(substreams)
         nal_type = (NalUnitType.IDR_N_LP if slice_type == SliceType.I
                     else NalUnitType.TRAIL)

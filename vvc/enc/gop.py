@@ -60,9 +60,15 @@ def gop_order(n_frames: int, mode: str = "ai", gop_size: int = 16,
             end = min(anchor + gop_size, n_frames - 1)
             if end <= anchor:
                 break
-            # GOP boundary picture: P referencing the previous anchor
-            out.append(GopEntry(end, SliceType.P, RA_TID_QP_OFFSET[0],
-                                tid=0, l0=(anchor,)))
+            if intra_period > 0 and end % intra_period == 0:
+                # periodic intra refresh: the anchor becomes an I picture so
+                # the configured random-access property actually holds
+                # (reference: EncGOP IDR/CRA insertion at IntraPeriod)
+                out.append(GopEntry(end, SliceType.I, 0, tid=0))
+            else:
+                # GOP boundary picture: P referencing the previous anchor
+                out.append(GopEntry(end, SliceType.P, RA_TID_QP_OFFSET[0],
+                                    tid=0, l0=(anchor,)))
             _bisect(anchor, end, 1, out)
             done = end + 1
             anchor = end

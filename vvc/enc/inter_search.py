@@ -40,7 +40,8 @@ from vvc.kernels.transform import fwd_transform_batch, inv_transform_batch
 from vvc.kernels.quant import quant_batch, dequant_batch
 from vvc.model.frame import Leaf
 
-ME_SIZES_MIN = 16      # integer ME at sizes >= this; 8×8 inherits parent MV
+ME_SIZES_MIN = 16      # integer ME at sizes >= this; smaller blocks get no
+                       # inter candidate and fall back to intra in the DP
 CHUNK = 1024           # blocks per ME dispatch (bounds window-gather memory)
 
 
@@ -134,9 +135,8 @@ def _inter_rd(orig, pred, size: int, qp, bit_depth: int, extra_bits):
     rec = jnp.clip(pred + rec_resi, 0, (1 << bit_depth) - 1)
     d = (rec - orig).astype(jnp.float32)
     sse = jnp.sum(d * d, axis=(1, 2))
-    la = jnp.abs(lev).astype(jnp.float32)
-    rate = jnp.sum(jnp.where(la > 0, 2.0 * jnp.log2(la + 1.0) + 1.0, 0.02),
-                   axis=(1, 2))
+    from vvc.cabac.rates import level_bits_jnp
+    rate = jnp.sum(level_bits_jnp(jnp.abs(lev)), axis=(1, 2))
     return sse + lam * (rate + extra_bits)
 
 

@@ -77,7 +77,7 @@ class RateCtrl:
             # an UNTRAINED inter model over-allocates the first P/B of its
             # layer; floor it at the intra anchor until it has one update
             qp = max(qp, self.last_intra_qp + min(tid, 2) - 1)
-        qp = min(max(qp, 1), 51)
+        qp = min(max(qp, 1), 63)   # codec QP range is 0..63 in VVC
         self._pending_qp = qp
         return qp, lam
 

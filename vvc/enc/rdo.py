@@ -31,6 +31,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from vvc.cabac.rates import level_bits_jnp
 from vvc.kernels.intra import predict_all_modes_batch
 from vvc.kernels.satd import satd_batch
 from vvc.kernels.transform import fwd_transform_batch, inv_transform_batch
@@ -140,9 +141,8 @@ def eval_blocks(orig: jax.Array, refs: jax.Array, size: int, qp: int,
         rec = jnp.clip(pred_ + rec_resi, 0, (1 << bit_depth) - 1)
         d = (rec - pred_ - resi_).astype(jnp.float32)
         sse = jnp.sum(d * d, axis=(1, 2))
-        la = jnp.abs(lev).astype(jnp.float32)
-        rate = jnp.sum(jnp.where(la > 0, 2.0 * jnp.log2(la + 1.0) + 1.0, 0.02),
-                       axis=(1, 2))
+        # measured level-rate model (vvc.cabac.rates — estFracBits analog)
+        rate = jnp.sum(level_bits_jnp(jnp.abs(lev)), axis=(1, 2))
         return sse + lam * (rate + extra_bits)
 
     # stage A: DCT2 RD over the SATD shortlist → best mode
@@ -186,9 +186,7 @@ def eval_blocks(orig: jax.Array, refs: jax.Array, size: int, qp: int,
             rec = jnp.clip(bp + rec_resi, 0, maxv)
             d = (rec - bp - br).astype(jnp.float32)
             sse = jnp.sum(d * d, axis=(1, 2))
-            la = jnp.abs(lev).astype(jnp.float32)
-            rate = jnp.sum(jnp.where(la > 0, 2.0 * jnp.log2(la + 1.0) + 1.0,
-                                     0.02), axis=(1, 2))
+            rate = jnp.sum(level_bits_jnp(jnp.abs(lev)), axis=(1, 2))
             c_li = sse + lam * (rate + bbits + _MTS_BITS[0] + _LFNST_BITS[li])
             better = c_li < best_cost
             best_cost = jnp.where(better, c_li, best_cost)

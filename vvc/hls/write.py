@@ -45,7 +45,8 @@ def write_pps(pps: PPS) -> bytes:
 
 
 def write_slice_header(sh: SliceHeader, init_qp: int,
-                       entry_sizes=None, alf=None, lmcs_cw=None) -> bytes:
+                       entry_sizes=None, alf=None, lmcs_cw=None,
+                       lmcs_enabled: bool = False) -> bytes:
     """Slice header RBSP bits (byte-aligned); CABAC payload is appended by
     the caller (slice_data starts at a byte boundary, spec 7.3.7).
 
@@ -67,11 +68,14 @@ def write_slice_header(sh: SliceHeader, init_qp: int,
             bw.write_ue(len(sh.l1_deltas))
             for d in sh.l1_deltas:
                 bw.write_se(d)
-    if lmcs_cw is not None:
-        bw.write_flag(bool(lmcs_cw[0] is not None) if isinstance(lmcs_cw, tuple)
-                      else True)
-        for c in (lmcs_cw if not isinstance(lmcs_cw, tuple) else lmcs_cw[0] or []):
-            bw.write_ue(int(c))
+    if lmcs_enabled or lmcs_cw is not None:
+        # the present-flag is written whenever the SPS enables LMCS (the
+        # parser mirrors that unconditionally); inter slices that skip the
+        # mapping write 0 — keeps streams decodable (spec sh_lmcs_used_flag)
+        bw.write_flag(lmcs_cw is not None)
+        if lmcs_cw is not None:
+            for c in lmcs_cw:
+                bw.write_ue(int(c))
     if alf is not None:
         luma, flags, chroma = alf
         bw.write_flag(luma is not None)

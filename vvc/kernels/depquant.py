@@ -33,11 +33,17 @@ from vvc.cabac.residual import full_scan
 # QStateTransTable[state][parity]
 NEXT_STATE = ((0, 2), (2, 0), (1, 3), (3, 1))
 
-# λ in normalized half-step units (see module docstring) — calibrated so
-# dep-quant matches scalar-quant rate at slightly higher PSNR on the synth
-# corpus (+0.11dB at +1% bits at QP32; [verify]: the reference derives
-# per-coeff rates from CABAC ctx states, worth ~2% BD-rate more)
-LAMBDA_T = 0.6
+# λ in normalized half-step units (see module docstring), used with the
+# MEASURED level-rate table (vvc.cabac.rates — fit against this repo's own
+# residual coder output, the estFracBits analog).  Calibrated by RD sweep
+# at QP {27, 32, 37} on the synth corpus so dep-quant RD-dominates scalar
+# quant (see tests/test_depquant.py::test_rd_not_worse_than_scalar).
+LAMBDA_T = 0.45
+
+from vvc.cabac.rates import level_bits_scalar as _level_bits
+
+# small cache of the measured per-level rates used in the trellis hot loop
+_RATE_LUT = [_level_bits(l) for l in range(64)]
 
 
 def dequant_depquant_np(levels: np.ndarray, qp: int,
@@ -92,7 +98,7 @@ def quant_depquant_np(coeff: np.ndarray, qp: int, bit_depth: int = 8,
         signs[i] = 1 if c >= 0 else -1
 
     def rate(l):
-        return 2.0 * np.log2(l + 1.0) + 1.0 if l else 0.08
+        return _RATE_LUT[l] if l < 64 else _level_bits(l)
 
     def recon(l, state):
         return 0.0 if l == 0 else 2.0 * l - (1.0 if state > 1 else 0.0)
