@@ -159,3 +159,27 @@ def test_native_recon_matches_numpy_oracle():
         assert (pc == pd).all()
     for pa, pc in zip(rec_a, rec_c):
         assert (pa == pc).all()
+
+
+class TestNativeTreeWriter:
+    def test_bytes_equal_python_writer(self):
+        """The native C++ tree writer (tw_write) must produce byte-identical
+        streams to the Python TreeWriter across feature combinations."""
+        import vvc.enc.encoder as E
+        from vvc.enc.encoder import encode_sequence
+        from vvc.io.synth import synth_frame
+        from vvc.packer import native as npk
+        if not npk.available():
+            import pytest
+            pytest.skip("native packer unavailable")
+        frames = [synth_frame(128, 64, t) for t in range(2)]
+        for kw in (dict(), dict(num_tile_cols=2), dict(wpp=True),
+                   dict(lossless=True)):
+            try:
+                E.USE_NATIVE_TREE = True
+                bs_n, _, _ = encode_sequence(frames, qp=32, **kw)
+                E.USE_NATIVE_TREE = False
+                bs_p, _, _ = encode_sequence(frames, qp=32, **kw)
+            finally:
+                E.USE_NATIVE_TREE = True
+            assert bs_n == bs_p, f"native/python stream mismatch for {kw}"

@@ -38,6 +38,10 @@ from vvc.enc.rdo import rdo_partition, rdo_partition_frames
 
 SEI_PIC_HASH_MD5 = 132  # decoded_picture_hash payload type
 
+# native C++ tree-syntax writer for intra slices (byte-equal to the Python
+# TreeWriter — tests flip this to compare streams)
+USE_NATIVE_TREE = True
+
 
 def _hash_sei_payload(planes, bit_depth: int = 8) -> bytes:
     out = bytearray([SEI_PIC_HASH_MD5])
@@ -167,6 +171,48 @@ class Encoder:
             substreams.append(enc.finish())
         return substreams
 
+    def _entropy_tile_native(self, leaves_t, size_map, tx0, tx1, qp,
+                             sao_ser):
+        """Native C++ tree-syntax writer (intra slices): one call per tile
+        (vvc/packer/cabac_core.cpp tw_write) — byte-equal to _entropy_tile."""
+        sps = self.sps
+        ctxs = SliceContexts(qp)
+        enc = native_packer.NativeBinEncoder(ctxs)
+        recs, levels = native_packer.serialize_leaves(leaves_t)
+        tw = native_packer.NativeTreeWriter(
+            min(tx1, sps.width), sps.height, sps.ctu_size, sps.min_cu_size,
+            mts=sps.mts_intra, cclm=sps.cclm, mip=sps.mip, lfnst=sps.lfnst)
+        sao_arr, stride = sao_ser if sao_ser is not None else (None, 0)
+        tw.write(enc, ctxs, size_map, recs, levels, sao_arr, stride,
+                 tx0, tx1, 0, sps.height, tx0)
+        enc.encode_bin_trm(1)
+        return enc.finish()
+
+    def _entropy_rows_wpp_native(self, leaves, size_map, qp, sao_ser):
+        """Native WPP rows: shared tree state, per-row substreams with the
+        1-CTU-stagger context snapshot taken inside the native call."""
+        sps = self.sps
+        tw = native_packer.NativeTreeWriter(
+            sps.width, sps.height, sps.ctu_size, sps.min_cu_size,
+            mts=sps.mts_intra, cclm=sps.cclm, mip=sps.mip, lfnst=sps.lfnst)
+        sao_arr, stride = sao_ser if sao_ser is not None else (None, 0)
+        inherit = None
+        substreams = []
+        for cy in range(0, sps.height, sps.ctu_size):
+            row_leaves = [l for l in leaves
+                          if l.y0 // sps.ctu_size == cy // sps.ctu_size]
+            recs, levels = native_packer.serialize_leaves(row_leaves)
+            ctxs = SliceContexts(qp)
+            if inherit is not None:
+                ctxs.states[:] = inherit
+            enc = native_packer.NativeBinEncoder(ctxs)
+            inherit = tw.write(enc, ctxs, size_map, recs, levels, sao_arr,
+                               stride, 0, sps.width, cy, cy + sps.ctu_size,
+                               0, snapshot=True)
+            enc.encode_bin_trm(1)
+            substreams.append(enc.finish())
+        return substreams
+
     def _entropy_tile(self, split_map, leaf_map, tx0, tx1, qp, sao_params,
                       slice_type=SliceType.I, n_ref=(0, 0),
                       col_info=(None, 0, ((), ()))):
@@ -227,8 +273,10 @@ class Encoder:
             src = Frame(map_plane(frame.y, fwd_lut), frame.cb, frame.cr, bd)
             rdo_result = None  # precomputed RDO used the unmapped domain
 
+        chroma_on_device = False
         if rdo_result is not None:
             split_map, leaf_map, leaves = rdo_result
+            chroma_on_device = sps.cclm   # GOP-batched search decides chroma
         elif inter_slice:
             from vvc.enc.inter_search import rdo_inter_partition
             split_map, leaf_map, leaves = rdo_inter_partition(
@@ -238,8 +286,10 @@ class Encoder:
         else:
             split_map, leaf_map, leaves = rdo_partition(
                 src.y, qp, bd, sps.ctu_size, sps.min_cu_size,
-                lossless=sps.lossless, lfnst=sps.lfnst)
-        if sps.cclm:
+                lossless=sps.lossless, lfnst=sps.lfnst,
+                chroma_planes=(src.cb, src.cr) if sps.cclm else None)
+            chroma_on_device = sps.cclm
+        if sps.cclm and not chroma_on_device:
             intra_leaves = [l for l in leaves if l.pred == 0]
             if intra_leaves:
                 _decide_chroma_modes(intra_leaves, src, bd)
@@ -309,17 +359,34 @@ class Encoder:
                        flag_list if luma_c is not None else None,
                        chroma_c if chroma_c is not None else None)
 
-        # phase 4: entropy — WPP row substreams or per-tile (parallel)
+        # phase 4: entropy — WPP row substreams or per-tile (parallel).
+        # Intra slices run the native C++ tree writer; inter falls back to
+        # the Python TreeWriter (native inter syntax lands with merge RDO).
         col_info = (col, poc, (tuple(p for p, _ in refs_l0),
                                tuple(p for p, _ in refs_l1)))
+        use_native = (USE_NATIVE_TREE and not inter_slice
+                      and native_packer.available())
+        if use_native:
+            size_map = native_packer.build_size_map(
+                leaves, sps.width, sps.height, sps.min_cu_size)
+            sao_ser = (native_packer.serialize_sao(
+                sao_params, sps.width, sps.height, sps.ctu_size)
+                if sao_params is not None else None)
         if pps.wpp:
             assert len(tiles) == 1, "tiles+WPP combination lands later"
-            substreams = self._entropy_rows_wpp(split_map, leaf_map, qp,
-                                                sao_params, slice_type, n_ref,
-                                                col_info)
+            if use_native:
+                substreams = self._entropy_rows_wpp_native(
+                    leaves, size_map, qp, sao_ser)
+            else:
+                substreams = self._entropy_rows_wpp(split_map, leaf_map, qp,
+                                                    sao_params, slice_type,
+                                                    n_ref, col_info)
         else:
             def entropy_tile(i):
                 tx0, tx1 = tiles[i]
+                if use_native:
+                    return self._entropy_tile_native(
+                        leaves_per_tile[i], size_map, tx0, tx1, qp, sao_ser)
                 return self._entropy_tile(split_map, leaf_map, tx0, tx1, qp,
                                           sao_params, slice_type, n_ref,
                                           col_info)
@@ -394,7 +461,9 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
         # are independent); host recon/entropy then proceeds per frame
         rdo_results = rdo_partition_frames(
             [f.y for f in frames], qp, bit_depth, sps.ctu_size,
-            sps.min_cu_size, lossless=lossless, lfnst=sps.lfnst)
+            sps.min_cu_size, lossless=lossless, lfnst=sps.lfnst,
+            chroma_planes=(([f.cb for f in frames], [f.cr for f in frames])
+                           if sps.cclm else None))
     else:
         rdo_results = None
 

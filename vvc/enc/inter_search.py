@@ -196,11 +196,10 @@ def rdo_inter_partition(y_plane: np.ndarray, refs_l0, refs_l1, qp: int,
     lam = rd_lambda(qp)
 
     # intra costs for all sizes (one dispatch — shared with the AI path)
-    dev_plane = jax.device_put(jnp.asarray(y_plane, dtype=jnp.int32))
-    intra_res = eval_all_sizes(dev_plane, tuple(sizes), jnp.int32(qp),
-                               bit_depth, w, h)
-    intra_res = {s: tuple(np.asarray(x) for x in r)
-                 for s, r in intra_res.items()}
+    from vvc.enc.rdo import pack_planes, unpack_results
+    packed = eval_all_sizes(jax.device_put(pack_planes(y_plane)),
+                            tuple(sizes), jnp.int32(qp), bit_depth, w, h)
+    intra_res = unpack_results(np.asarray(packed), sizes, w, h)
 
     # phase planes per unique reference (device, once)
     phase = {}

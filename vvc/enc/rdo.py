@@ -196,12 +196,46 @@ def eval_blocks(orig: jax.Array, refs: jax.Array, size: int, qp: int,
             best_lfnst.astype(jnp.int32))
 
 
+def eval_chroma_modes(cb, cr, ds, xs, ys, size: int, best_mode, bit_depth):
+    """Device 4-way chroma decision (DM / LM / LM_L / LM_T) for N blocks —
+    SSE on original samples, mirroring the host _decide_chroma_modes
+    (reference: IntraSearch::estIntraPredChromaQT).  Returns [N] i32."""
+    from vvc.kernels.cclm import derive_models_batch_jnp, CCLM_SHIFT
+    cs = size >> 1
+    cxs, cys = xs >> 1, ys >> 1
+    dm = jnp.where(best_mode >= 67, 0, best_mode)
+    oy = jnp.arange(cs)
+    iy = cys[:, None, None] + oy[None, :, None]
+    ix = cxs[:, None, None] + oy[None, None, :]
+    ds_blk = ds[iy, ix].astype(jnp.int32)
+    maxv = (1 << bit_depth) - 1
+    n = xs.shape[0]
+    cost = jnp.zeros((n, 4), dtype=jnp.float32)
+    from vvc.kernels.intra import predict_modes_batch
+    for plane in (cb, cr):
+        refs = build_ref_lines_device(plane, cxs, cys, cs, bit_depth)
+        pdm = predict_modes_batch(refs, dm, cs, bit_depth)
+        obs = plane[iy, ix].astype(jnp.int32)
+        d = (obs - pdm).astype(jnp.float32)
+        cost = cost.at[:, 0].add(jnp.sum(d * d, axis=(1, 2)))
+        for v in (1, 2, 3):
+            alpha, beta = derive_models_batch_jnp(ds, plane, cxs, cys, cs,
+                                                  bit_depth, v)
+            plm = jnp.clip((alpha[:, None, None] * ds_blk >> CCLM_SHIFT)
+                           + beta[:, None, None], 0, maxv)
+            d = (obs - plm).astype(jnp.float32)
+            cost = cost.at[:, v].add(jnp.sum(d * d, axis=(1, 2)))
+    return jnp.argmin(cost, axis=1).astype(jnp.int32)
+
+
 def eval_size_plane(plane: jax.Array, size: int, qp: int, bit_depth: int,
                     ny: int, nx: int, mts_enabled: bool = True,
-                    lossless: bool = False, lfnst_enabled: bool = True):
+                    lossless: bool = False, lfnst_enabled: bool = True,
+                    chroma=None):
     """Whole-frame single-size evaluation: plane [H,W] int32 →
     (cost [ny,nx] f32, mode [ny,nx] i32, mts [ny,nx] i32,
-     lfnst [ny,nx] i32).  Trace-safe."""
+     lfnst [ny,nx] i32, chroma_mode [ny,nx] i32).  Trace-safe.
+    chroma: optional (cb, cr, ds) planes for the device chroma decision."""
     s = size
     blocks = (plane[:ny * s, :nx * s]
               .reshape(ny, s, nx, s).transpose(0, 2, 1, 3).reshape(-1, s, s))
@@ -216,44 +250,121 @@ def eval_size_plane(plane: jax.Array, size: int, qp: int, bit_depth: int,
     cost, mode, mts, lfnst = eval_blocks(blocks, refs, s, qp, bit_depth,
                                          try_mts, lossless, try_mip,
                                          try_lfnst)
+    if chroma is not None:
+        cb, cr, ds = chroma
+        cmode = eval_chroma_modes(cb, cr, ds, xs, ys, s, mode, bit_depth)
+    else:
+        cmode = jnp.zeros_like(mode)
     return (cost.reshape(ny, nx), mode.reshape(ny, nx), mts.reshape(ny, nx),
-            lfnst.reshape(ny, nx))
+            lfnst.reshape(ny, nx), cmode.reshape(ny, nx))
 
 
 def _eval_all_sizes_impl(plane, sizes, qp, bit_depth, w, h, lossless=False,
-                         lfnst=True):
+                         lfnst=True, cb=None, cr=None):
+    chroma = None
+    if cb is not None:
+        from vvc.kernels.cclm import luma_ds_plane_jnp
+        chroma = (cb, cr, luma_ds_plane_jnp(plane))
     out = {}
     for s in sizes:
         ny, nx = h // s, w // s
         if ny and nx:
             out[s] = eval_size_plane(plane, s, qp, bit_depth, ny, nx,
-                                     lossless=lossless, lfnst_enabled=lfnst)
+                                     lossless=lossless, lfnst_enabled=lfnst,
+                                     chroma=chroma)
     return out
 
 
+def _pack_results(out, sizes):
+    """Flatten the per-size result dict into ONE int32 vector (cost planes
+    bitcast) — device→host transfers over the TPU tunnel cost ~6–30 ms
+    EACH regardless of size, so everything rides one transfer."""
+    parts = []
+    for s in sizes:
+        if s not in out:
+            continue
+        c, m, t, l, cm = out[s]
+        parts += [jax.lax.bitcast_convert_type(c, jnp.int32).ravel(),
+                  m.ravel(), t.ravel(), l.ravel(), cm.ravel()]
+    return jnp.concatenate(parts)
+
+
+def unpack_results(vec: np.ndarray, sizes, w: int, h: int):
+    """Host-side inverse of _pack_results → {size: (cost, mode, mts,
+    lfnst, chroma_mode)} numpy arrays."""
+    out = {}
+    off = 0
+    for s in sizes:
+        ny, nx = h // s, w // s
+        if not (ny and nx):
+            continue
+        n = ny * nx
+        c = vec[off:off + n].view(np.float32).reshape(ny, nx); off += n
+        m = vec[off:off + n].reshape(ny, nx); off += n
+        t = vec[off:off + n].reshape(ny, nx); off += n
+        l = vec[off:off + n].reshape(ny, nx); off += n
+        cm = vec[off:off + n].reshape(ny, nx); off += n
+        out[s] = (c, m, t, l, cm)
+    return out
+
+
+def _split_planes(vec, w, h, with_chroma, f=None):
+    """Unpack the single host→device input vector back into planes."""
+    shape_y = (h, w) if f is None else (f, h, w)
+    ny = int(np.prod(shape_y))
+    y = vec[:ny].reshape(shape_y)
+    if not with_chroma:
+        return y, None, None
+    shape_c = (h // 2, w // 2) if f is None else (f, h // 2, w // 2)
+    nc = int(np.prod(shape_c))
+    cb = vec[ny:ny + nc].reshape(shape_c)
+    cr = vec[ny + nc:ny + 2 * nc].reshape(shape_c)
+    return y, cb, cr
+
+
+def pack_planes(y, cb=None, cr=None):
+    """Host-side input packing (one device_put instead of three)."""
+    parts = [np.asarray(y, dtype=np.int32).ravel()]
+    if cb is not None:
+        parts += [np.asarray(cb, dtype=np.int32).ravel(),
+                  np.asarray(cr, dtype=np.int32).ravel()]
+    return np.concatenate(parts)
+
+
 @partial(jax.jit, static_argnames=("sizes", "bit_depth", "w", "h",
-                                   "lossless", "lfnst"))
-def eval_all_sizes(plane: jax.Array, sizes: tuple, qp, bit_depth: int,
+                                   "lossless", "lfnst", "with_chroma"))
+def eval_all_sizes(planes_vec: jax.Array, sizes: tuple, qp, bit_depth: int,
                    w: int, h: int, lossless: bool = False,
-                   lfnst: bool = True):
-    """All candidate sizes in ONE dispatch — a single host↔device round
-    trip per frame (the RDO search is latency-bound on small pictures)."""
-    return _eval_all_sizes_impl(plane, sizes, qp, bit_depth, w, h, lossless,
-                                lfnst)
+                   lfnst: bool = True, with_chroma: bool = False):
+    """All candidate sizes in ONE dispatch and ONE packed result transfer
+    (the RDO search is transfer-latency-bound on small pictures).
+    planes_vec: pack_planes(y[, cb, cr]).  Unpack with unpack_results."""
+    y, cb, cr = _split_planes(planes_vec, w, h, with_chroma)
+    out = _eval_all_sizes_impl(y, sizes, qp, bit_depth, w, h, lossless,
+                               lfnst, cb, cr)
+    return _pack_results(out, sizes)
 
 
 @partial(jax.jit, static_argnames=("sizes", "bit_depth", "w", "h",
-                                   "lossless", "lfnst"))
-def eval_all_sizes_frames(planes: jax.Array, sizes: tuple, qp,
-                          bit_depth: int, w: int, h: int,
-                          lossless: bool = False, lfnst: bool = True):
-    """[F,H,W] plane batch → per-size ([F,ny,nx] cost, [F,ny,nx] mode).
-
-    All-Intra frames are independent (SURVEY.md §2.7 P-5 applies with no
-    reference deps), so the whole GOP's search is one device dispatch."""
+                                   "lossless", "lfnst", "with_chroma", "f"))
+def eval_all_sizes_frames(planes_vec: jax.Array, sizes: tuple, qp,
+                          bit_depth: int, w: int, h: int, f: int,
+                          lossless: bool = False, lfnst: bool = True,
+                          with_chroma: bool = False):
+    """[F]-batched variant: one dispatch + one packed transfer for the
+    whole GOP (All-Intra frames are independent, SURVEY.md §2.7 P-5).
+    Result: [F, per-frame packed length] int32."""
+    y, cb, cr = _split_planes(planes_vec, w, h, with_chroma, f)
+    if with_chroma:
+        return jax.vmap(
+            lambda p, b, r: _pack_results(
+                _eval_all_sizes_impl(p, sizes, qp, bit_depth, w, h,
+                                     lossless, lfnst, b, r), sizes)
+        )(y, cb, cr)
     return jax.vmap(
-        lambda p: _eval_all_sizes_impl(p, sizes, qp, bit_depth, w, h,
-                                       lossless, lfnst))(planes)
+        lambda p: _pack_results(
+            _eval_all_sizes_impl(p, sizes, qp, bit_depth, w, h,
+                                 lossless, lfnst), sizes))(y)
 
 
 SPLIT_BITS = 1.5  # approximate split_cu_flag cost
@@ -270,37 +381,48 @@ def _candidate_sizes(ctu_size: int, min_cu: int):
 
 def rdo_partition(y_plane: np.ndarray, qp: int, bit_depth: int = 8,
                   ctu_size: int = 64, min_cu: int = 8, lossless: bool = False,
-                  lfnst: bool = True):
+                  lfnst: bool = True, chroma_planes=None):
     """Full-frame partition + mode decision.
 
+    chroma_planes: optional (cb, cr) — enables the on-device 4-way chroma
+    decision (DM/LM/LM_L/LM_T), stored on each leaf.
     Returns (split_map, leaf_map, leaves_zorder) consumed by the syntax
     writer and the reconstruction pass.
     """
     h, w = y_plane.shape
     assert w % min_cu == 0 and h % min_cu == 0, "pad input to min-CU multiple"
     sizes = _candidate_sizes(ctu_size, min_cu)
-    dev_plane = jax.device_put(jnp.asarray(y_plane, dtype=jnp.int32))
-    results = eval_all_sizes(dev_plane, tuple(sizes),
-                             jnp.int32(qp), bit_depth, w, h, lossless, lfnst)
-    results = {s: tuple(np.asarray(x) for x in r) for s, r in results.items()}
+    with_chroma = chroma_planes is not None
+    vec = pack_planes(y_plane, *(chroma_planes or (None, None)))
+    packed = eval_all_sizes(jax.device_put(vec), tuple(sizes),
+                            jnp.int32(qp), bit_depth, w, h, lossless, lfnst,
+                            with_chroma)
+    results = unpack_results(np.asarray(packed), sizes, w, h)
     return _dp_backtrack(results, w, h, qp, sizes, ctu_size, min_cu)
 
 
 def rdo_partition_frames(y_planes, qp: int, bit_depth: int = 8,
                          ctu_size: int = 64, min_cu: int = 8,
-                         lossless: bool = False, lfnst: bool = True):
+                         lossless: bool = False, lfnst: bool = True,
+                         chroma_planes=None):
     """Batched variant: list of [H,W] planes → list of per-frame
     (split_map, leaf_map, leaves).  One device dispatch for the whole GOP."""
     h, w = y_planes[0].shape
     assert w % min_cu == 0 and h % min_cu == 0, "pad input to min-CU multiple"
     sizes = _candidate_sizes(ctu_size, min_cu)
-    stack = jax.device_put(jnp.asarray(np.stack(y_planes), dtype=jnp.int32))
-    res = eval_all_sizes_frames(stack, tuple(sizes), jnp.int32(qp),
-                                bit_depth, w, h, lossless, lfnst)
-    res = {s: tuple(np.asarray(x) for x in r) for s, r in res.items()}
+    nf = len(y_planes)
+    with_chroma = chroma_planes is not None
+    vec = pack_planes(np.stack(y_planes),
+                      *((np.stack(chroma_planes[0]),
+                         np.stack(chroma_planes[1])) if with_chroma
+                        else (None, None)))
+    packed = eval_all_sizes_frames(jax.device_put(vec), tuple(sizes),
+                                   jnp.int32(qp), bit_depth, w, h, nf,
+                                   lossless, lfnst, with_chroma)
+    packed = np.asarray(packed)
     out = []
-    for f in range(len(y_planes)):
-        per = {s: tuple(x[f] for x in r) for s, r in res.items()}
+    for f in range(nf):
+        per = unpack_results(packed[f], sizes, w, h)
         out.append(_dp_backtrack(per, w, h, qp, sizes, ctu_size, min_cu))
     return out
 
@@ -311,18 +433,22 @@ def _dp_backtrack(results, w, h, qp, sizes, ctu_size, min_cu):
     mode = {}
     mts = {}
     lfn = {}
+    cmode = {}
     for s in sizes:
         nx, ny = w // s, h // s
         cost[s] = np.full((ny, nx), np.inf, dtype=np.float64)
         mode[s] = np.zeros((ny, nx), dtype=np.int32)
         mts[s] = np.zeros((ny, nx), dtype=np.int32)
         lfn[s] = np.zeros((ny, nx), dtype=np.int32)
+        cmode[s] = np.zeros((ny, nx), dtype=np.int32)
         if s in results:
             cost[s][:] = results[s][0]
             mode[s][:] = results[s][1]
             mts[s][:] = results[s][2]
             if len(results[s]) > 3:
                 lfn[s][:] = results[s][3]
+            if len(results[s]) > 4:
+                cmode[s][:] = results[s][4]
 
     # bottom-up DP
     best = {min_cu: cost[min_cu].copy()}
@@ -362,7 +488,8 @@ def _dp_backtrack(results, w, h, qp, sizes, ctu_size, min_cu):
                 split_map[(x0, y0, s)] = False
             leaf = Leaf(x0, y0, s, int(mode[s][y0 // s, x0 // s]),
                         mts=int(mts[s][y0 // s, x0 // s]),
-                        lfnst=int(lfn[s][y0 // s, x0 // s]))
+                        lfnst=int(lfn[s][y0 // s, x0 // s]),
+                        chroma_mode=int(cmode[s][y0 // s, x0 // s]))
             leaf_map[(x0, y0, s)] = leaf
             leaves.append(leaf)
 

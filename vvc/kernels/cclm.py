@@ -149,6 +149,65 @@ def derive_models_batch(ds: np.ndarray, chroma: np.ndarray,
     return np.stack([alpha, beta], axis=1)
 
 
+def luma_ds_plane_jnp(luma):
+    """jnp twin of luma_ds_plane (device path; even H assumed)."""
+    import jax.numpy as jnp
+    h, w = luma.shape
+    l = luma.astype(jnp.int32)
+    xm = jnp.clip(jnp.arange(0, w, 2) - 1, 0, w - 1)
+    x0 = jnp.arange(0, w, 2)
+    xp = jnp.clip(jnp.arange(0, w, 2) + 1, 0, w - 1)
+    r0 = l[0::2]
+    r1 = l[1::2]
+    return ((r0[:, xm] + 2 * r0[:, x0] + r0[:, xp]
+             + r1[:, xm] + 2 * r1[:, x0] + r1[:, xp] + 4) >> 3)
+
+
+def derive_models_batch_jnp(ds, chroma, xs, ys, cs: int, bit_depth: int,
+                            variant: int = 1):
+    """jnp twin of derive_models_batch — trace-safe, int32 arithmetic
+    (values fit: |α| < 2^17, (cmax−cmin)<<13 < 2^24)."""
+    import jax.numpy as jnp
+    n = xs.shape[0]
+    ch, cw = chroma.shape
+    top_ok = (ys > 0) & (variant != 2)
+    left_ok = (xs > 0) & (variant != 3)
+    k = jnp.arange(4)
+    both = (top_ok & left_ok)[:, None]
+    x_top = jnp.where(both,
+                      xs[:, None] + jnp.array([cs // 4, 3 * cs // 4,
+                                               cs // 4, 3 * cs // 4]),
+                      xs[:, None] + k[None, :] * cs // 4)
+    y_left = jnp.where(both,
+                       ys[:, None] + jnp.array([0, 0, cs // 4, 3 * cs // 4]),
+                       ys[:, None] + k[None, :] * cs // 4)
+    use_top = jnp.where(both, jnp.array([1, 1, 0, 0], dtype=bool)[None, :],
+                        jnp.broadcast_to(top_ok[:, None], (n, 4)))
+    px = jnp.where(use_top, jnp.minimum(x_top, cw - 1),
+                   jnp.maximum(xs - 1, 0)[:, None])
+    py = jnp.where(use_top, jnp.maximum(ys - 1, 0)[:, None],
+                   jnp.minimum(y_left, ch - 1))
+    lum = ds[py, px].astype(jnp.int32)
+    chr_ = chroma[py, px].astype(jnp.int32)
+    order = jnp.argsort(lum, axis=1, stable=True)
+    lum = jnp.take_along_axis(lum, order, axis=1)
+    chr_ = jnp.take_along_axis(chr_, order, axis=1)
+    lmin = (lum[:, 0] + lum[:, 1] + 1) >> 1
+    lmax = (lum[:, 2] + lum[:, 3] + 1) >> 1
+    cmin = (chr_[:, 0] + chr_[:, 1] + 1) >> 1
+    cmax = (chr_[:, 2] + chr_[:, 3] + 1) >> 1
+    den = lmax - lmin
+    alpha = jnp.where(den != 0,
+                      ((cmax - cmin) << CCLM_SHIFT)
+                      // jnp.maximum(den, 1), 0)
+    alpha = jnp.clip(alpha, -(1 << 17), (1 << 17) - 1)
+    beta = jnp.where(den != 0, cmin - ((alpha * lmin) >> CCLM_SHIFT), cmin)
+    none_ok = ~top_ok & ~left_ok
+    alpha = jnp.where(none_ok, 0, alpha)
+    beta = jnp.where(none_ok, 1 << (bit_depth - 1), beta)
+    return alpha, beta
+
+
 def predict_cclm(ds: np.ndarray, chroma: np.ndarray, coded_c, cx0: int,
                  cy0: int, cs: int, bit_depth: int, log2_unit=2,
                  variant: int = 1):

@@ -413,3 +413,61 @@ def predict_all_modes_batch(c_batch: jax.Array, size: int, bit_depth: int = 8) -
     out = jnp.concatenate(
         [planar[:, None], dc_pred[:, None], hm, pv], axis=1)
     return jnp.clip(out, 0, (1 << bit_depth) - 1).astype(jnp.int32)
+
+
+def predict_modes_batch(c_batch: jax.Array, modes: jax.Array, size: int,
+                        bit_depth: int = 8) -> jax.Array:
+    """Per-block single-mode prediction [N,S,S] — jnp twin of
+    predict_modes_np.  Gathers each block's OWN mode's 4-tap table row
+    (4 gathers/sample) instead of materializing all 67 planes; used by the
+    device chroma-DM decision where the mode is already known."""
+    s = size
+    log2s = int(np.log2(s))
+    n = c_batch.shape[0]
+    idx, co = _stacked_tables(size)
+    idx = jnp.asarray(idx)
+    co = jnp.asarray(co)
+
+    left = c_batch[:, 2 * s - 1::-1]
+    top = c_batch[:, 2 * s + 1:4 * s + 1]
+    xs = jnp.arange(s)
+    ys = jnp.arange(s)
+    below_left = left[:, s][:, None, None]
+    above_right = top[:, s][:, None, None]
+    pred_v = ((s - 1 - ys)[None, :, None] * top[:, None, :s]
+              + (ys + 1)[None, :, None] * below_left) << log2s
+    pred_h = ((s - 1 - xs)[None, None, :] * left[:, :s, None]
+              + (xs + 1)[None, None, :] * above_right) << log2s
+    planar = (pred_v + pred_h + s * s) >> (2 * log2s + 1)
+    dc = (jnp.sum(top[:, :s], axis=1) + jnp.sum(left[:, :s], axis=1)
+          + s) >> (log2s + 1)
+    dc_pred = jnp.broadcast_to(dc[:, None, None], (n, s, s))
+    scale = (2 * log2s - 2) >> 2
+    wl = (32 >> jnp.minimum(31, (2 * xs) >> scale))[None, None, :]
+    wt = (32 >> jnp.minimum(31, (2 * ys) >> scale))[None, :, None]
+    lcol = left[:, :s, None]
+    trow = top[:, None, :s]
+
+    def pdpc(p):
+        return (wl * lcol + wt * trow + (64 - wl - wt) * p + 32) >> 6
+
+    planar = pdpc(planar)
+    dc_pred = pdpc(dc_pred)
+
+    # angular: per-block table row (vertical family on c, horizontal on the
+    # reversed line with transposed output) — same tables as the all-modes
+    # path, one row gathered per block
+    mv = jnp.clip(modes - DIA_IDX, 0, 32)
+    mh = jnp.clip(68 - modes - DIA_IDX, 0, 32)
+    iv = idx[mv].reshape(n, -1)
+    pv = ((co[mv] * jnp.take_along_axis(c_batch, iv, axis=1)
+           .reshape(n, 4, s, s)).sum(axis=1) + 32) >> 6
+    ct = c_batch[:, 4 * s::-1]
+    ct = jnp.concatenate([ct, ct[:, -1:], ct[:, -1:]], axis=1)
+    ih = idx[mh].reshape(n, -1)
+    ph = (((co[mh] * jnp.take_along_axis(ct, ih, axis=1)
+            .reshape(n, 4, s, s)).sum(axis=1) + 32) >> 6).transpose(0, 2, 1)
+    ang = jnp.where((modes >= DIA_IDX)[:, None, None], pv, ph)
+    out = jnp.where((modes == PLANAR_IDX)[:, None, None], planar,
+                    jnp.where((modes == DC_IDX)[:, None, None], dc_pred, ang))
+    return jnp.clip(out, 0, (1 << bit_depth) - 1).astype(jnp.int32)

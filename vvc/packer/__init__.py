@@ -108,5 +108,15 @@ def lib():
     l.dec_residual_c.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                  ctypes.c_void_p, ctypes.c_void_p,
                                  ctypes.c_int, ctypes.c_int]
+    l.tw_create.restype = ctypes.c_void_p
+    l.tw_create.argtypes = [ctypes.c_int] * 5
+    l.tw_destroy.argtypes = [ctypes.c_void_p]
+    l.tw_write.restype = ctypes.c_int64
+    l.tw_write.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int]
     _lib = l
     return _lib

@@ -578,6 +578,277 @@ void dec_residual(Dec& d, ResCtx& rc, int32_t* levels, int s, int is_luma) {
   }
 }
 
+// ------------------------------------------------------- tree syntax writer
+//
+// Native port of the Python TreeWriter intra path (vvc/cabac/cu_syntax.py)
+// + SAO params (vvc/cabac/sao_syntax.py) — the per-CU syntax driving is the
+// encoder's host hot loop, so it runs here in one call per tile / WPP row
+// (the reference's CABACWriter::coding_tree_unit is likewise native C++).
+// Byte-equality with the Python writer is enforced by tests/test_packer.py.
+
+// context-set order — keep in sync with vvc/packer/native.py TW_SET_ORDER
+enum TwSet {
+  T_SPLIT = 0, T_SAO_TYPE, T_SAO_MERGE, T_REF_IDX, T_MPM_FLAG,
+  T_NOT_PLANAR, T_CHROMA_PRED, T_CCLM_FLAG, T_CCLM_MODE, T_CBF_LUMA,
+  T_MTS_IDX, T_LFNST_IDX, T_CBF_CB, T_CBF_CR, T_MIP_FLAG, T_NSETS
+};
+
+// leaf record fields — keep in sync with vvc/packer/native.py serialization
+enum LeafRec {
+  L_X0 = 0, L_Y0, L_SIZE, L_MODE, L_MTS, L_LFNST, L_CHROMA,
+  L_OFF_Y, L_OFF_CB, L_OFF_CR, L_NREC
+};
+
+constexpr int K_MIP_MODES = 9;   // vvc/rom/mip_mats.py
+constexpr int PLANAR = 0, DC = 1, HOR = 18, VER = 50;
+constexpr int MAX_SAO_OFF = 7;   // vvc/kernels/sao.py MAX_SAO_OFFSET
+
+struct TreeCtx {
+  int w, h, ctu, min_cu;
+  bool mts, cclm, mip, lfnst;
+  int w4, h4;
+  std::vector<int16_t> mode_map;   // -1 = unset
+  std::vector<int8_t> depth_map;
+  std::vector<uint8_t> coded_map;
+
+  TreeCtx(int w_, int h_, int ctu_, int mc, int flags)
+      : w(w_), h(h_), ctu(ctu_), min_cu(mc),
+        mts(flags & 1), cclm(flags & 2), mip(flags & 4), lfnst(flags & 8),
+        w4((w_ + 3) >> 2), h4((h_ + 3) >> 2),
+        mode_map((size_t)w4 * h4, -1), depth_map((size_t)w4 * h4, 0),
+        coded_map((size_t)w4 * h4, 0) {}
+
+  int mode_at(int x, int y) const {
+    if (x < 0 || y < 0 || (x >> 2) >= w4 || (y >> 2) >= h4) return -1;
+    size_t i = (size_t)(y >> 2) * w4 + (x >> 2);
+    return coded_map[i] ? mode_map[i] : -1;
+  }
+  int depth_at(int x, int y) const {
+    if (x < 0 || y < 0 || (x >> 2) >= w4 || (y >> 2) >= h4) return -1;
+    size_t i = (size_t)(y >> 2) * w4 + (x >> 2);
+    return coded_map[i] ? depth_map[i] : -1;
+  }
+  void set_cu(int x0, int y0, int size, int mode, int depth) {
+    int s4 = size >> 2;
+    for (int yy = y0 >> 2; yy < (y0 >> 2) + s4; yy++)
+      for (int xx = x0 >> 2; xx < (x0 >> 2) + s4; xx++) {
+        size_t i = (size_t)yy * w4 + xx;
+        mode_map[i] = (int16_t)mode;
+        depth_map[i] = (int8_t)depth;
+        coded_map[i] = 1;
+      }
+  }
+  int log2(int v) const { return 31 - __builtin_clz((unsigned)v); }
+};
+
+// 6-entry MPM list — exact port of cu_syntax.mpm_list
+void mpm_list6(int left, int above, int* out) {
+  auto adj = [](int m, int d) {
+    int r = (m - 2 + d) % 65;
+    return 2 + (r < 0 ? r + 65 : r);
+  };
+  int l = left >= 0 ? left : PLANAR;
+  int a = above >= 0 ? above : PLANAR;
+  int lst[5];
+  if (l == a) {
+    if (l > DC) {
+      lst[0] = l; lst[1] = adj(l, -1); lst[2] = adj(l, 1);
+      lst[3] = adj(l, -2); lst[4] = adj(l, 2);
+    } else {
+      lst[0] = DC; lst[1] = VER; lst[2] = HOR;
+      lst[3] = VER - 4; lst[4] = VER + 4;
+    }
+  } else if (l > DC && a > DC) {
+    lst[0] = l; lst[1] = a;
+    int mx = l > a ? l : a, mn = l < a ? l : a;
+    if (mx - mn == 1) {
+      lst[2] = adj(mn, -1); lst[3] = adj(mx, 1); lst[4] = adj(mn, -2);
+    } else if (mx - mn >= 62) {
+      lst[2] = adj(mn, 1); lst[3] = adj(mx, -1); lst[4] = adj(mn, 2);
+    } else if (mx - mn == 2) {
+      lst[2] = adj(mn, 1); lst[3] = adj(mn, -1); lst[4] = adj(mx, 1);
+    } else {
+      lst[2] = adj(mn, -1); lst[3] = adj(mn, 1); lst[4] = adj(mx, -1);
+    }
+  } else if (l > DC || a > DC) {
+    int m = l > a ? l : a;
+    lst[0] = m; lst[1] = adj(m, -1); lst[2] = adj(m, 1);
+    lst[3] = adj(m, -2); lst[4] = adj(m, 2);
+  } else {
+    lst[0] = DC; lst[1] = VER; lst[2] = HOR;
+    lst[3] = VER - 4; lst[4] = VER + 4;
+  }
+  out[0] = PLANAR;
+  for (int i = 0; i < 5; i++) out[i + 1] = lst[i];
+}
+
+void tb_write(Enc& e, int x, int n) {   // truncated binary (spec 9.3.3.7)
+  int k = 31 - __builtin_clz((unsigned)n);
+  int u = (1 << (k + 1)) - n;
+  if (x < u) {
+    if (k) e.eps((unsigned)x, k);
+  } else {
+    e.eps((unsigned)(x + u), k + 1);
+  }
+}
+
+struct TwArgs {
+  CtxArray ctx;
+  const int32_t* setoff;          // [T_NSETS]
+  const int32_t* res_off;         // residual sets (RESIDUAL_SET_ORDER)
+  const uint8_t* size_map;        // [h/min][sm_stride] leaf size log2
+  int sm_stride;                  // full-frame width / min_cu
+  const int32_t* leafs;           // [n][L_NREC], traversal order
+  const int32_t* levels;          // concatenated level buffers
+  const int32_t* sao;             // [n_ctus][21] or nullptr
+  int sao_stride;                 // CTUs per frame row
+  int tile_x0;                    // SAO merge-left availability bound
+  int64_t cursor;
+  int tid(int set, int i) const { return setoff[set] + i; }
+};
+
+void tw_sao(Enc& e, TwArgs& a, int cx, int cy, int ctu) {
+  int ci = (cy / ctu) * a.sao_stride + (cx / ctu);
+  const int32_t* p = a.sao + (size_t)ci * 21;
+  const int32_t* lft = cx - ctu >= a.tile_x0
+                           ? a.sao + (size_t)(ci - 1) * 21 : nullptr;
+  const int32_t* up = cy >= ctu
+                          ? a.sao + (size_t)(ci - a.sao_stride) * 21 : nullptr;
+  if (lft) {
+    bool eq = std::memcmp(p, lft, 21 * sizeof(int32_t)) == 0;
+    e.bin(a.ctx, a.tid(T_SAO_MERGE, 0), eq);
+    if (eq) return;
+  }
+  if (up) {
+    bool eq = std::memcmp(p, up, 21 * sizeof(int32_t)) == 0;
+    e.bin(a.ctx, a.tid(T_SAO_MERGE, 0), eq);
+    if (eq) return;
+  }
+  for (int c = 0; c < 3; c++) {
+    const int32_t* q = p + c * 7;  // mode, eo_class, band_pos, off[4]
+    int mode = q[0];
+    if (mode == 0) {
+      e.bin(a.ctx, a.tid(T_SAO_TYPE, 0), 0);
+      continue;
+    }
+    e.bin(a.ctx, a.tid(T_SAO_TYPE, 0), 1);
+    e.ep(mode == 2 ? 1 : 0);
+    for (int k = 0; k < 4; k++) {
+      int m = q[3 + k] < 0 ? -q[3 + k] : q[3 + k];
+      for (int i = 0; i < m; i++) e.ep(1);
+      if (m < MAX_SAO_OFF) e.ep(0);
+    }
+    if (mode == 1) {  // BO
+      for (int k = 0; k < 4; k++)
+        if (q[3 + k] != 0) e.ep(q[3 + k] < 0 ? 1 : 0);
+      e.eps((unsigned)q[2], 5);
+    } else {
+      e.eps((unsigned)q[1], 2);
+    }
+  }
+}
+
+void tw_cu(Enc& e, TreeCtx& t, TwArgs& a, const int32_t* rec) {
+  int x0 = rec[L_X0], y0 = rec[L_Y0], size = rec[L_SIZE];
+  int mode = rec[L_MODE];
+  bool is_mip = mode >= 67;
+  bool mip_ok = t.mip && size >= 8 && size <= 32;
+  if (mip_ok) {
+    e.bin(a.ctx, a.tid(T_MIP_FLAG, 0), is_mip);
+    if (is_mip) tb_write(e, mode - 67, K_MIP_MODES);
+  }
+  if (!is_mip) {
+    if ((y0 % t.ctu) > 0) e.bin(a.ctx, a.tid(T_REF_IDX, 0), 0);
+    int left = t.mode_at(x0 - 1, y0 + size - 1);
+    int above = (y0 % t.ctu) == 0 ? -1 : t.mode_at(x0 + size - 1, y0 - 1);
+    int mpm[6];
+    mpm_list6(left, above, mpm);
+    int idx = -1;
+    for (int i = 0; i < 6; i++)
+      if (mpm[i] == mode) { idx = i; break; }
+    if (idx >= 0) {
+      e.bin(a.ctx, a.tid(T_MPM_FLAG, 0), 1);
+      e.bin(a.ctx, a.tid(T_NOT_PLANAR, 0), idx != 0);
+      if (idx > 0) {
+        for (int i = 0; i < idx - 1; i++) e.ep(1);
+        if (idx - 1 < 4) e.ep(0);
+      }
+    } else {
+      e.bin(a.ctx, a.tid(T_MPM_FLAG, 0), 0);
+      // rank of mode among non-MPM modes (sorted remainder)
+      bool in_mpm[67] = {false};
+      int n_mpm = 0;
+      for (int i = 0; i < 6; i++)
+        if (!in_mpm[mpm[i]]) { in_mpm[mpm[i]] = true; n_mpm++; }
+      int rank = 0;
+      for (int m = 0; m < mode; m++)
+        if (!in_mpm[m]) rank++;
+      tb_write(e, rank, 67 - n_mpm);
+    }
+  }
+  int chroma = rec[L_CHROMA];
+  if (t.cclm) {
+    e.bin(a.ctx, a.tid(T_CCLM_FLAG, 0), chroma != 0);
+    if (chroma != 0) {
+      e.bin(a.ctx, a.tid(T_CCLM_MODE, 0), chroma == 1);
+      if (chroma != 1) e.ep(chroma - 2);
+    }
+  }
+  if (!(t.cclm && chroma)) e.bin(a.ctx, a.tid(T_CHROMA_PRED, 0), 1);
+  // residuals: cbf cb, cr, luma; then mts/lfnst idx; then level arrays
+  int cbf_cb = rec[L_OFF_CB] >= 0, cbf_cr = rec[L_OFF_CR] >= 0;
+  int cbf_y = rec[L_OFF_Y] >= 0;
+  e.bin(a.ctx, a.tid(T_CBF_CB, 0), cbf_cb);
+  e.bin(a.ctx, a.tid(T_CBF_CR, cbf_cb), cbf_cr);
+  e.bin(a.ctx, a.tid(T_CBF_LUMA, 0), cbf_y);
+  int mts = rec[L_MTS], lfn = rec[L_LFNST];
+  if (t.mts && cbf_y && size >= 8 && size <= 32) {
+    for (int i = 0; i < mts; i++) e.bin(a.ctx, a.tid(T_MTS_IDX, i), 1);
+    if (mts < 4) e.bin(a.ctx, a.tid(T_MTS_IDX, mts), 0);
+  }
+  if (t.lfnst && cbf_y && mts == 0 && size >= 8) {
+    e.bin(a.ctx, a.tid(T_LFNST_IDX, 0), lfn != 0);
+    if (lfn) e.bin(a.ctx, a.tid(T_LFNST_IDX, 1), lfn - 1);
+  }
+  ResCtx rc{a.ctx, a.res_off};
+  int cs = size >> 1;
+  if (cbf_cb) enc_residual(e, rc, a.levels + rec[L_OFF_CB], cs, 0);
+  if (cbf_cr) enc_residual(e, rc, a.levels + rec[L_OFF_CR], cs, 0);
+  if (cbf_y) enc_residual(e, rc, a.levels + rec[L_OFF_Y], size, 1);
+  int d = t.log2(t.ctu) - t.log2(size);
+  t.set_cu(x0, y0, size, is_mip ? PLANAR : mode, d);
+}
+
+void tw_tree(Enc& e, TreeCtx& t, TwArgs& a, int x0, int y0, int size) {
+  if (x0 >= t.w || y0 >= t.h) return;
+  bool inside = (x0 + size <= t.w) && (y0 + size <= t.h);
+  bool split;
+  if (!inside) {
+    split = true;
+  } else if (size <= t.min_cu) {
+    split = false;
+  } else {
+    // leaf iff the size map records this exact size at this origin
+    int lg = a.size_map[(size_t)(y0 / t.min_cu) * a.sm_stride
+                        + (x0 / t.min_cu)];
+    split = (1 << lg) != size;
+    int d = t.log2(t.ctu) - t.log2(size);
+    int c = (t.depth_at(x0 - 1, y0) > d ? 1 : 0) +
+            (t.depth_at(x0, y0 - 1) > d ? 1 : 0);
+    e.bin(a.ctx, a.tid(T_SPLIT, c), split);
+  }
+  if (split) {
+    int half = size >> 1;
+    tw_tree(e, t, a, x0, y0, half);
+    tw_tree(e, t, a, x0 + half, y0, half);
+    tw_tree(e, t, a, x0, y0 + half, half);
+    tw_tree(e, t, a, x0 + half, y0 + half, half);
+  } else {
+    tw_cu(e, t, a, a.leafs + a.cursor * L_NREC);
+    a.cursor++;
+  }
+}
+
 }  // namespace
 
 // ------------------------------------------------------------------ C API
@@ -621,6 +892,37 @@ void dec_residual_c(void* d, int32_t* states, const int32_t* offsets,
                     int32_t* levels, int size, int is_luma) {
   ResCtx rc{CtxArray{states}, offsets};
   dec_residual(*(Dec*)d, rc, levels, size, is_luma);
+}
+
+void* tw_create(int w, int h, int ctu, int min_cu, int flags) {
+  return new TreeCtx(w, h, ctu, min_cu, flags);
+}
+void tw_destroy(void* t) { delete (TreeCtx*)t; }
+
+// Writes the CTUs in [cx0,cx1) x [cy0,cy1) (luma sample bounds, CTU grid)
+// into encoder e.  Returns leaves consumed.  snapshot_out != null copies
+// the full context state after the FIRST CTU (WPP 1-CTU-stagger).
+int64_t tw_write(void* tw, void* enc, int32_t* states,
+                 const int32_t* set_offsets, const int32_t* res_offsets,
+                 const uint8_t* size_map, int sm_stride, const int32_t* leafs,
+                 const int32_t* levels, const int32_t* sao, int sao_stride,
+                 int cx0, int cx1, int cy0, int cy1, int tile_x0,
+                 int32_t* snapshot_out, int n_ctx) {
+  TreeCtx& t = *(TreeCtx*)tw;
+  Enc& e = *(Enc*)enc;
+  TwArgs a{CtxArray{states}, set_offsets, res_offsets, size_map, sm_stride,
+           leafs, levels, sao, sao_stride, tile_x0, 0};
+  bool first = true;
+  for (int cy = cy0; cy < cy1; cy += t.ctu)
+    for (int cx = cx0; cx < cx1; cx += t.ctu) {
+      if (sao) tw_sao(e, a, cx, cy, t.ctu);
+      tw_tree(e, t, a, cx, cy, t.ctu);
+      if (first && snapshot_out) {
+        std::memcpy(snapshot_out, states, (size_t)n_ctx * 4 * sizeof(int32_t));
+      }
+      first = false;
+    }
+  return a.cursor;
 }
 
 }  // extern "C"

@@ -81,6 +81,98 @@ class NativeBinEncoder:
             self._h = None
 
 
+# context-set order consumed by the native tree writer — keep in sync with
+# the TwSet enum in cabac_core.cpp
+TW_SET_ORDER = [
+    "SPLIT_CU_FLAG", "SAO_TYPE", "SAO_MERGE", "INTRA_LUMA_REF_IDX",
+    "INTRA_LUMA_MPM_FLAG", "INTRA_LUMA_NOT_PLANAR",
+    "INTRA_CHROMA_PRED_MODE", "CCLM_FLAG", "CCLM_MODE", "CBF_LUMA",
+    "MTS_IDX", "LFNST_IDX", "CBF_CB", "CBF_CR", "MIP_FLAG",
+]
+
+
+def serialize_leaves(leaves):
+    """Leaf list (traversal order) → (records [N,10] int32, levels buffer).
+
+    Record layout mirrors the LeafRec enum in cabac_core.cpp; level offsets
+    are -1 when the component has no coded residual (cbf = 0)."""
+    n = len(leaves)
+    recs = np.empty((n, 10), dtype=np.int32)
+    parts = []
+    off = 0
+    for i, l in enumerate(leaves):
+        offs = []
+        for lv in (l.lev_y, l.lev_cb, l.lev_cr):
+            if lv is not None and lv.any():
+                parts.append(np.ascontiguousarray(lv, dtype=np.int32).ravel())
+                offs.append(off)
+                off += lv.size
+            else:
+                offs.append(-1)
+        recs[i] = (l.x0, l.y0, l.size, l.luma_mode, l.mts, l.lfnst,
+                   l.chroma_mode, offs[0], offs[1], offs[2])
+    buf = (np.concatenate(parts) if parts
+           else np.zeros(1, dtype=np.int32))
+    return recs, buf
+
+
+def build_size_map(leaves, width: int, height: int, min_cu: int):
+    """Per-min-CU grid of leaf size log2 (the native walker re-derives the
+    quadtree from it)."""
+    sm = np.zeros((height // min_cu, width // min_cu), dtype=np.uint8)
+    for l in leaves:
+        lg = l.size.bit_length() - 1
+        sm[l.y0 // min_cu:(l.y0 + l.size) // min_cu,
+           l.x0 // min_cu:(l.x0 + l.size) // min_cu] = lg
+    return sm
+
+
+def serialize_sao(sao_params, width: int, height: int, ctu: int):
+    """{(x0,y0): (p_y, p_cb, p_cr)} → [n_ctus, 21] int32 (3 × 7 fields)."""
+    nx = (width + ctu - 1) // ctu
+    ny = (height + ctu - 1) // ctu
+    arr = np.zeros((ny * nx, 21), dtype=np.int32)
+    for (x0, y0), ps in sao_params.items():
+        ci = (y0 // ctu) * nx + (x0 // ctu)
+        for c, p in enumerate(ps):
+            arr[ci, c * 7:(c + 1) * 7] = (p.mode, p.eo_class, p.band_pos,
+                                          *p.offsets)
+    return arr, nx
+
+
+class NativeTreeWriter:
+    """Native CU-syntax writer (intra slices): one C call per tile / WPP
+    row replaces the per-CU Python TreeWriter loop.  Byte-equal to the
+    Python writer (tests/test_packer.py)."""
+
+    def __init__(self, width, height, ctu, min_cu,
+                 mts=False, cclm=False, mip=False, lfnst=False):
+        self._l = lib()
+        flags = (int(mts) | int(cclm) << 1 | int(mip) << 2 | int(lfnst) << 3)
+        self._h = self._l.tw_create(width, height, ctu, min_cu, flags)
+
+    def write(self, enc: NativeBinEncoder, ctxs, size_map, recs, levels,
+              sao_arr, sao_stride, cx0, cx1, cy0, cy1, tile_x0,
+              snapshot: bool = False):
+        """Returns the WPP context snapshot (after first CTU) or None."""
+        set_off = np.array([ctxs.index(nm, 0) for nm in TW_SET_ORDER],
+                           dtype=np.int32)
+        res_off = np.ascontiguousarray(ctxs.residual_offsets())
+        snap = (np.empty_like(ctxs.states) if snapshot else None)
+        self._l.tw_write(
+            self._h, enc._h, _ptr(ctxs.states), _ptr(set_off), _ptr(res_off),
+            _ptr(size_map), size_map.shape[1], _ptr(recs), _ptr(levels),
+            _ptr(sao_arr) if sao_arr is not None else None,
+            sao_stride, cx0, cx1, cy0, cy1, tile_x0,
+            _ptr(snap) if snapshot else None, ctxs.states.shape[0])
+        return snap
+
+    def __del__(self):
+        if getattr(self, "_h", None) and self._l:
+            self._l.tw_destroy(self._h)
+            self._h = None
+
+
 class NativeBinDecoder:
     def __init__(self, data: bytes, ctxs=None):
         self._l = lib()
