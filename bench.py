@@ -21,12 +21,9 @@ def main():
     from vvc.enc.encoder import encode_sequence
 
     frames = [synth_frame(W, H, t) for t in range(FRAMES)]
-    # warmup: compile the RDO device program (same shapes as the timed run);
-    # host-side phases need no warmup
-    from vvc.enc.rdo import rdo_partition_frames
-    rdo_partition_frames([f.y for f in frames], QP, 8,
-                         chroma_planes=([f.cb for f in frames],
-                                        [f.cr for f in frames]))
+    # warmup: one full encode compiles the RDO device program (same shapes
+    # as the timed run)
+    encode_sequence(frames, qp=QP)
     t0 = time.perf_counter()
     bitstream, recons, stats = encode_sequence(frames, qp=QP)
     dt = time.perf_counter() - t0

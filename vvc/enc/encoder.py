@@ -456,6 +456,41 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
     stats = [None] * len(frames)
     order = gop_order(len(frames), mode, gop_size, intra_period)
 
+    rc = None
+    if target_kbps > 0:
+        from vvc.enc.ratectrl import RateCtrl
+        rc = RateCtrl(target_kbps, fps, len(frames), base_qp=qp)
+    n_pix = w * h
+
+    if mode == "ai" and rc is None and not lmcs:
+        # AI pipeline: per-frame async RDO dispatches queue on the device
+        # while a host thread pool runs recon/filters/entropy for earlier
+        # frames (frames are independent; the native cores release the GIL).
+        # Reference analog: OpenVVC frame threads (ovthreads.c) — here the
+        # devices pipeline against the host instead of cores against cores.
+        from vvc.enc.rdo import rdo_partition_dispatch, rdo_partition_finish
+        handles = [rdo_partition_dispatch(
+            f.y, qp, bit_depth, sps.ctu_size, sps.min_cu_size,
+            lossless=lossless, lfnst=sps.lfnst,
+            chroma_planes=(f.cb, f.cr) if sps.cclm else None)
+            for f in frames]
+
+        def do_frame(poc):
+            rdo_result = rdo_partition_finish(handles[poc])
+            return enc.encode_frame(frames[poc], poc, rdo_result,
+                                    slice_type=SliceType.I)
+
+        with concurrent.futures.ThreadPoolExecutor(4) as ex:
+            results = list(ex.map(do_frame, range(len(frames))))
+        for poc, (n, r, s) in enumerate(results):
+            nals += n
+            recons[poc] = r
+            s["slice_type"] = int(SliceType.I)
+            s["poc"] = poc
+            s["qp"] = qp
+            stats[poc] = s
+        return write_annexb(nals), recons, stats
+
     if mode == "ai":
         # one device dispatch for the whole sequence's RDO search (AI frames
         # are independent); host recon/entropy then proceeds per frame
@@ -466,12 +501,6 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
                            if sps.cclm else None))
     else:
         rdo_results = None
-
-    rc = None
-    if target_kbps > 0:
-        from vvc.enc.ratectrl import RateCtrl
-        rc = RateCtrl(target_kbps, fps, len(frames), base_qp=qp)
-    n_pix = w * h
 
     dpb = {}   # poc -> filtered recon Frame (reference: DecLib m_cListPic)
     col_dpb = {}  # poc -> ColMotion for TMVP

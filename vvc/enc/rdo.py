@@ -401,6 +401,31 @@ def rdo_partition(y_plane: np.ndarray, qp: int, bit_depth: int = 8,
     return _dp_backtrack(results, w, h, qp, sizes, ctu_size, min_cu)
 
 
+def rdo_partition_dispatch(y_plane, qp: int, bit_depth: int = 8,
+                           ctu_size: int = 64, min_cu: int = 8,
+                           lossless: bool = False, lfnst: bool = True,
+                           chroma_planes=None):
+    """Async half of rdo_partition: queues the device program and returns
+    the packed result handle immediately (jax dispatch is async) — the
+    host pipeline overlaps with device compute.  Finish with
+    rdo_partition_finish."""
+    h, w = y_plane.shape
+    sizes = _candidate_sizes(ctu_size, min_cu)
+    with_chroma = chroma_planes is not None
+    vec = pack_planes(y_plane, *(chroma_planes or (None, None)))
+    packed = eval_all_sizes(jax.device_put(vec), tuple(sizes),
+                            jnp.int32(qp), bit_depth, w, h, lossless, lfnst,
+                            with_chroma)
+    return (packed, w, h, qp, sizes, ctu_size, min_cu)
+
+
+def rdo_partition_finish(handle):
+    """Blocking half: transfer + DP backtrack."""
+    packed, w, h, qp, sizes, ctu_size, min_cu = handle
+    results = unpack_results(np.asarray(packed), sizes, w, h)
+    return _dp_backtrack(results, w, h, qp, sizes, ctu_size, min_cu)
+
+
 def rdo_partition_frames(y_planes, qp: int, bit_depth: int = 8,
                          ctu_size: int = 64, min_cu: int = 8,
                          lossless: bool = False, lfnst: bool = True,

@@ -54,23 +54,30 @@ def _block_sums(arr: np.ndarray, cs: int):
 def _component_stats(orig: np.ndarray, rec: np.ndarray, cs: int,
                      bit_depth: int, tiles_c):
     """Per-CTU stats for one component: EO (d,n)[4class][4cat][ny,nx] and
-    BO (d,n)[32band][ny,nx]."""
+    BO (d,n)[32band][ny,nx].  One whole-plane classification per EO class
+    (sliced shifts) + bincount reductions — no per-CTU loops."""
+    from vvc.kernels.sao import eo_categories_region
     h, w = orig.shape
     diff = (orig - rec).astype(np.float64)
     ny, nx = -(-h // cs), -(-w // cs)
-    eo_d = np.zeros((4, 4, ny, nx))
-    eo_n = np.zeros((4, 4, ny, nx))
-    for ec in range(4):
-        cat = np.zeros((h, w), dtype=np.int32)
-        for t0, t1 in tiles_c:
-            cat[:, t0:t1] = eo_categories(rec, t0, 0, t1 - t0, h, ec, t0, t1)
-        for k in range(1, 5):
-            m = (cat == k).astype(np.float64)
-            eo_d[ec, k - 1] = _block_sums(diff * m, cs)
-            eo_n[ec, k - 1] = _block_sums(m, cs)
-    band = (rec >> (bit_depth - 5)).astype(np.int64)
     ctu_idx = ((np.arange(h)[:, None] // cs) * nx
-               + (np.arange(w)[None, :] // cs))
+               + (np.arange(w)[None, :] // cs)).astype(np.int64)
+    # EO: flat index (class, ctu, cat 0..4) → two bincounts total
+    cats = np.empty((4, h, w), dtype=np.int64)
+    for ec in range(4):
+        for t0, t1 in tiles_c:
+            cats[ec, :, t0:t1] = eo_categories_region(rec, t0, t1, ec)
+    base = (np.arange(4)[:, None, None] * (ny * nx) + ctu_idx[None]) * 5
+    flat = (base + cats).reshape(-1)
+    nbin = 4 * ny * nx * 5
+    d_all = np.bincount(flat, weights=np.broadcast_to(
+        diff, (4, h, w)).reshape(-1), minlength=nbin)
+    n_all = np.bincount(flat, minlength=nbin)
+    d_all = d_all.reshape(4, ny, nx, 5)
+    n_all = n_all.reshape(4, ny, nx, 5)
+    eo_d = np.moveaxis(d_all[..., 1:], 3, 1)       # [4class,4cat,ny,nx]
+    eo_n = np.moveaxis(n_all[..., 1:], 3, 1).astype(np.float64)
+    band = (rec >> (bit_depth - 5)).astype(np.int64)
     flat = (ctu_idx * 32 + band).reshape(-1)
     bo_d = np.bincount(flat, weights=diff.reshape(-1),
                        minlength=ny * nx * 32).reshape(ny, nx, 32)

@@ -53,14 +53,17 @@ def _shift(plane: np.ndarray, dy: int, dx: int) -> np.ndarray:
 
 
 def pair_features(rec: np.ndarray, radius: int) -> np.ndarray:
-    """[n_pairs, H, W] difference features (n_a + n_b − 2·curr), int32
-    (|f| ≤ 2·(2^bd−1) < 2^31 and c·f sums stay within int32·? → accumulate
-    in int64 where needed)."""
+    """[n_pairs, H, W] difference features (n_a + n_b − 2·curr), int32.
+    One edge pad + pure slices (no index gathers)."""
     r32 = rec.astype(np.int32)
-    feats = []
-    for (ady, adx), (bdy, bdx) in diamond_pairs(radius):
-        feats.append(_shift(r32, ady, adx) + _shift(r32, bdy, bdx) - 2 * r32)
-    return np.stack(feats)
+    h, w = rec.shape
+    p = np.pad(r32, radius, mode="edge")
+    feats = np.empty((len(diamond_pairs(radius)), h, w), dtype=np.int32)
+    for i, ((ady, adx), (bdy, bdx)) in enumerate(diamond_pairs(radius)):
+        na = p[radius + ady:radius + ady + h, radius + adx:radius + adx + w]
+        nb = p[radius + bdy:radius + bdy + h, radius + bdx:radius + bdx + w]
+        np.subtract(na + nb, 2 * r32, out=feats[i])
+    return feats
 
 
 def alf_delta(rec: np.ndarray, coeffs, radius: int,

@@ -59,88 +59,87 @@ def _edge_maps(leaves, h: int, w: int, grid: int, scale: int):
 
 
 def _filter_luma_edges_v(plane, ev, grid, beta, tc, maxv):
-    """Filter all vertical luma edges in place (vectorized over rows)."""
+    """Filter all vertical luma edges in place — batched over ALL edge
+    columns at once (at grid 8 the ±4-tap neighbourhoods of adjacent edges
+    never overlap, so the batch equals the sequential left-to-right loop)."""
     h, nv = ev.shape
-    for k in range(nv):
-        x = (k + 1) * grid
-        rows = ev[:, k]
-        if not rows.any():
-            continue
-        seg = plane[:, x - 4:x + 4]  # p3 p2 p1 p0 | q0 q1 q2 q3
-        p3, p2, p1, p0 = seg[:, 0], seg[:, 1], seg[:, 2], seg[:, 3]
-        q0, q1, q2, q3 = seg[:, 4], seg[:, 5], seg[:, 6], seg[:, 7]
-        # segment decisions on 4-row groups using rows 0 and 3
-        dp = np.abs(p2 - 2 * p1 + p0)
-        dq = np.abs(q2 - 2 * q1 + q0)
-        g = h // 4
-        dp0 = dp[0::4][:g]
-        dp3 = dp[3::4][:g]
-        dq0 = dq[0::4][:g]
-        dq3 = dq[3::4][:g]
-        d = dp0 + dp3 + dq0 + dq3
-        seg_on = (d < beta) & rows[0::4][:g]
-        strong = (seg_on
-                  & (2 * (dp0 + dq0) < (beta >> 2))
-                  & (2 * (dp3 + dq3) < (beta >> 2))
-                  & (np.abs(p3[0::4][:g] - p0[0::4][:g])
-                     + np.abs(q0[0::4][:g] - q3[0::4][:g]) < (beta >> 3))
-                  & (np.abs(p0[0::4][:g] - q0[0::4][:g]) < ((5 * tc + 1) >> 1))
-                  & (np.abs(p3[3::4][:g] - p0[3::4][:g])
-                     + np.abs(q0[3::4][:g] - q3[3::4][:g]) < (beta >> 3))
-                  & (np.abs(p0[3::4][:g] - q0[3::4][:g]) < ((5 * tc + 1) >> 1)))
-        # expand per-segment → per-row
-        on = np.repeat(seg_on, 4)[:h]
-        st = np.repeat(strong, 4)[:h]
-        nr = on & ~st
-        # strong filter (clipped ±2tc)
-        c2 = 2 * tc
-        sp0 = np.clip((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3, p0 - c2, p0 + c2)
-        sp1 = np.clip((p2 + p1 + p0 + q0 + 2) >> 2, p1 - c2, p1 + c2)
-        sp2 = np.clip((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2 - c2, p2 + c2)
-        sq0 = np.clip((p1 + 2 * p0 + 2 * q0 + 2 * q1 + q2 + 4) >> 3, q0 - c2, q0 + c2)
-        sq1 = np.clip((p0 + q0 + q1 + q2 + 2) >> 2, q1 - c2, q1 + c2)
-        sq2 = np.clip((p0 + q0 + q1 + 3 * q2 + 2 * q3 + 4) >> 3, q2 - c2, q2 + c2)
-        # normal filter
-        delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
-        n_on = nr & (np.abs(delta) < 10 * tc)
-        dlt = np.clip(delta, -tc, tc)
-        np0 = np.clip(p0 + dlt, 0, maxv)
-        nq0 = np.clip(q0 - dlt, 0, maxv)
-        # side-sample taps gated by per-segment activity
-        side_p = np.repeat((dp0 + dp3) < ((beta + (beta >> 1)) >> 3), 4)[:h] & n_on
-        side_q = np.repeat((dq0 + dq3) < ((beta + (beta >> 1)) >> 3), 4)[:h] & n_on
-        tch = tc >> 1
-        dp1v = np.clip((((p2 + p0 + 1) >> 1) - p1 + dlt) >> 1, -tch, tch)
-        dq1v = np.clip((((q2 + q0 + 1) >> 1) - q1 - dlt) >> 1, -tch, tch)
-        np1 = np.clip(p1 + dp1v, 0, maxv)
-        nq1 = np.clip(q1 + dq1v, 0, maxv)
+    ks = np.flatnonzero(ev.any(axis=0))
+    if ks.size == 0:
+        return
+    xs = (ks + 1) * grid                              # [E]
+    cols = xs[None, :] + np.arange(-4, 4)[:, None]    # [8, E]
+    seg = plane[:, cols]                              # [h, 8, E]
+    p3, p2, p1, p0 = seg[:, 0], seg[:, 1], seg[:, 2], seg[:, 3]
+    q0, q1, q2, q3 = seg[:, 4], seg[:, 5], seg[:, 6], seg[:, 7]
+    rows = ev[:, ks]                                  # [h, E]
+    # segment decisions on 4-row groups using rows 0 and 3
+    dp = np.abs(p2 - 2 * p1 + p0)
+    dq = np.abs(q2 - 2 * q1 + q0)
+    g = h // 4
+    dp0, dp3 = dp[0::4][:g], dp[3::4][:g]
+    dq0, dq3 = dq[0::4][:g], dq[3::4][:g]
+    d = dp0 + dp3 + dq0 + dq3
+    seg_on = (d < beta) & rows[0::4][:g]
+    thr = (5 * tc + 1) >> 1
+    strong = (seg_on
+              & (2 * (dp0 + dq0) < (beta >> 2))
+              & (2 * (dp3 + dq3) < (beta >> 2))
+              & (np.abs(p3[0::4][:g] - p0[0::4][:g])
+                 + np.abs(q0[0::4][:g] - q3[0::4][:g]) < (beta >> 3))
+              & (np.abs(p0[0::4][:g] - q0[0::4][:g]) < thr)
+              & (np.abs(p3[3::4][:g] - p0[3::4][:g])
+                 + np.abs(q0[3::4][:g] - q3[3::4][:g]) < (beta >> 3))
+              & (np.abs(p0[3::4][:g] - q0[3::4][:g]) < thr))
+    on = np.repeat(seg_on, 4, axis=0)[:h]
+    st = np.repeat(strong, 4, axis=0)[:h]
+    nr = on & ~st
+    c2 = 2 * tc
+    sp0 = np.clip((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3, p0 - c2, p0 + c2)
+    sp1 = np.clip((p2 + p1 + p0 + q0 + 2) >> 2, p1 - c2, p1 + c2)
+    sp2 = np.clip((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2 - c2, p2 + c2)
+    sq0 = np.clip((p1 + 2 * p0 + 2 * q0 + 2 * q1 + q2 + 4) >> 3, q0 - c2, q0 + c2)
+    sq1 = np.clip((p0 + q0 + q1 + q2 + 2) >> 2, q1 - c2, q1 + c2)
+    sq2 = np.clip((p0 + q0 + q1 + 3 * q2 + 2 * q3 + 4) >> 3, q2 - c2, q2 + c2)
+    delta = (9 * (q0 - p0) - 3 * (q1 - p1) + 8) >> 4
+    n_on = nr & (np.abs(delta) < 10 * tc)
+    dlt = np.clip(delta, -tc, tc)
+    np0 = np.clip(p0 + dlt, 0, maxv)
+    nq0 = np.clip(q0 - dlt, 0, maxv)
+    act = (beta + (beta >> 1)) >> 3
+    side_p = np.repeat((dp0 + dp3) < act, 4, axis=0)[:h] & n_on
+    side_q = np.repeat((dq0 + dq3) < act, 4, axis=0)[:h] & n_on
+    tch = tc >> 1
+    dp1v = np.clip((((p2 + p0 + 1) >> 1) - p1 + dlt) >> 1, -tch, tch)
+    dq1v = np.clip((((q2 + q0 + 1) >> 1) - q1 - dlt) >> 1, -tch, tch)
+    np1 = np.clip(p1 + dp1v, 0, maxv)
+    nq1 = np.clip(q1 + dq1v, 0, maxv)
 
-        plane[:, x - 1] = np.where(st, np.clip(sp0, 0, maxv),
-                                   np.where(n_on, np0, p0))
-        plane[:, x - 2] = np.where(st, np.clip(sp1, 0, maxv),
-                                   np.where(side_p, np1, p1))
-        plane[:, x - 3] = np.where(st, np.clip(sp2, 0, maxv), p2)
-        plane[:, x + 0] = np.where(st, np.clip(sq0, 0, maxv),
-                                   np.where(n_on, nq0, q0))
-        plane[:, x + 1] = np.where(st, np.clip(sq1, 0, maxv),
-                                   np.where(side_q, nq1, q1))
-        plane[:, x + 2] = np.where(st, np.clip(sq2, 0, maxv), q2)
+    plane[:, xs - 1] = np.where(st, np.clip(sp0, 0, maxv),
+                                np.where(n_on, np0, p0))
+    plane[:, xs - 2] = np.where(st, np.clip(sp1, 0, maxv),
+                                np.where(side_p, np1, p1))
+    plane[:, xs - 3] = np.where(st, np.clip(sp2, 0, maxv), p2)
+    plane[:, xs + 0] = np.where(st, np.clip(sq0, 0, maxv),
+                                np.where(n_on, nq0, q0))
+    plane[:, xs + 1] = np.where(st, np.clip(sq1, 0, maxv),
+                                np.where(side_q, nq1, q1))
+    plane[:, xs + 2] = np.where(st, np.clip(sq2, 0, maxv), q2)
 
 
 def _filter_chroma_edges_v(plane, ev, grid, tc, maxv):
     h, nv = ev.shape
-    for k in range(nv):
-        x = (k + 1) * grid
-        rows = ev[:, k]
-        if not rows.any():
-            continue
-        p1 = plane[:, x - 2]
-        p0 = plane[:, x - 1]
-        q0 = plane[:, x]
-        q1 = plane[:, x + 1]
-        delta = np.clip((((q0 - p0) * 4) + p1 - q1 + 4) >> 3, -tc, tc)
-        plane[:, x - 1] = np.where(rows, np.clip(p0 + delta, 0, maxv), p0)
-        plane[:, x] = np.where(rows, np.clip(q0 - delta, 0, maxv), q0)
+    ks = np.flatnonzero(ev.any(axis=0))
+    if ks.size == 0:
+        return
+    xs = (ks + 1) * grid
+    rows = ev[:, ks]
+    p1 = plane[:, xs - 2]
+    p0 = plane[:, xs - 1]
+    q0 = plane[:, xs]
+    q1 = plane[:, xs + 1]
+    delta = np.clip((((q0 - p0) * 4) + p1 - q1 + 4) >> 3, -tc, tc)
+    plane[:, xs - 1] = np.where(rows, np.clip(p0 + delta, 0, maxv), p0)
+    plane[:, xs] = np.where(rows, np.clip(q0 - delta, 0, maxv), q0)
 
 
 def deblock_frame(recon_planes, leaves, qp: int, bit_depth: int = 8,

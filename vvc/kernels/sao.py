@@ -63,6 +63,33 @@ def eo_categories(src: np.ndarray, x0: int, y0: int, w: int, h: int,
     return cat
 
 
+def eo_categories_region(src: np.ndarray, x0: int, x1: int,
+                         eo_class: int) -> np.ndarray:
+    """Full-height category map for plane columns [x0, x1) with neighbours
+    limited to the region (tile) — pure slicing, no index gathers.  Equal
+    to assembling per-CTU eo_categories over the region (encoder stats
+    fast path)."""
+    dx, dy = EO_DIRS[eo_class]
+    c = src[:, x0:x1].astype(np.int32)
+    h, w = c.shape
+    p = np.pad(c, 1, mode="edge")
+    na = p[1 - dy:1 - dy + h, 1 - dx:1 - dx + w]
+    nb = p[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+    t = np.sign(c - na) + np.sign(c - nb)
+    cat = np.zeros((h, w), dtype=np.int8)
+    cat[t == -2] = 1
+    cat[t == -1] = 2
+    cat[t == 1] = 3
+    cat[t == 2] = 4
+    if dx:
+        cat[:, 0] = 0
+        cat[:, -1] = 0
+    if dy:
+        cat[0] = 0
+        cat[-1] = 0
+    return cat
+
+
 def apply_sao_region(dst: np.ndarray, src: np.ndarray, params: SaoParams,
                      x0: int, y0: int, w: int, h: int, bit_depth: int,
                      lim_x0: int, lim_x1: int):
