@@ -36,12 +36,18 @@ def full_scan(log2s: int):
 
     Consecutive groups of 16 entries form one coefficient group.
     """
-    s = 1 << log2s
-    if s < 4:
-        return diag_scan(s, s)
+    return full_scan_rect(log2s, log2s)
+
+
+@lru_cache(maxsize=None)
+def full_scan_rect(log2w: int, log2h: int):
+    """Forward scan of a W×H TB (rect general form of full_scan)."""
+    w, h = 1 << log2w, 1 << log2h
+    if w < 4 or h < 4:
+        return tuple(diag_scan(w, h))
     inner = diag_scan(4, 4)
     out = []
-    for cgx, cgy in diag_scan(s >> 2, s >> 2):
+    for cgx, cgy in diag_scan(w >> 2, h >> 2):
         for sx, sy in inner:
             out.append((cgx * 4 + sx, cgy * 4 + sy))
     return tuple(out)
@@ -71,11 +77,11 @@ def _last_ctx(bin_idx: int, log2s: int, is_luma: bool) -> int:
 
 
 def _sig_ctx(x: int, y: int, p1: np.ndarray, is_luma: bool) -> int:
-    s = p1.shape[0]
+    h, w = p1.shape
     acc = 0
     for dx, dy in ((1, 0), (2, 0), (0, 1), (0, 2), (1, 1)):
         nx, ny = x + dx, y + dy
-        if nx < s and ny < s:
+        if nx < w and ny < h:
             acc += int(p1[ny, nx])
     diag = x + y
     if is_luma:
@@ -86,11 +92,11 @@ def _sig_ctx(x: int, y: int, p1: np.ndarray, is_luma: bool) -> int:
 
 
 def _gtx_ctx(x: int, y: int, p1: np.ndarray, is_luma: bool) -> int:
-    s = p1.shape[0]
+    h, w = p1.shape
     acc = 0
     for dx, dy in ((1, 0), (2, 0), (0, 1), (0, 2), (1, 1)):
         nx, ny = x + dx, y + dy
-        if nx < s and ny < s:
+        if nx < w and ny < h:
             acc += int(p1[ny, nx])
     diag = x + y
     if is_luma:
@@ -100,11 +106,11 @@ def _gtx_ctx(x: int, y: int, p1: np.ndarray, is_luma: bool) -> int:
 
 
 def _rice_param(x: int, y: int, full: np.ndarray) -> int:
-    s = full.shape[0]
+    h, w = full.shape
     acc = 0
     for dx, dy in ((1, 0), (2, 0), (0, 1), (0, 2), (1, 1)):
         nx, ny = x + dx, y + dy
-        if nx < s and ny < s:
+        if nx < w and ny < h:
             acc += int(full[ny, nx])
     if acc < 7:
         return 0
@@ -156,16 +162,17 @@ def _read_golomb_rice(dec, rice: int, thresh: int = 6) -> int:
     return v + dec.decode_bins_ep(m)
 
 
-def write_last_pos(enc, ctxs, lx: int, ly: int, log2s: int, is_luma: bool):
+def write_last_pos(enc, ctxs, lx: int, ly: int, log2w: int, log2h: int,
+                   is_luma: bool):
     set_x = "LAST_X_LUMA" if is_luma else "LAST_X_CHROMA"
     set_y = "LAST_Y_LUMA" if is_luma else "LAST_Y_CHROMA"
-    gmax = _group_idx((1 << log2s) - 1)
-    for v, cset in ((lx, set_x), (ly, set_y)):
+    for v, cset, lg in ((lx, set_x, log2w), (ly, set_y, log2h)):
         g = _group_idx(v)
+        gmax = _group_idx((1 << lg) - 1)
         for i in range(min(g, gmax)):
-            enc.encode_bin(1, ctxs(cset, _last_ctx(i, log2s, is_luma)))
+            enc.encode_bin(1, ctxs(cset, _last_ctx(i, lg, is_luma)))
         if g < gmax:
-            enc.encode_bin(0, ctxs(cset, _last_ctx(g, log2s, is_luma)))
+            enc.encode_bin(0, ctxs(cset, _last_ctx(g, lg, is_luma)))
     for v in (lx, ly):
         g = _group_idx(v)
         if g > 3:
@@ -173,14 +180,14 @@ def write_last_pos(enc, ctxs, lx: int, ly: int, log2s: int, is_luma: bool):
             enc.encode_bins_ep(v - _min_in_group(g), nbits)
 
 
-def read_last_pos(dec, ctxs, log2s: int, is_luma: bool):
+def read_last_pos(dec, ctxs, log2w: int, log2h: int, is_luma: bool):
     set_x = "LAST_X_LUMA" if is_luma else "LAST_X_CHROMA"
     set_y = "LAST_Y_LUMA" if is_luma else "LAST_Y_CHROMA"
-    gmax = _group_idx((1 << log2s) - 1)
     groups = []
-    for cset in (set_x, set_y):
+    for cset, lg in ((set_x, log2w), (set_y, log2h)):
+        gmax = _group_idx((1 << lg) - 1)
         g = 0
-        while g < gmax and dec.decode_bin(ctxs(cset, _last_ctx(g, log2s, is_luma))):
+        while g < gmax and dec.decode_bin(ctxs(cset, _last_ctx(g, lg, is_luma))):
             g += 1
         groups.append(g)
     out = []
@@ -193,12 +200,13 @@ def read_last_pos(dec, ctxs, log2s: int, is_luma: bool):
 
 
 def write_residual(enc, ctxs, levels: np.ndarray, is_luma: bool):
-    """Encode one S×S block of quantized levels (must contain a nonzero)."""
+    """Encode one W×H block of quantized levels (must contain a nonzero)."""
     if hasattr(enc, "write_residual"):  # native packer fast path
         return enc.write_residual(ctxs, levels, is_luma)
-    s = int(levels.shape[0])
-    log2s = int(s).bit_length() - 1
-    scan = full_scan(log2s)
+    h, w = int(levels.shape[0]), int(levels.shape[1])
+    log2w = w.bit_length() - 1
+    log2h = h.bit_length() - 1
+    scan = full_scan_rect(log2w, log2h)
     nposs = len(scan)
 
     last = -1
@@ -209,14 +217,14 @@ def write_residual(enc, ctxs, levels: np.ndarray, is_luma: bool):
             break
     assert last >= 0, "write_residual on an all-zero block"
     lx, ly = scan[last]
-    write_last_pos(enc, ctxs, lx, ly, log2s, is_luma)
+    write_last_pos(enc, ctxs, lx, ly, log2w, log2h, is_luma)
 
     suf = "LUMA" if is_luma else "CHROMA"
     last_sb = last >> 4
-    p1 = np.zeros((s, s), dtype=np.int32)      # partial levels (pass1 caps)
-    full = np.zeros((s, s), dtype=np.int32)    # full abs levels
+    p1 = np.zeros((h, w), dtype=np.int32)      # partial levels (pass1 caps)
+    full = np.zeros((h, w), dtype=np.int32)    # full abs levels
     sb_coded = np.zeros(((nposs + 15) >> 4,), dtype=np.int32)
-    sb_w = max(1, s >> 2)
+    sb_w, sb_h = max(1, w >> 2), max(1, h >> 2)
 
     for sb in range(last_sb, -1, -1):
         sb_has = any(levels[scan[i][1], scan[i][0]] != 0
@@ -225,9 +233,9 @@ def write_residual(enc, ctxs, levels: np.ndarray, is_luma: bool):
         if explicit:
             cgx, cgy = scan[sb * 16][0] >> 2, scan[sb * 16][1] >> 2
             nb = 0
-            if cgx + 1 < sb_w and sb_coded[_cg_index(cgx + 1, cgy, sb_w)]:
+            if cgx + 1 < sb_w and sb_coded[_cg_index(cgx + 1, cgy, sb_w, sb_h)]:
                 nb = 1
-            if cgy + 1 < sb_w and sb_coded[_cg_index(cgx, cgy + 1, sb_w)]:
+            if cgy + 1 < sb_h and sb_coded[_cg_index(cgx, cgy + 1, sb_w, sb_h)]:
                 nb = 1
             enc.encode_bin(1 if sb_has else 0, ctxs(f"SB_CODED_FLAG_{suf}", nb))
         sb_coded[sb] = 1 if (sb_has or not explicit) else 0
@@ -284,33 +292,35 @@ def write_residual(enc, ctxs, levels: np.ndarray, is_luma: bool):
             enc.encode_bin_ep(1 if levels[y, x] < 0 else 0)
 
 
-def read_residual(dec, ctxs, size: int, is_luma: bool) -> np.ndarray:
-    """Decode one S×S block of quantized levels."""
+def read_residual(dec, ctxs, size, is_luma: bool) -> np.ndarray:
+    """Decode one block of quantized levels.  size: int (square) or
+    (w, h) tuple (rect)."""
     if hasattr(dec, "read_residual"):  # native packer fast path
         return dec.read_residual(ctxs, size, is_luma)
-    s = size
-    log2s = int(s).bit_length() - 1
-    scan = full_scan(log2s)
+    w, h = (size, size) if isinstance(size, int) else size
+    log2w = int(w).bit_length() - 1
+    log2h = int(h).bit_length() - 1
+    scan = full_scan_rect(log2w, log2h)
     nposs = len(scan)
-    lx, ly = read_last_pos(dec, ctxs, log2s, is_luma)
+    lx, ly = read_last_pos(dec, ctxs, log2w, log2h, is_luma)
     last = next(i for i, p in enumerate(scan) if p == (lx, ly))
 
     suf = "LUMA" if is_luma else "CHROMA"
     last_sb = last >> 4
-    levels = np.zeros((s, s), dtype=np.int32)
-    p1 = np.zeros((s, s), dtype=np.int32)
-    full = np.zeros((s, s), dtype=np.int32)
+    levels = np.zeros((h, w), dtype=np.int32)
+    p1 = np.zeros((h, w), dtype=np.int32)
+    full = np.zeros((h, w), dtype=np.int32)
     sb_coded = np.zeros(((nposs + 15) >> 4,), dtype=np.int32)
-    sb_w = max(1, s >> 2)
+    sb_w, sb_h = max(1, w >> 2), max(1, h >> 2)
 
     for sb in range(last_sb, -1, -1):
         explicit = sb != last_sb and sb != 0
         if explicit:
             cgx, cgy = scan[sb * 16][0] >> 2, scan[sb * 16][1] >> 2
             nb = 0
-            if cgx + 1 < sb_w and sb_coded[_cg_index(cgx + 1, cgy, sb_w)]:
+            if cgx + 1 < sb_w and sb_coded[_cg_index(cgx + 1, cgy, sb_w, sb_h)]:
                 nb = 1
-            if cgy + 1 < sb_w and sb_coded[_cg_index(cgx, cgy + 1, sb_w)]:
+            if cgy + 1 < sb_h and sb_coded[_cg_index(cgx, cgy + 1, sb_w, sb_h)]:
                 nb = 1
             coded = dec.decode_bin(ctxs(f"SB_CODED_FLAG_{suf}", nb))
         else:
@@ -361,12 +371,14 @@ def read_residual(dec, ctxs, size: int, is_luma: bool) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
-def _cg_map(sb_w: int):
+def _cg_map(sb_w: int, sb_h: int):
     m = {}
-    for i, (cx, cy) in enumerate(diag_scan(sb_w, sb_w)):
+    for i, (cx, cy) in enumerate(diag_scan(sb_w, sb_h)):
         m[(cx, cy)] = i
     return m
 
 
-def _cg_index(cgx: int, cgy: int, sb_w: int) -> int:
-    return _cg_map(sb_w)[(cgx, cgy)]
+def _cg_index(cgx: int, cgy: int, sb_w: int, sb_h: int = None) -> int:
+    if sb_h is None:
+        sb_h = sb_w
+    return _cg_map(sb_w, sb_h)[(cgx, cgy)]

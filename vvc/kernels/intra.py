@@ -34,14 +34,34 @@ import jax.numpy as jnp
 
 from vvc.common.types import PLANAR_IDX, DC_IDX, VER_IDX, HOR_IDX, DIA_IDX
 
-# spec 8.4.5.2.12 intraPredAngle table, indexed by |mode - 50| (or |18-mode|)
-_ABS_ANG = [0, 1, 2, 3, 4, 6, 8, 10, 12, 14, 16, 18, 20, 23, 26, 29, 32]
+# spec 8.4.5.2.12 intraPredAngle table, indexed by |mode - 50| (or |18-mode|);
+# entries beyond 16 are the wide-angle extension (rect blocks, spec Table 27
+# lineage — [verify] exact wide entries once the reference mount populates;
+# self-consistent encoder/decoder meanwhile)
+_ABS_ANG = [0, 1, 2, 3, 4, 6, 8, 10, 12, 14, 16, 18, 20, 23, 26, 29, 32,
+            35, 39, 45, 51, 57, 64, 73, 86, 102, 128, 171, 256, 341, 512,
+            682, 1024]
 
 
 def pred_angle(mode: int) -> int:
-    """Signed intraPredAngle for the vertical family (mode in [34, 66])."""
-    idx = mode - VER_IDX  # -16..16
+    """Signed intraPredAngle for the (extended) vertical family
+    (mode in [34, 82]; wide-angle modes beyond 66 map past the diagonal)."""
+    idx = mode - VER_IDX  # -16..32
     return int(np.sign(idx)) * _ABS_ANG[abs(idx)]
+
+
+def wide_angle_remap(mode: int, w: int, h: int) -> int:
+    """Wide-angle mode substitution for W≠H blocks (reference:
+    IntraPrediction getModifiedWideAngle / spec 8.4.5.2.7).  Signaled mode
+    2..66 → effective mode in [-14, 80]; square blocks unchanged."""
+    if w == h or mode < 2 or mode > 66:
+        return mode
+    ratio = min(2, abs(int(np.log2(w)) - int(np.log2(h))))
+    if w > h and mode < (8 + 2 * ratio if ratio > 1 else 8):
+        return mode + 65
+    if h > w and mode > (60 - 2 * ratio if ratio > 1 else 60):
+        return mode - 67
+    return mode
 
 
 def inv_angle(angle: int) -> int:
@@ -174,6 +194,133 @@ def angular_tables4(size: int, mode: int):
                 idx[k, y, x] = c_pos(e + k - 1)
                 co[k, y, x] = filt[f, k]
     return idx, co
+
+
+@lru_cache(maxsize=None)
+def angular_tables4_rect(w: int, h: int, vmode: int):
+    """(IDX [4,H,W], CO [4,H,W]) gather tables for a W×H block and an
+    extended vertical-family mode (34..82, wide-angle included).
+
+    Reference-line layout generalizes the square one:
+        C = [ left[2H] reversed, corner, top[2W], pad, pad ]   (2H+2W+3)
+    For square blocks this is identical to angular_tables4's layout."""
+    assert DIA_IDX <= vmode <= 82
+    from vvc.rom.intra_filters import (fc_filters, fg_filters,
+                                       use_smooth_filter)
+    angle = pred_angle(vmode)
+    ia = inv_angle(angle) if angle < 0 else 0
+    log2s = (int(np.log2(w)) + int(np.log2(h))) >> 1
+    smooth_mode = vmode if vmode <= 66 else 66  # wide modes: smooth filter
+    filt = (fg_filters() if use_smooth_filter(smooth_mode, log2s)
+            else fc_filters())
+    idx = np.empty((4, h, w), dtype=np.int32)
+    co = np.empty((4, h, w), dtype=np.int32)
+    base = 2 * h           # corner position
+    last = 2 * h + 2 * w + 2
+
+    def c_pos(k: int) -> int:  # E-space → C-space (edge-clamped)
+        if k >= 0:
+            return min(base + k, last)
+        i = -k
+        return max(0, base - ((i * ia + 256) >> 9))
+
+    for y in range(h):
+        off = ((y + 1) * angle) >> 5
+        f = ((y + 1) * angle) & 31
+        for x in range(w):
+            e = x + off + 1
+            for k in range(4):
+                idx[k, y, x] = c_pos(e + k - 1)
+                co[k, y, x] = filt[f, k]
+    return idx, co
+
+
+def build_ref_line_rect(plane: np.ndarray, coded: np.ndarray, x0: int,
+                        y0: int, w: int, h: int, bit_depth: int = 8,
+                        log2_unit: int = 2) -> np.ndarray:
+    """Rect generalization of build_ref_line: C of length 2H+2W+3 for a
+    W×H block (left 2H, corner, top 2W, 2 pads)."""
+    ph, pw = plane.shape
+    n = 2 * h + 2 * w + 3
+    c = np.zeros(n, dtype=np.int32)
+    avail = np.zeros(n, dtype=bool)
+    ky = y0 + np.arange(2 * h)
+    if x0 > 0:
+        kyc = np.minimum(ky, ph - 1)
+        ok = (ky < ph) & coded[kyc >> log2_unit, (x0 - 1) >> log2_unit]
+        c[2 * h - 1::-1] = np.where(ok, plane[kyc, x0 - 1], 0)
+        avail[2 * h - 1::-1] = ok
+    if x0 > 0 and y0 > 0 and coded[(y0 - 1) >> log2_unit,
+                                   (x0 - 1) >> log2_unit]:
+        c[2 * h] = plane[y0 - 1, x0 - 1]
+        avail[2 * h] = True
+    kx = x0 + np.arange(2 * w)
+    if y0 > 0:
+        kxc = np.minimum(kx, pw - 1)
+        ok = (kx < pw) & coded[(y0 - 1) >> log2_unit, kxc >> log2_unit]
+        c[2 * h + 1:2 * h + 2 * w + 1] = np.where(ok, plane[y0 - 1, kxc], 0)
+        avail[2 * h + 1:2 * h + 2 * w + 1] = ok
+    lim = 2 * h + 2 * w + 1
+    if not avail.any():
+        c[:] = 1 << (bit_depth - 1)
+    else:
+        ix = np.where(avail[:lim], np.arange(lim), -1)
+        np.maximum.accumulate(ix, out=ix)
+        first = int(np.argmax(avail))
+        ix[ix < 0] = first
+        c[:lim] = c[:lim][ix]
+    c[lim] = c[lim - 1]
+    c[lim + 1] = c[lim - 1]
+    return c
+
+
+def predict_intra_rect(c: np.ndarray, mode: int, w: int, h: int,
+                       bit_depth: int = 8) -> np.ndarray:
+    """Predict one W×H block from its rect reference line (numpy oracle).
+    Applies the wide-angle remap; planar/DC per spec rect rules; PDPC on
+    planar/DC.  Square input = predict_intra semantics."""
+    log2w, log2h = int(np.log2(w)), int(np.log2(h))
+    left = c[2 * h - 1::-1][:2 * h]
+    top = c[2 * h + 1:2 * h + 2 * w + 1]
+    if mode == PLANAR_IDX:
+        xs = np.arange(w)
+        ys = np.arange(h)
+        pred_v = ((h - 1 - ys)[:, None] * top[None, :w]
+                  + (ys + 1)[:, None] * left[h][None, None]) << log2w
+        pred_h = ((w - 1 - xs)[None, :] * left[:h][:, None]
+                  + (xs + 1)[None, :] * top[w][None, None]) << log2h
+        pred = (pred_v + pred_h + w * h) >> (log2w + log2h + 1)
+    elif mode == DC_IDX:
+        # spec rect DC: average over the longer side only
+        if w == h:
+            dc = (int(top[:w].sum()) + int(left[:h].sum()) + w) >> (log2w + 1)
+        elif w > h:
+            dc = (int(top[:w].sum()) + (w >> 1)) >> log2w
+        else:
+            dc = (int(left[:h].sum()) + (h >> 1)) >> log2h
+        pred = np.full((h, w), dc, dtype=np.int32)
+    else:
+        m = wide_angle_remap(mode, w, h)
+        if m >= DIA_IDX:
+            idx, co = angular_tables4_rect(w, h, m)
+            pred = ((co * c[idx].astype(np.int64)).sum(axis=0) + 32) >> 6
+        else:
+            idx, co = angular_tables4_rect(h, w, 68 - m)
+            lim = 2 * h + 2 * w + 1
+            ct = c[:lim][::-1]
+            ct = np.concatenate([ct, ct[-1:], ct[-1:]])
+            pred = (((co * ct[idx].astype(np.int64)).sum(axis=0) + 32) >> 6).T
+        pred = pred.astype(np.int32)
+    if mode in (PLANAR_IDX, DC_IDX) and min(w, h) >= 4:
+        scale = ((log2w + log2h - 2) >> 2)
+        xs = np.arange(w)
+        ys = np.arange(h)
+        wl = 32 >> np.minimum(31, (2 * xs) >> scale)
+        wt = 32 >> np.minimum(31, (2 * ys) >> scale)
+        pred = (wl[None, :] * left[:h][:, None].astype(np.int64)
+                + wt[:, None] * top[None, :w]
+                + (64 - wl[None, :] - wt[:, None]) * pred + 32) >> 6
+    return np.clip(pred, 0, (1 << bit_depth) - 1).astype(np.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -412,6 +559,130 @@ def predict_all_modes_batch(c_batch: jax.Array, size: int, bit_depth: int = 8) -
 
     out = jnp.concatenate(
         [planar[:, None], dc_pred[:, None], hm, pv], axis=1)
+    return jnp.clip(out, 0, (1 << bit_depth) - 1).astype(jnp.int32)
+
+
+@lru_cache(maxsize=None)
+def _rect_mode_groups(w: int, h: int):
+    """Per-(W,H) static tables for all 65 signaled angular modes with the
+    wide-angle remap applied: vertical-family stack, horizontal-family
+    stack (transposed geometry), and the permutation back to mode order."""
+    v_modes, h_modes = [], []
+    for m in range(2, 67):
+        mm = wide_angle_remap(m, w, h)
+        if mm >= DIA_IDX:
+            v_modes.append((m, mm))
+        else:
+            h_modes.append((m, 68 - mm))
+    idx_v = np.stack([angular_tables4_rect(w, h, vm)[0]
+                      for _, vm in v_modes])
+    co_v = np.stack([angular_tables4_rect(w, h, vm)[1]
+                     for _, vm in v_modes])
+    idx_h = np.stack([angular_tables4_rect(h, w, vm)[0]
+                      for _, vm in h_modes])
+    co_h = np.stack([angular_tables4_rect(h, w, vm)[1]
+                     for _, vm in h_modes])
+    order = [0, 1] + [m for m, _ in v_modes] + [m for m, _ in h_modes]
+    inv_perm = np.argsort(np.asarray(order)).astype(np.int32)
+    return idx_v, co_v, idx_h, co_h, inv_perm
+
+
+def _planar_dc_pdpc_rect(c_batch, w: int, h: int):
+    """Shared planar/DC (+PDPC) for the rect batch kernels → two
+    [N, H, W] int32 arrays (unclipped)."""
+    log2w, log2h = int(np.log2(w)), int(np.log2(h))
+    n = c_batch.shape[0]
+    left = c_batch[:, 2 * h - 1::-1]
+    top = c_batch[:, 2 * h + 1:2 * h + 2 * w + 1]
+    xs = jnp.arange(w)
+    ys = jnp.arange(h)
+    below_left = left[:, h][:, None, None]
+    above_right = top[:, w][:, None, None]
+    pred_v = ((h - 1 - ys)[None, :, None] * top[:, None, :w]
+              + (ys + 1)[None, :, None] * below_left) << log2w
+    pred_h = ((w - 1 - xs)[None, None, :] * left[:, :h, None]
+              + (xs + 1)[None, None, :] * above_right) << log2h
+    planar = (pred_v + pred_h + w * h) >> (log2w + log2h + 1)
+    if w == h:
+        dc = (jnp.sum(top[:, :w], axis=1) + jnp.sum(left[:, :h], axis=1)
+              + w) >> (log2w + 1)
+    elif w > h:
+        dc = (jnp.sum(top[:, :w], axis=1) + (w >> 1)) >> log2w
+    else:
+        dc = (jnp.sum(left[:, :h], axis=1) + (h >> 1)) >> log2h
+    dc_pred = jnp.broadcast_to(dc[:, None, None], (n, h, w))
+    scale = (log2w + log2h - 2) >> 2
+    wl = (32 >> jnp.minimum(31, (2 * xs) >> scale))[None, None, :]
+    wt = (32 >> jnp.minimum(31, (2 * ys) >> scale))[None, :, None]
+    lcol = left[:, :h, None]
+    trow = top[:, None, :w]
+
+    def pdpc(p):
+        return (wl * lcol + wt * trow + (64 - wl - wt) * p + 32) >> 6
+
+    return pdpc(planar), pdpc(dc_pred)
+
+
+def predict_all_modes_batch_rect(c_batch: jax.Array, w: int, h: int,
+                                 bit_depth: int = 8) -> jax.Array:
+    """[N, 2H+2W+3] rect reference lines → [N, 67, H, W] predictions for
+    every signaled mode (wide-angle remap folded into the static tables).
+    For W == H this equals predict_all_modes_batch."""
+    n = c_batch.shape[0]
+    idx_v, co_v, idx_h, co_h, inv_perm = _rect_mode_groups(w, h)
+    planar, dc_pred = _planar_dc_pdpc_rect(c_batch, w, h)
+    gv = c_batch[:, jnp.asarray(idx_v)]          # [N, nv, 4, H, W]
+    pv = ((jnp.asarray(co_v)[None] * gv).sum(axis=2) + 32) >> 6
+    lim = 2 * h + 2 * w + 1
+    ct = c_batch[:, lim - 1::-1]
+    ct = jnp.concatenate([ct, ct[:, -1:], ct[:, -1:]], axis=1)
+    gh = ct[:, jnp.asarray(idx_h)]               # [N, nh, 4, W, H]
+    ph = (((jnp.asarray(co_h)[None] * gh).sum(axis=2) + 32) >> 6
+          ).transpose(0, 1, 3, 2)
+    out = jnp.concatenate([planar[:, None], dc_pred[:, None], pv, ph],
+                          axis=1)
+    out = out[:, jnp.asarray(inv_perm)]
+    return jnp.clip(out, 0, (1 << bit_depth) - 1).astype(jnp.int32)
+
+
+def predict_modes_batch_rect(c_batch: jax.Array, modes: jax.Array, w: int,
+                             h: int, bit_depth: int = 8) -> jax.Array:
+    """Per-block single-mode rect prediction [N,H,W] (device chroma-DM
+    path for rect leaves): both family variants computed with per-block
+    gathered table rows, selected by the remapped family."""
+    n = c_batch.shape[0]
+    planar, dc_pred = _planar_dc_pdpc_rect(c_batch, w, h)
+    remap = np.array([wide_angle_remap(m, w, h) if m >= 2 else m
+                      for m in range(67)], dtype=np.int32)
+    is_v = jnp.asarray(remap >= DIA_IDX)[modes]
+    # vertical stack rows indexed by remapped mode − 34 (clip keeps traced
+    # indices in range; selection masks invalid lanes)
+    vtab_i = np.stack([angular_tables4_rect(w, h, vm)[0]
+                       for vm in range(DIA_IDX, 83)])
+    vtab_c = np.stack([angular_tables4_rect(w, h, vm)[1]
+                       for vm in range(DIA_IDX, 83)])
+    htab_i = np.stack([angular_tables4_rect(h, w, vm)[0]
+                       for vm in range(DIA_IDX, 83)])
+    htab_c = np.stack([angular_tables4_rect(h, w, vm)[1]
+                       for vm in range(DIA_IDX, 83)])
+    rm = jnp.asarray(remap)[modes]
+    rv = jnp.clip(rm - DIA_IDX, 0, 48)
+    rh = jnp.clip(68 - rm - DIA_IDX, 0, 48)
+    iv = jnp.asarray(vtab_i)[rv].reshape(n, -1)
+    pv = ((jnp.asarray(vtab_c)[rv]
+           * jnp.take_along_axis(c_batch, iv, axis=1).reshape(n, 4, h, w)
+           ).sum(axis=1) + 32) >> 6
+    lim = 2 * h + 2 * w + 1
+    ct = c_batch[:, lim - 1::-1]
+    ct = jnp.concatenate([ct, ct[:, -1:], ct[:, -1:]], axis=1)
+    ih = jnp.asarray(htab_i)[rh].reshape(n, -1)
+    ph = ((jnp.asarray(htab_c)[rh]
+           * jnp.take_along_axis(ct, ih, axis=1).reshape(n, 4, w, h)
+           ).sum(axis=1) + 32) >> 6
+    ang = jnp.where(is_v[:, None, None], pv, ph.transpose(0, 2, 1))
+    out = jnp.where((modes == PLANAR_IDX)[:, None, None], planar,
+                    jnp.where((modes == DC_IDX)[:, None, None], dc_pred,
+                              ang))
     return jnp.clip(out, 0, (1 << bit_depth) - 1).astype(jnp.int32)
 
 

@@ -92,7 +92,7 @@ def lib():
     l.enc_trm.argtypes = [ctypes.c_void_p, ctypes.c_int]
     l.enc_residual_c.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                  ctypes.c_void_p, ctypes.c_void_p,
-                                 ctypes.c_int, ctypes.c_int]
+                                 ctypes.c_int, ctypes.c_int, ctypes.c_int]
     l.enc_finish.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
     l.enc_finish.restype = ctypes.c_int64
     l.enc_bit_count.argtypes = [ctypes.c_void_p]
@@ -107,7 +107,7 @@ def lib():
     l.dec_trm.argtypes = [ctypes.c_void_p]
     l.dec_residual_c.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                  ctypes.c_void_p, ctypes.c_void_p,
-                                 ctypes.c_int, ctypes.c_int]
+                                 ctypes.c_int, ctypes.c_int, ctypes.c_int]
     l.tw_create.restype = ctypes.c_void_p
     l.tw_create.argtypes = [ctypes.c_int] * 5
     l.tw_destroy.argtypes = [ctypes.c_void_p]

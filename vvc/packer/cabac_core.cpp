@@ -190,10 +190,10 @@ struct Dec {
 // ------------------------------------------------------------ scan tables
 
 struct ScanTables {
-  // forward scan positions for an SxS TB (CGs diagonal, 4x4 diag inside)
+  // forward scan positions for a WxH TB (CGs diagonal, 4x4 diag inside)
   std::vector<int> sx, sy;   // [nposs]
-  std::vector<int> cg_index; // [sbw*sbw] (cgy*sbw+cgx) -> sb scan index
-  int nposs = 0, sbw = 1;
+  std::vector<int> cg_index; // [sbw*sbh] (cgy*sbw+cgx) -> sb scan index
+  int nposs = 0, sbw = 1, sbh = 1;
 };
 
 void diag_scan(int w, int h, std::vector<int>& xs, std::vector<int>& ys) {
@@ -207,22 +207,24 @@ void diag_scan(int w, int h, std::vector<int>& xs, std::vector<int>& ys) {
   }
 }
 
-const ScanTables& scan_tables(int log2s) {
-  static ScanTables cache[7];
-  static bool init[7] = {false};
-  if (!init[log2s]) {
-    ScanTables& t = cache[log2s];
-    int s = 1 << log2s;
-    if (s < 4) {
-      diag_scan(s, s, t.sx, t.sy);
+const ScanTables& scan_tables(int log2w, int log2h) {
+  static ScanTables cache[8][8];
+  static bool init[8][8] = {{false}};
+  if (!init[log2w][log2h]) {
+    ScanTables& t = cache[log2w][log2h];
+    int w = 1 << log2w, h = 1 << log2h;
+    if (w < 4 || h < 4) {
+      diag_scan(w, h, t.sx, t.sy);
       t.sbw = 1;
+      t.sbh = 1;
       t.cg_index.assign(1, 0);
     } else {
       std::vector<int> cx, cy, ix, iy;
-      diag_scan(s >> 2, s >> 2, cx, cy);
+      diag_scan(w >> 2, h >> 2, cx, cy);
       diag_scan(4, 4, ix, iy);
-      t.sbw = s >> 2;
-      t.cg_index.assign(t.sbw * t.sbw, 0);
+      t.sbw = w >> 2;
+      t.sbh = h >> 2;
+      t.cg_index.assign(t.sbw * t.sbh, 0);
       for (size_t g = 0; g < cx.size(); g++) {
         t.cg_index[cy[g] * t.sbw + cx[g]] = (int)g;
         for (int k = 0; k < 16; k++) {
@@ -232,9 +234,9 @@ const ScanTables& scan_tables(int log2s) {
       }
     }
     t.nposs = (int)t.sx.size();
-    init[log2s] = true;
+    init[log2w][log2h] = true;
   }
-  return cache[log2s];
+  return cache[log2w][log2h];
 }
 
 // ------------------------------------------------- residual coding shared
@@ -274,18 +276,18 @@ struct ResCtx {
   int idx(int set, int i) const { return off[set] + i; }
 };
 
-int templ_sum(const int32_t* m, int s, int x, int y) {
+int templ_sum(const int32_t* m, int w, int h, int x, int y) {
   static const int dx[5] = {1, 2, 0, 0, 1};
   static const int dy[5] = {0, 0, 1, 2, 1};
   int acc = 0;
   for (int k = 0; k < 5; k++) {
     int nx = x + dx[k], ny = y + dy[k];
-    if (nx < s && ny < s) acc += m[ny * s + nx];
+    if (nx < w && ny < h) acc += m[ny * w + nx];
   }
   return acc;
 }
-int sig_ctx(int x, int y, const int32_t* p1, int s, int is_luma) {
-  int acc = templ_sum(p1, s, x, y);
+int sig_ctx(int x, int y, const int32_t* p1, int w, int h, int is_luma) {
+  int acc = templ_sum(p1, w, h, x, y);
   int diag = x + y;
   int base;
   if (is_luma)
@@ -295,8 +297,8 @@ int sig_ctx(int x, int y, const int32_t* p1, int s, int is_luma) {
   int o = (acc + 1) >> 1;
   return base + (o < 3 ? o : 3);
 }
-int gtx_ctx(int x, int y, const int32_t* p1, int s, int is_luma) {
-  int acc = templ_sum(p1, s, x, y);
+int gtx_ctx(int x, int y, const int32_t* p1, int w, int h, int is_luma) {
+  int acc = templ_sum(p1, w, h, x, y);
   if (acc > 4) acc = 4;
   if (is_luma) {
     int diag = x + y;
@@ -305,8 +307,8 @@ int gtx_ctx(int x, int y, const int32_t* p1, int s, int is_luma) {
   }
   return acc;
 }
-int rice_param(int x, int y, const int32_t* full, int s) {
-  int acc = templ_sum(full, s, x, y);
+int rice_param(int x, int y, const int32_t* full, int w, int h) {
+  int acc = templ_sum(full, w, h, x, y);
   if (acc < 7) return 0;
   if (acc < 14) return 1;
   if (acc < 28) return 2;
@@ -353,31 +355,33 @@ int read_gr(Dec& d, int rice) {
 
 // -------------------------------------------------------- residual encode
 
-void enc_residual(Enc& e, ResCtx& rc, const int32_t* levels, int s,
+void enc_residual(Enc& e, ResCtx& rc, const int32_t* levels, int w, int h,
                   int is_luma) {
-  int log2s = 0;
-  while ((1 << log2s) < s) log2s++;
-  const ScanTables& t = scan_tables(log2s);
+  int log2w = 0, log2h = 0;
+  while ((1 << log2w) < w) log2w++;
+  while ((1 << log2h) < h) log2h++;
+  const ScanTables& t = scan_tables(log2w, log2h);
   int nposs = t.nposs;
 
   int last = -1;
   for (int i = nposs - 1; i >= 0; i--)
-    if (levels[t.sy[i] * s + t.sx[i]] != 0) {
+    if (levels[t.sy[i] * w + t.sx[i]] != 0) {
       last = i;
       break;
     }
   int lx = t.sx[last], ly = t.sy[last];
   int set_x = is_luma ? R_LAST_X_LUMA : R_LAST_X_CHROMA;
   int set_y = is_luma ? R_LAST_Y_LUMA : R_LAST_Y_CHROMA;
-  int gmax = group_idx(s - 1);
   int coords[2] = {lx, ly};
   int sets[2] = {set_x, set_y};
+  int lgs[2] = {log2w, log2h};
   for (int c = 0; c < 2; c++) {
+    int gmax = group_idx((1 << lgs[c]) - 1);
     int g = group_idx(coords[c]);
     for (int i = 0; i < (g < gmax ? g : gmax); i++)
-      e.bin(rc.ctx, rc.idx(sets[c], last_ctx(i, log2s, is_luma)), 1);
+      e.bin(rc.ctx, rc.idx(sets[c], last_ctx(i, lgs[c], is_luma)), 1);
     if (g < gmax)
-      e.bin(rc.ctx, rc.idx(sets[c], last_ctx(g, log2s, is_luma)), 0);
+      e.bin(rc.ctx, rc.idx(sets[c], last_ctx(g, lgs[c], is_luma)), 0);
   }
   for (int c = 0; c < 2; c++) {
     int g = group_idx(coords[c]);
@@ -391,16 +395,16 @@ void enc_residual(Enc& e, ResCtx& rc, const int32_t* levels, int s,
   int set_gt3 = is_luma ? R_GT3_LUMA : R_GT3_CHROMA;
 
   int last_sb = last >> 4;
-  std::vector<int32_t> p1(s * s, 0), full(s * s, 0);
+  std::vector<int32_t> p1(w * h, 0), full(w * h, 0);
   std::vector<int32_t> sb_coded((nposs + 15) >> 4, 0);
-  int sbw = t.sbw;
+  int sbw = t.sbw, sbh = t.sbh;
   std::vector<int> gt3_pos, nz_pos;
 
   for (int sb = last_sb; sb >= 0; sb--) {
     int sb_end = (sb + 1) * 16 < nposs ? (sb + 1) * 16 : nposs;
     int sb_has = 0;
     for (int i = sb * 16; i < sb_end; i++)
-      if (levels[t.sy[i] * s + t.sx[i]] != 0) {
+      if (levels[t.sy[i] * w + t.sx[i]] != 0) {
         sb_has = 1;
         break;
       }
@@ -409,7 +413,7 @@ void enc_residual(Enc& e, ResCtx& rc, const int32_t* levels, int s,
       int cgx = t.sx[sb * 16] >> 2, cgy = t.sy[sb * 16] >> 2;
       int nb = 0;
       if (cgx + 1 < sbw && sb_coded[t.cg_index[cgy * sbw + cgx + 1]]) nb = 1;
-      if (cgy + 1 < sbw && sb_coded[t.cg_index[(cgy + 1) * sbw + cgx]]) nb = 1;
+      if (cgy + 1 < sbh && sb_coded[t.cg_index[(cgy + 1) * sbw + cgx]]) nb = 1;
       e.bin(rc.ctx, rc.idx(set_sb, nb), sb_has);
     }
     sb_coded[sb] = (sb_has || !expl) ? 1 : 0;
@@ -421,7 +425,7 @@ void enc_residual(Enc& e, ResCtx& rc, const int32_t* levels, int s,
     nz_pos.clear();
     for (int i = start; i >= sb * 16; i--) {
       int x = t.sx[i], y = t.sy[i];
-      int32_t lv = levels[y * s + x];
+      int32_t lv = levels[y * w + x];
       int a = lv < 0 ? -lv : lv;
       int sig;
       if (i == last) {
@@ -432,14 +436,14 @@ void enc_residual(Enc& e, ResCtx& rc, const int32_t* levels, int s,
           sig = 1;
         } else {
           sig = a > 0 ? 1 : 0;
-          e.bin(rc.ctx, rc.idx(set_sig, sig_ctx(x, y, p1.data(), s, is_luma)),
-                sig);
+          e.bin(rc.ctx,
+                rc.idx(set_sig, sig_ctx(x, y, p1.data(), w, h, is_luma)), sig);
         }
       }
       if (sig) {
         sig_found = 1;
         nz_pos.push_back(i);
-        int gctx = gtx_ctx(x, y, p1.data(), s, is_luma);
+        int gctx = gtx_ctx(x, y, p1.data(), w, h, is_luma);
         int gt1 = a > 1 ? 1 : 0;
         e.bin(rc.ctx, rc.idx(set_gt1, gctx), gt1);
         int par = 0, gt3 = 0;
@@ -450,44 +454,47 @@ void enc_residual(Enc& e, ResCtx& rc, const int32_t* levels, int s,
           e.bin(rc.ctx, rc.idx(set_gt3, gctx), gt3);
           if (gt3) gt3_pos.push_back(i);
         }
-        p1[y * s + x] = 1 + gt1 + par + 2 * gt3;
-        full[y * s + x] = p1[y * s + x];
+        p1[y * w + x] = 1 + gt1 + par + 2 * gt3;
+        full[y * w + x] = p1[y * w + x];
       }
     }
     for (int i : gt3_pos) {
       int x = t.sx[i], y = t.sy[i];
-      int32_t lv = levels[y * s + x];
+      int32_t lv = levels[y * w + x];
       int a = lv < 0 ? -lv : lv;
       int par = (a - 2) & 1;
       int rem = (a - 4 - par) >> 1;
-      write_gr(e, rem, rice_param(x, y, full.data(), s));
-      full[y * s + x] += 2 * rem;
+      write_gr(e, rem, rice_param(x, y, full.data(), w, h));
+      full[y * w + x] += 2 * rem;
     }
     for (int i : nz_pos) {
       int x = t.sx[i], y = t.sy[i];
-      e.ep(levels[y * s + x] < 0 ? 1 : 0);
+      e.ep(levels[y * w + x] < 0 ? 1 : 0);
     }
   }
 }
 
 // -------------------------------------------------------- residual decode
 
-void dec_residual(Dec& d, ResCtx& rc, int32_t* levels, int s, int is_luma) {
-  int log2s = 0;
-  while ((1 << log2s) < s) log2s++;
-  const ScanTables& t = scan_tables(log2s);
+void dec_residual(Dec& d, ResCtx& rc, int32_t* levels, int w, int h,
+                  int is_luma) {
+  int log2w = 0, log2h = 0;
+  while ((1 << log2w) < w) log2w++;
+  while ((1 << log2h) < h) log2h++;
+  const ScanTables& t = scan_tables(log2w, log2h);
   int nposs = t.nposs;
-  std::memset(levels, 0, sizeof(int32_t) * s * s);
+  std::memset(levels, 0, sizeof(int32_t) * w * h);
 
   int set_x = is_luma ? R_LAST_X_LUMA : R_LAST_X_CHROMA;
   int set_y = is_luma ? R_LAST_Y_LUMA : R_LAST_Y_CHROMA;
-  int gmax = group_idx(s - 1);
   int groups[2];
   int sets[2] = {set_x, set_y};
+  int lgs[2] = {log2w, log2h};
   for (int c = 0; c < 2; c++) {
+    int gmax = group_idx((1 << lgs[c]) - 1);
     int g = 0;
     while (g < gmax &&
-           d.bin(rc.ctx, rc.idx(sets[c], last_ctx(g, log2s, is_luma))))
+           d.bin(rc.ctx, rc.idx(sets[c], last_ctx(g, lgs[c], is_luma))))
       g++;
     groups[c] = g;
   }
@@ -511,9 +518,9 @@ void dec_residual(Dec& d, ResCtx& rc, int32_t* levels, int s, int is_luma) {
   int set_gt3 = is_luma ? R_GT3_LUMA : R_GT3_CHROMA;
 
   int last_sb = last >> 4;
-  std::vector<int32_t> p1(s * s, 0), full(s * s, 0);
+  std::vector<int32_t> p1(w * h, 0), full(w * h, 0);
   std::vector<int32_t> sb_coded((nposs + 15) >> 4, 0);
-  int sbw = t.sbw;
+  int sbw = t.sbw, sbh = t.sbh;
   std::vector<int> gt3_pos, nz_pos;
 
   for (int sb = last_sb; sb >= 0; sb--) {
@@ -524,7 +531,7 @@ void dec_residual(Dec& d, ResCtx& rc, int32_t* levels, int s, int is_luma) {
       int cgx = t.sx[sb * 16] >> 2, cgy = t.sy[sb * 16] >> 2;
       int nb = 0;
       if (cgx + 1 < sbw && sb_coded[t.cg_index[cgy * sbw + cgx + 1]]) nb = 1;
-      if (cgy + 1 < sbw && sb_coded[t.cg_index[(cgy + 1) * sbw + cgx]]) nb = 1;
+      if (cgy + 1 < sbh && sb_coded[t.cg_index[(cgy + 1) * sbw + cgx]]) nb = 1;
       coded = d.bin(rc.ctx, rc.idx(set_sb, nb));
     } else {
       coded = 1;
@@ -545,13 +552,13 @@ void dec_residual(Dec& d, ResCtx& rc, int32_t* levels, int s, int is_luma) {
         int infer_dc = expl && (i == sb * 16) && !sig_found;
         sig = infer_dc
                   ? 1
-                  : d.bin(rc.ctx,
-                          rc.idx(set_sig, sig_ctx(x, y, p1.data(), s, is_luma)));
+                  : d.bin(rc.ctx, rc.idx(set_sig, sig_ctx(x, y, p1.data(), w,
+                                                          h, is_luma)));
       }
       if (sig) {
         sig_found = 1;
         nz_pos.push_back(i);
-        int gctx = gtx_ctx(x, y, p1.data(), s, is_luma);
+        int gctx = gtx_ctx(x, y, p1.data(), w, h, is_luma);
         int gt1 = d.bin(rc.ctx, rc.idx(set_gt1, gctx));
         int par = 0, gt3 = 0;
         if (gt1) {
@@ -560,20 +567,20 @@ void dec_residual(Dec& d, ResCtx& rc, int32_t* levels, int s, int is_luma) {
           if (gt3) gt3_pos.push_back(i);
         }
         int v = 1 + gt1 + par + 2 * gt3;
-        p1[y * s + x] = v;
-        full[y * s + x] = v;
-        levels[y * s + x] = v;
+        p1[y * w + x] = v;
+        full[y * w + x] = v;
+        levels[y * w + x] = v;
       }
     }
     for (int i : gt3_pos) {
       int x = t.sx[i], y = t.sy[i];
-      int rem = read_gr(d, rice_param(x, y, full.data(), s));
-      levels[y * s + x] += 2 * rem;
-      full[y * s + x] = levels[y * s + x];
+      int rem = read_gr(d, rice_param(x, y, full.data(), w, h));
+      levels[y * w + x] += 2 * rem;
+      full[y * w + x] = levels[y * w + x];
     }
     for (int i : nz_pos) {
       int x = t.sx[i], y = t.sy[i];
-      if (d.ep()) levels[y * s + x] = -levels[y * s + x];
+      if (d.ep()) levels[y * w + x] = -levels[y * w + x];
     }
   }
 }
@@ -812,9 +819,9 @@ void tw_cu(Enc& e, TreeCtx& t, TwArgs& a, const int32_t* rec) {
   }
   ResCtx rc{a.ctx, a.res_off};
   int cs = size >> 1;
-  if (cbf_cb) enc_residual(e, rc, a.levels + rec[L_OFF_CB], cs, 0);
-  if (cbf_cr) enc_residual(e, rc, a.levels + rec[L_OFF_CR], cs, 0);
-  if (cbf_y) enc_residual(e, rc, a.levels + rec[L_OFF_Y], size, 1);
+  if (cbf_cb) enc_residual(e, rc, a.levels + rec[L_OFF_CB], cs, cs, 0);
+  if (cbf_cr) enc_residual(e, rc, a.levels + rec[L_OFF_CR], cs, cs, 0);
+  if (cbf_y) enc_residual(e, rc, a.levels + rec[L_OFF_Y], size, size, 1);
   int d = t.log2(t.ctu) - t.log2(size);
   t.set_cu(x0, y0, size, is_mip ? PLANAR : mode, d);
 }
@@ -865,9 +872,9 @@ void enc_ep(void* e, int bin) { ((Enc*)e)->ep(bin); }
 void enc_eps(void* e, uint32_t v, int n) { ((Enc*)e)->eps(v, n); }
 void enc_trm(void* e, int bin) { ((Enc*)e)->trm(bin); }
 void enc_residual_c(void* e, int32_t* states, const int32_t* offsets,
-                    const int32_t* levels, int size, int is_luma) {
+                    const int32_t* levels, int w, int h, int is_luma) {
   ResCtx rc{CtxArray{states}, offsets};
-  enc_residual(*(Enc*)e, rc, levels, size, is_luma);
+  enc_residual(*(Enc*)e, rc, levels, w, h, is_luma);
 }
 int64_t enc_finish(void* e, uint8_t* out, int64_t cap) {
   Enc* enc = (Enc*)e;
@@ -889,9 +896,9 @@ int dec_ep(void* d) { return ((Dec*)d)->ep(); }
 uint32_t dec_eps(void* d, int n) { return ((Dec*)d)->eps(n); }
 int dec_trm(void* d) { return ((Dec*)d)->trm(); }
 void dec_residual_c(void* d, int32_t* states, const int32_t* offsets,
-                    int32_t* levels, int size, int is_luma) {
+                    int32_t* levels, int w, int h, int is_luma) {
   ResCtx rc{CtxArray{states}, offsets};
-  dec_residual(*(Dec*)d, rc, levels, size, is_luma);
+  dec_residual(*(Dec*)d, rc, levels, w, h, is_luma);
 }
 
 void* tw_create(int w, int h, int ctu, int min_cu, int flags) {

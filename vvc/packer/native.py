@@ -61,8 +61,8 @@ class NativeBinEncoder:
         lv = np.ascontiguousarray(levels, dtype=np.int32)
         if self._sp is None:
             self.bind(ctxs)
-        self._l.enc_residual_c(self._h, self._sp, self._op,
-                               _ptr(lv), lv.shape[0], int(is_luma))
+        self._l.enc_residual_c(self._h, self._sp, self._op, _ptr(lv),
+                               lv.shape[1], lv.shape[0], int(is_luma))
 
     def finish(self) -> bytes:
         cap = (int(self._l.enc_bit_count(self._h)) >> 3) + 64
@@ -206,12 +206,13 @@ class NativeBinDecoder:
     def decode_bin_trm(self) -> int:
         return self._l.dec_trm(self._h)
 
-    def read_residual(self, ctxs, size: int, is_luma: bool) -> np.ndarray:
-        out = np.zeros((size, size), dtype=np.int32)
+    def read_residual(self, ctxs, size, is_luma: bool) -> np.ndarray:
+        w, h = (size, size) if isinstance(size, int) else size
+        out = np.zeros((h, w), dtype=np.int32)
         if self._sp is None:
             self.bind(ctxs)
         self._l.dec_residual_c(self._h, self._sp, self._op,
-                               _ptr(out), size, int(is_luma))
+                               _ptr(out), int(w), int(h), int(is_luma))
         return out
 
     def __del__(self):
