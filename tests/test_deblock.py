@@ -20,7 +20,7 @@ def test_tables_monotone():
 
 
 def test_edge_maps_from_leaves():
-    leaves = [Leaf(0, 0, 8), Leaf(8, 0, 8), Leaf(0, 8, 8), Leaf(8, 8, 8)]
+    leaves = [Leaf(0, 0, 8, 8), Leaf(8, 0, 8, 8), Leaf(0, 8, 8, 8), Leaf(8, 8, 8, 8)]
     ev, eh = _edge_maps(leaves, 16, 16, 8, 0)
     assert ev.shape == (16, 1) and ev.all()
     assert eh.shape == (1, 16) and eh.all()
@@ -31,7 +31,7 @@ def test_step_edge_smoothed():
     y, cb, cr = _planes(w, h)
     y[:, :8] = 100
     y[:, 8:] = 140   # sharp CU-boundary step
-    leaves = [Leaf(0, 0, 8), Leaf(8, 0, 8), Leaf(0, 8, 8), Leaf(8, 8, 8)]
+    leaves = [Leaf(0, 0, 8, 8), Leaf(8, 0, 8, 8), Leaf(0, 8, 8, 8), Leaf(8, 8, 8, 8)]
     before = abs(int(y[4, 7]) - int(y[4, 8]))
     deblock_frame((y, cb, cr), leaves, qp=37)
     after = abs(int(y[4, 7]) - int(y[4, 8]))
@@ -40,7 +40,7 @@ def test_step_edge_smoothed():
 
 def test_flat_content_untouched():
     y, cb, cr = _planes(32, 32, 77)
-    leaves = [Leaf(x, yy, 8) for yy in range(0, 32, 8) for x in range(0, 32, 8)]
+    leaves = [Leaf(x, yy, 8, 8) for yy in range(0, 32, 8) for x in range(0, 32, 8)]
     y0 = y.copy()
     deblock_frame((y, cb, cr), leaves, qp=32)
     assert (y == y0).all()  # no gradient → deltas are zero
@@ -51,7 +51,7 @@ def test_non_boundary_columns_untouched():
     y = rng.integers(0, 256, size=(16, 16)).astype(np.int32)
     cb = rng.integers(0, 256, size=(8, 8)).astype(np.int32)
     cr = cb.copy()
-    leaves = [Leaf(0, 0, 16)]  # single CU → no internal edges
+    leaves = [Leaf(0, 0, 16, 16)]  # single CU → no internal edges
     y0 = y.copy()
     deblock_frame((y, cb, cr), leaves, qp=40)
     assert (y == y0).all()

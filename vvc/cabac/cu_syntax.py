@@ -499,7 +499,7 @@ class TreeReader(TreeCoder):
                             mvp = amvp_candidates(self.mstate, x0, y0, size,
                                                   l, ref[l])
                             mv[l] = (mvp[pi][0] + dxy[0], mvp[pi][1] + dxy[1])
-                    leaf = Leaf(x0, y0, size, pred=1, inter_dir=d,
+                    leaf = Leaf(x0, y0, size, size, pred=1, inter_dir=d,
                                 mv=tuple(mv), ref_idx=tuple(ref))
                 if dec.decode_bin(ctxs("ROOT_CBF", 0)):
                     self._read_residuals(leaf)
@@ -510,7 +510,7 @@ class TreeReader(TreeCoder):
 
     def _leaf_from_cand(self, x0, y0, size, cand, midx, skip):
         d, mv, ref = cand
-        return Leaf(x0, y0, size, pred=1, skip=skip, merge=True,
+        return Leaf(x0, y0, size, size, pred=1, skip=skip, merge=True,
                     merge_idx=midx, inter_dir=d,
                     mv=((int(mv[0][0]), int(mv[0][1])),
                         (int(mv[1][0]), int(mv[1][1]))),
@@ -590,7 +590,7 @@ class TreeReader(TreeCoder):
         if not chroma_mode:
             dm = dec.decode_bin(ctxs("INTRA_CHROMA_PRED_MODE", 0))
             assert dm == 1, "non-DM chroma not supported yet"
-        leaf = Leaf(x0, y0, size, mode, chroma_mode=chroma_mode)
+        leaf = Leaf(x0, y0, size, size, mode, chroma_mode=chroma_mode)
         self._read_residuals(leaf)
         d = (self.ctu.bit_length() - 1) - (size.bit_length() - 1)
         self.state.set_cu(x0, y0, size, PLANAR_IDX if is_mip else mode, d)

@@ -324,11 +324,11 @@ def _dp_backtrack_inter(intra_res, inter, w, h, qp, sizes, ctu_size, min_cu):
                 if d == 2:
                     mv[0] = (0, 0)
                     ref[0] = 0
-            return Leaf(x0, y0, s, pred=1, inter_dir=d, mv=tuple(mv),
+            return Leaf(x0, y0, s, s, pred=1, inter_dir=d, mv=tuple(mv),
                         ref_idx=tuple(ref))
         mode = int(intra_res[s][1][by, bx]) if s in intra_res else 0
         mts = int(intra_res[s][2][by, bx]) if s in intra_res else 0
-        return Leaf(x0, y0, s, mode, mts=mts)
+        return Leaf(x0, y0, s, s, mode, mts=mts)
 
     def walk(x0, y0, s):
         if x0 >= w or y0 >= h:

@@ -511,7 +511,7 @@ def _dp_backtrack(results, w, h, qp, sizes, ctu_size, min_cu):
         else:
             if s > min_cu:
                 split_map[(x0, y0, s)] = False
-            leaf = Leaf(x0, y0, s, int(mode[s][y0 // s, x0 // s]),
+            leaf = Leaf(x0, y0, s, s, int(mode[s][y0 // s, x0 // s]),
                         mts=int(mts[s][y0 // s, x0 // s]),
                         lfnst=int(lfn[s][y0 // s, x0 // s]),
                         chroma_mode=int(cmode[s][y0 // s, x0 // s]))

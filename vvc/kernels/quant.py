@@ -24,7 +24,9 @@ import jax
 import jax.numpy as jnp
 
 from vvc.common.types import MAX_TR_DYNAMIC_RANGE
-from vvc.rom.transform_mats import QUANT_SCALES, INV_QUANT_SCALES, QUANT_SHIFT, IQUANT_SHIFT
+from vvc.rom.transform_mats import (QUANT_SCALES, INV_QUANT_SCALES,
+                                    QUANT_SCALES_RECT, INV_QUANT_SCALES_RECT,
+                                    QUANT_SHIFT, IQUANT_SHIFT)
 
 
 def _log2(n: int) -> int:
@@ -44,7 +46,8 @@ def quant_np(coeff: np.ndarray, qp: int, bit_depth: int = 8, intra: bool = True)
     h, w = coeff.shape
     tshift = transform_shift(_log2(w), _log2(h), bit_depth)
     qbits = QUANT_SHIFT + qp // 6 + tshift
-    scale = int(QUANT_SCALES[qp % 6])
+    rect = (_log2(w) + _log2(h)) & 1
+    scale = int((QUANT_SCALES_RECT if rect else QUANT_SCALES)[qp % 6])
     offset = (171 if intra else 85) << (qbits - 9)
     # |coeff| <= 2^15, scale < 2^15 → product < 2^30: int64 never needed
     a = np.abs(coeff.astype(np.int64))
@@ -64,7 +67,8 @@ def dequant_np(level: np.ndarray, qp: int, bit_depth: int = 8) -> np.ndarray:
     h, w = level.shape
     tshift = transform_shift(_log2(w), _log2(h), bit_depth)
     shift = IQUANT_SHIFT - tshift
-    scale = int(INV_QUANT_SCALES[qp % 6])
+    rect = (_log2(w) + _log2(h)) & 1
+    scale = int((INV_QUANT_SCALES_RECT if rect else INV_QUANT_SCALES)[qp % 6])
     sh6 = qp // 6
     lv = level.astype(np.int64) * scale            # < 2^22, int32-safe too
     lv = np.clip(lv, -(_DEQ_GUARD >> sh6), _DEQ_GUARD >> sh6) << sh6
@@ -87,9 +91,11 @@ def quant_batch(coeff: jax.Array, qp, bit_depth: int = 8,
     control) instead of recompiling per value."""
     n, h, w = coeff.shape
     tshift = transform_shift(_log2(w), _log2(h), bit_depth)
+    rect = (_log2(w) + _log2(h)) & 1
     qp = jnp.asarray(qp, dtype=jnp.int32)
     qbits = QUANT_SHIFT + qp // 6 + tshift
-    scale = jnp.asarray(QUANT_SCALES, dtype=jnp.int32)[qp % 6]
+    scale = jnp.asarray(QUANT_SCALES_RECT if rect else QUANT_SCALES,
+                        dtype=jnp.int32)[qp % 6]
     offset = jnp.left_shift(171 if intra else 85, qbits - 9)
     # |coeff|*scale < 2^30 — exact in int32 (device default; no x64 needed)
     a = jnp.abs(coeff)
@@ -101,8 +107,10 @@ def dequant_batch(level: jax.Array, qp, bit_depth: int = 8) -> jax.Array:
     n, h, w = level.shape
     tshift = transform_shift(_log2(w), _log2(h), bit_depth)
     shift = IQUANT_SHIFT - tshift                  # static (size-only)
+    rect = (_log2(w) + _log2(h)) & 1
     qp = jnp.asarray(qp, dtype=jnp.int32)
-    scale = jnp.asarray(INV_QUANT_SCALES, dtype=jnp.int32)[qp % 6]
+    scale = jnp.asarray(INV_QUANT_SCALES_RECT if rect else INV_QUANT_SCALES,
+                        dtype=jnp.int32)[qp % 6]
     sh6 = qp // 6
     lv = level * scale                             # < 2^22, int32-exact
     lv = jnp.left_shift(

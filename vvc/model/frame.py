@@ -18,11 +18,17 @@ import numpy as np
 
 @dataclasses.dataclass
 class Leaf:
-    """One coding unit (single tree: luma + collocated chroma)."""
+    """One coding unit (single tree: luma + collocated chroma).
+
+    Rectangular (MTT BT/TT leaves): w != h.  `size` is a convenience view
+    for the square-only tool paths and asserts squareness — rect-aware
+    code reads .w/.h directly.
+    """
 
     x0: int
     y0: int
-    size: int
+    w: int
+    h: int
     luma_mode: int = 0
     mts: int = 0  # MTS index: 0 DCT2/DCT2, 1 DST7/DST7, 2 DCT8/DST7, 3 DST7/DCT8, 4 DCT8/DCT8
     lfnst: int = 0  # LFNST kernel index (0 off, 1/2); luma, DCT2-only
@@ -40,6 +46,11 @@ class Leaf:
     lev_y: np.ndarray | None = None
     lev_cb: np.ndarray | None = None
     lev_cr: np.ndarray | None = None
+
+    @property
+    def size(self) -> int:
+        assert self.w == self.h, "rect leaf: use .w/.h"
+        return self.w
 
     @property
     def cbf_y(self) -> int:
@@ -70,16 +81,22 @@ class CodingState:
         self.coded_map_c = np.zeros(((height // 2 + 3) >> 2, (width // 2 + 3) >> 2),
                                     dtype=bool)                          # chroma units
 
-    def set_cu(self, x0: int, y0: int, size: int, mode: int, depth: int):
-        s4 = size >> 2
-        self.mode_map[y0 >> 2:(y0 >> 2) + s4, x0 >> 2:(x0 >> 2) + s4] = mode
-        self.depth_map[y0 >> 2:(y0 >> 2) + s4, x0 >> 2:(x0 >> 2) + s4] = depth
+    def set_cu(self, x0: int, y0: int, size: int, mode: int, depth: int,
+               h: int | None = None):
+        w = size
+        h = w if h is None else h
+        w4, h4 = w >> 2, h >> 2
+        self.mode_map[y0 >> 2:(y0 >> 2) + h4, x0 >> 2:(x0 >> 2) + w4] = mode
+        self.depth_map[y0 >> 2:(y0 >> 2) + h4, x0 >> 2:(x0 >> 2) + w4] = depth
 
-    def mark_coded(self, x0: int, y0: int, size: int):
-        s4 = size >> 2
-        self.coded_map[y0 >> 2:(y0 >> 2) + s4, x0 >> 2:(x0 >> 2) + s4] = True
-        cs4 = max(1, size >> 3)
-        self.coded_map_c[y0 >> 3:(y0 >> 3) + cs4, x0 >> 3:(x0 >> 3) + cs4] = True
+    def mark_coded(self, x0: int, y0: int, size: int, h: int | None = None):
+        w = size
+        h = w if h is None else h
+        w4, h4 = w >> 2, h >> 2
+        self.coded_map[y0 >> 2:(y0 >> 2) + h4, x0 >> 2:(x0 >> 2) + w4] = True
+        cw4, ch4 = max(1, w >> 3), max(1, h >> 3)
+        self.coded_map_c[y0 >> 3:(y0 >> 3) + ch4,
+                         x0 >> 3:(x0 >> 3) + cw4] = True
 
     def mode_at(self, x: int, y: int) -> int:
         """Intra mode of the 4×4 unit containing luma sample (x, y); -1 if

@@ -40,25 +40,34 @@ def chroma_qp(qp: int) -> int:
 
 def _recon_block(plane, orig, coded, x0, y0, size, mode, qp, bit_depth, levels,
                  tr_h=0, tr_v=0, lossless=False, cclm_ds=None, pred=None,
-                 intra=True, dep_quant=False, lfnst=0):
+                 intra=True, dep_quant=False, lfnst=0, h=None):
     """Predict + (inverse-)transform one block in `plane`.
 
     If `levels` is None (encode), derives them from `orig`; returns levels.
     Lossless (transquant bypass): levels ARE the residual — exact recon.
     cclm_ds: downsampled-luma plane → CCLM prediction instead of `mode`.
     pred: externally computed prediction (inter MC) — skips intra predict.
+    h: block height when rectangular (MTT leaves); default square.
     """
+    w = size
+    h = w if h is None else h
     if pred is None:
         if cclm_ds is not None:
             from vvc.kernels.cclm import predict_cclm
+            assert w == h, "CCLM gated to square leaves"
             ds, variant = cclm_ds
             pred = predict_cclm(ds, plane, coded, x0, y0, size, bit_depth,
                                 variant=variant)
-        else:
+        elif w == h:
             c = build_ref_line(plane, coded, x0, y0, size, bit_depth)
             pred = predict_intra(c, mode, size, bit_depth)
+        else:
+            from vvc.kernels.intra import (build_ref_line_rect,
+                                           predict_intra_rect)
+            c = build_ref_line_rect(plane, coded, x0, y0, w, h, bit_depth)
+            pred = predict_intra_rect(c, mode, w, h, bit_depth)
     if levels is None:
-        resi = orig[y0:y0 + size, x0:x0 + size].astype(np.int32) - pred
+        resi = orig[y0:y0 + h, x0:x0 + w].astype(np.int32) - pred
         if lossless:
             levels = resi.copy()
         else:
@@ -87,7 +96,7 @@ def _recon_block(plane, orig, coded, x0, y0, size, mode, qp, bit_depth, levels,
         rec = np.clip(pred + rec_resi, 0, (1 << bit_depth) - 1)
     else:
         rec = pred
-    plane[y0:y0 + size, x0:x0 + size] = rec
+    plane[y0:y0 + h, x0:x0 + w] = rec
     return levels
 
 
@@ -111,7 +120,8 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
     lands later), so mixed frames fall back entirely.
     """
     has_inter = any(l.pred == 1 for l in leaves)
-    if use_native and not has_inter and not dep_quant:
+    has_rect = any(l.w != l.h for l in leaves)
+    if use_native and not has_inter and not has_rect and not dep_quant:
         from vvc.packer import native_recon
         if native_recon.available():
             return native_recon.reconstruct_leaves_native(
@@ -126,14 +136,14 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
     encode_mode = orig_planes is not None
     o_y, o_cb, o_cr = orig_planes if encode_mode else (None, None, None)
 
-    def dec_levels(lv, size):
-        return lv if lv is not None else np.zeros((size, size), dtype=np.int32)
+    def dec_levels(lv, w, h):
+        return lv if lv is not None else np.zeros((h, w), dtype=np.int32)
 
     from vvc.kernels.transform import MTS_TR
     from vvc.kernels.cclm import luma_ds_plane
     from vvc.kernels.mc import inter_pred_leaf
     for leaf in leaves:
-        s = leaf.size
+        lw, lh = leaf.w, leaf.h
         x0, y0 = leaf.x0, leaf.y0
         th, tv = MTS_TR[leaf.mts]
         is_inter = leaf.pred == 1
@@ -145,39 +155,41 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
                                       inter_cfg)
             pred_cr = inter_pred_leaf(leaf, 2, refs_l0, refs_l1, bit_depth,
                                       inter_cfg)
-        lev = _recon_block(y_pl, o_y, coded_y, x0, y0, s, leaf.luma_mode,
+        lev = _recon_block(y_pl, o_y, coded_y, x0, y0, lw, leaf.luma_mode,
                            qp, bit_depth,
-                           None if encode_mode else dec_levels(leaf.lev_y, s),
+                           None if encode_mode else dec_levels(leaf.lev_y,
+                                                               lw, lh),
                            th, tv, lossless, pred=pred_y, intra=not is_inter,
-                           dep_quant=dep_quant, lfnst=leaf.lfnst)
+                           dep_quant=dep_quant, lfnst=leaf.lfnst, h=lh)
         if encode_mode:
             leaf.lev_y = lev if np.any(lev) else None
         # chroma (single tree, DM mode = luma mode; MIP maps to planar),
         # half resolution
         dm_mode = 0 if leaf.luma_mode >= 67 else leaf.luma_mode
-        cs = s >> 1
+        cw, ch = lw >> 1, lh >> 1
         cx, cy = x0 >> 1, y0 >> 1
         ds = None
         if leaf.chroma_mode and not is_inter:
             # region-local downsample would suffice; whole-plane keeps the
             # oracle simple (luma of this leaf is already reconstructed)
             ds = (luma_ds_plane(y_pl), leaf.chroma_mode)
-        lev = _recon_block(cb_pl, o_cb, coded_c, cx, cy, cs, dm_mode,
+        lev = _recon_block(cb_pl, o_cb, coded_c, cx, cy, cw, dm_mode,
                            qpc, bit_depth,
-                           None if encode_mode else dec_levels(leaf.lev_cb, cs),
+                           None if encode_mode else dec_levels(leaf.lev_cb,
+                                                               cw, ch),
                            lossless=lossless, cclm_ds=ds, pred=pred_cb,
-                           intra=not is_inter, dep_quant=dep_quant)
+                           intra=not is_inter, dep_quant=dep_quant, h=ch)
         if encode_mode:
             leaf.lev_cb = lev if np.any(lev) else None
-        lev = _recon_block(cr_pl, o_cr, coded_c, cx, cy, cs, dm_mode,
+        lev = _recon_block(cr_pl, o_cr, coded_c, cx, cy, cw, dm_mode,
                            qpc, bit_depth,
-                           None if encode_mode else dec_levels(leaf.lev_cr, cs),
+                           None if encode_mode else dec_levels(leaf.lev_cr,
+                                                               cw, ch),
                            lossless=lossless, cclm_ds=ds, pred=pred_cr,
-                           intra=not is_inter, dep_quant=dep_quant)
+                           intra=not is_inter, dep_quant=dep_quant, h=ch)
         if encode_mode:
             leaf.lev_cr = lev if np.any(lev) else None
         # mark availability
-        s4 = s >> 2
-        coded_y[y0 >> 2:(y0 >> 2) + s4, x0 >> 2:(x0 >> 2) + s4] = True
-        cs4 = max(1, cs >> 2)
-        coded_c[cy >> 2:(cy >> 2) + cs4, cx >> 2:(cx >> 2) + cs4] = True
+        coded_y[y0 >> 2:(y0 + lh) >> 2, x0 >> 2:(x0 + lw) >> 2] = True
+        coded_c[cy >> 2:max((cy >> 2) + 1, (cy + ch) >> 2),
+                cx >> 2:max((cx >> 2) + 1, (cx + cw) >> 2)] = True
