@@ -1,0 +1,169 @@
+"""MTT (BT/TT) partitioning: legality geometry, syntax roundtrip, and
+bit-exact reconstruction through the shared recon path.
+
+Reference behavior anchors: UnitPartitioner.cpp → QTBTPartitioner::canSplit,
+CABACWriter/CABACReader coding_tree (split_cu_flag / split_qt_flag /
+mtt_split_cu_vertical_flag / mtt_split_cu_binary_flag)."""
+import random
+
+import numpy as np
+import pytest
+
+from vvc.cabac.engine import BinEncoder, BinDecoder
+from vvc.cabac.ctx import SliceContexts
+from vvc.cabac.cu_syntax import TreeWriter, TreeReader
+from vvc.model.frame import Leaf, CodingState
+from vvc.model.partition import (SPLIT_NONE, SPLIT_QT, allowed_splits,
+                                 child_blocks, shape_lattice,
+                                 SPLIT_BT_H, SPLIT_BT_V, SPLIT_TT_H,
+                                 SPLIT_TT_V)
+from vvc.model.recon import reconstruct_leaves
+
+
+def test_child_blocks_tile_exactly():
+    for code in (SPLIT_QT, SPLIT_BT_H, SPLIT_BT_V, SPLIT_TT_H, SPLIT_TT_V):
+        w, h = (32, 32)
+        cells = set()
+        for (x, y, cw, ch) in child_blocks(16, 8, w, h, code):
+            for yy in range(y, y + ch):
+                for xx in range(x, x + cw):
+                    assert (xx, yy) not in cells
+                    cells.add((xx, yy))
+        assert len(cells) == w * h
+        assert min(c[0] for c in cells) == 16
+        assert min(c[1] for c in cells) == 8
+
+
+def test_shape_lattice_mtt():
+    shapes = shape_lattice(64, True)
+    assert (64, 64) in shapes and (8, 8) in shapes
+    assert (16, 8) in shapes and (8, 16) in shapes        # BT leaves
+    assert (32, 8) in shapes and (8, 32) in shapes        # TT outer thirds
+    for (w, h) in shapes:
+        assert min(w, h) >= 8
+        assert abs(w.bit_length() - h.bit_length()) <= 2  # aspect cap
+    # QT-only lattice unchanged from round 1
+    assert shape_lattice(64, False) == ((64, 64), (32, 32), (16, 16), (8, 8))
+
+
+def _random_tree(rng, x0, y0, w, h, qt_allowed, split_map, leaves, p_split):
+    can = allowed_splits(w, h, qt_allowed, True)
+    codes = [c for c, ok in
+             zip((SPLIT_QT, SPLIT_BT_H, SPLIT_BT_V, SPLIT_TT_H, SPLIT_TT_V),
+                 can) if ok]
+    if codes and rng.random() < p_split:
+        code = codes[rng.randrange(len(codes))]
+        split_map[(x0, y0, w, h)] = code
+        for (cx, cy, cw, ch) in child_blocks(x0, y0, w, h, code):
+            _random_tree(rng, cx, cy, cw, ch, code == SPLIT_QT, split_map,
+                         leaves, p_split * 0.8)
+    else:
+        if codes:
+            split_map[(x0, y0, w, h)] = SPLIT_NONE
+        mode = rng.randrange(67)
+        mts = 0
+        if 8 <= w <= 32 and 8 <= h <= 32 and rng.random() < 0.3:
+            mts = rng.randrange(5)
+        chroma = rng.randrange(4) if (w == h and rng.random() < 0.4) else 0
+        leaves.append(Leaf(x0, y0, w, h, mode, mts=mts, chroma_mode=chroma))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_mtt_syntax_and_recon_roundtrip(seed):
+    rng = random.Random(seed)
+    nrg = np.random.default_rng(seed)
+    W = H = 128
+    qp = rng.choice([22, 27, 32, 37])
+    # smooth-ish content so residuals exercise all cbf paths
+    yy, xx = np.mgrid[0:H, 0:W]
+    y = ((xx * 2 + yy * 3) // 2 % 256 + nrg.integers(-9, 10, (H, W))).clip(0, 255)
+    cyy, cxx = np.mgrid[0:H // 2, 0:W // 2]
+    cb = ((cxx + cyy) % 256 + nrg.integers(-5, 6, (H // 2, W // 2))).clip(0, 255)
+    cr = ((255 - cxx - cyy) % 256).clip(0, 255)
+    orig = (y.astype(np.int32), cb.astype(np.int32), cr.astype(np.int32))
+
+    split_map, leaves = {}, []
+    for cy in range(0, H, 64):
+        for cx in range(0, W, 64):
+            _random_tree(rng, cx, cy, 64, 64, True, split_map, leaves, 0.9)
+    assert any(l.w != l.h for l in leaves), "tree has no rect leaf"
+    leaf_map = {(l.x0, l.y0, l.w, l.h): l for l in leaves}
+
+    recon = tuple(np.zeros_like(p) for p in orig)
+    reconstruct_leaves(leaves, recon, qp, 8, orig_planes=orig,
+                       use_native=False)
+
+    kw = dict(mts_enabled=True, cclm_enabled=True, mip_enabled=False,
+              lfnst_enabled=False, mtt_enabled=True)
+    ctxs = SliceContexts(qp)
+    enc = BinEncoder()
+    writer = TreeWriter(enc, ctxs, CodingState(W, H), W, H, split_map,
+                        leaf_map, 64, 8, **kw)
+    for cy in range(0, H, 64):
+        for cx in range(0, W, 64):
+            writer.write_ctu(cx, cy)
+    enc.encode_bin_trm(1)
+    data = enc.finish()
+
+    ctxd = SliceContexts(qp)
+    reader = TreeReader(BinDecoder(data), ctxd, CodingState(W, H), W, H,
+                        64, 8, **kw)
+    for cy in range(0, H, 64):
+        for cx in range(0, W, 64):
+            reader.read_ctu(cx, cy)
+
+    assert len(reader.leaves) == len(leaves)
+    for a, b in zip(leaves, reader.leaves):
+        assert (a.x0, a.y0, a.w, a.h) == (b.x0, b.y0, b.w, b.h)
+        assert a.luma_mode == b.luma_mode
+        if a.lev_y is not None:   # mts/lfnst ride the luma residual
+            assert (a.mts, a.lfnst) == (b.mts, b.lfnst)
+        assert a.chroma_mode == b.chroma_mode
+        for la, lb in ((a.lev_y, b.lev_y), (a.lev_cb, b.lev_cb),
+                       (a.lev_cr, b.lev_cr)):
+            if la is None:
+                assert lb is None
+            else:
+                assert lb is not None and (la == lb).all()
+    assert (ctxs.states == ctxd.states).all()
+
+    # decode-mode reconstruction is bit-exact vs the encoder's
+    recon2 = tuple(np.zeros_like(p) for p in orig)
+    reconstruct_leaves(reader.leaves, recon2, qp, 8, use_native=False)
+    for p1, p2 in zip(recon, recon2):
+        assert (p1 == p2).all()
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_rect_residual_python_native_equality(seed):
+    from vvc.packer import native
+    if not native.available():
+        pytest.skip("native packer not built")
+    from vvc.cabac.residual import write_residual, read_residual
+    rng = np.random.default_rng(seed)
+    shapes = [(16, 8), (8, 16), (32, 8), (8, 32), (16, 4), (4, 16), (32, 16)]
+    blocks = []
+    for (w, h) in shapes:
+        lv = (rng.integers(-6, 7, (h, w)) *
+              (rng.random((h, w)) < 0.3)).astype(np.int32)
+        if not lv.any():
+            lv[h - 1, w - 1] = 1
+        blocks.append(lv)
+    c1, c2 = SliceContexts(), SliceContexts()
+    py, nat = BinEncoder(), native.NativeBinEncoder(c2)
+    for lv in blocks:
+        write_residual(py, c1, lv, is_luma=True)
+        write_residual(nat, c2, lv, is_luma=True)
+    py.encode_bin_trm(1)
+    nat.encode_bin_trm(1)
+    b1, b2 = py.finish(), nat.finish()
+    assert b1 == b2
+    assert (c1.states == c2.states).all()
+    # both decoders reproduce the levels
+    cd, cn = SliceContexts(), SliceContexts()
+    dp, dn = BinDecoder(b1), native.NativeBinDecoder(b1, cn)
+    for lv in blocks:
+        h, w = lv.shape
+        out_p = read_residual(dp, cd, (w, h), is_luma=True)
+        out_n = read_residual(dn, cn, (w, h), is_luma=True)
+        assert (out_p == lv).all() and (out_n == lv).all()

@@ -62,6 +62,10 @@ CTX_SETS = [
     ("MVD", 2),
     ("ROOT_CBF", 1),
     ("MIP_FLAG", 1),
+    # MTT split syntax (appended to keep existing offsets stable)
+    ("SPLIT_QT_FLAG", 2),
+    ("MTT_SPLIT_VERT", 2),
+    ("MTT_SPLIT_BINARY", 2),
 ]
 
 _OFFSETS = {}

@@ -22,6 +22,9 @@ import numpy as np
 
 from vvc.common.types import PLANAR_IDX, DC_IDX, HOR_IDX, VER_IDX
 from vvc.model.frame import Leaf, CodingState
+from vvc.model.partition import (SPLIT_NONE, SPLIT_QT, SPLIT_BT_H,
+                                 SPLIT_BT_V, SPLIT_TT_H, SPLIT_TT_V,
+                                 allowed_splits, child_blocks, node_depth)
 from vvc.cabac.residual import write_residual, read_residual
 
 
@@ -110,7 +113,8 @@ class TreeCoder:
                  cclm_enabled: bool = False, slice_type: int = 2,
                  mstate=None, n_ref=(0, 0), max_merge: int = 6,
                  col=None, cur_poc: int = 0, ref_pocs=((), ()),
-                 mip_enabled: bool = False, lfnst_enabled: bool = False):
+                 mip_enabled: bool = False, lfnst_enabled: bool = False,
+                 mtt_enabled: bool = False):
         self.ctxs = ctxs
         self.state = state
         self.w = width
@@ -121,6 +125,7 @@ class TreeCoder:
         self.cclm_enabled = cclm_enabled
         self.mip_enabled = mip_enabled
         self.lfnst_enabled = lfnst_enabled
+        self.mtt_enabled = mtt_enabled
         self.max_depth = (ctu_size.bit_length() - 1) - (min_cu.bit_length() - 1)
         self.slice_type = slice_type          # 0=B, 1=P, 2=I (spec values)
         self.inter_slice = slice_type != 2
@@ -162,36 +167,40 @@ class TreeCoder:
     def _mark_inter(self, leaf: Leaf, skip: bool):
         self.mstate.set_inter(leaf.x0, leaf.y0, leaf.size, leaf.inter_dir,
                               leaf.mv, leaf.ref_idx, skip)
-        d = (self.ctu.bit_length() - 1) - (leaf.size.bit_length() - 1)
+        d = node_depth(self.ctu, leaf.w, leaf.h)
         # intra-mode plane sees inter CUs as planar (spec MPM rule)
         self.state.set_cu(leaf.x0, leaf.y0, leaf.size, PLANAR_IDX, d)
         self.state.mark_coded(leaf.x0, leaf.y0, leaf.size)
 
-    def _mts_signaled(self, size: int, cbf_y: int) -> bool:
+    def _mts_signaled(self, w: int, cbf_y: int, h: int | None = None) -> bool:
         # sps_explicit_mts_intra; DST7/DCT8 defined for 4..32 (spec 8.7.4)
-        return self.mts_enabled and cbf_y == 1 and 8 <= size <= 32
+        h = w if h is None else h
+        return (self.mts_enabled and cbf_y == 1
+                and 8 <= w <= 32 and 8 <= h <= 32)
 
     def _lfnst_signaled(self, size: int, cbf_y: int, mts: int,
-                        pred: int) -> bool:
-        # intra luma, primary DCT2 only, size >= 8 (reference:
+                        pred: int, h: int | None = None) -> bool:
+        # intra luma, primary DCT2 only, square, size >= 8 (reference:
         # CABACWriter/Reader::residual_lfnst_mode conditions)
         from vvc.kernels.lfnst import lfnst_allowed
+        if h is not None and h != size:
+            return False
         return (self.lfnst_enabled and cbf_y == 1 and mts == 0
                 and pred == 0 and lfnst_allowed(size))
 
-    def _split_ctx(self, x0: int, y0: int, size: int) -> int:
-        d = (self.ctu.bit_length() - 1) - (size.bit_length() - 1)
+    def _split_ctx(self, x0: int, y0: int, w: int, h: int) -> int:
+        d = node_depth(self.ctu, w, h)
         dl = self.state.depth_at(x0 - 1, y0)
         da = self.state.depth_at(x0, y0 - 1)
         return (1 if dl > d else 0) + (1 if da > d else 0)
 
-    def _neighbor_modes(self, x0: int, y0: int, size: int):
-        left = self.state.mode_at(x0 - 1, y0 + size - 1)
+    def _neighbor_modes(self, x0: int, y0: int, w: int, h: int):
+        left = self.state.mode_at(x0 - 1, y0 + h - 1)
         # above neighbour only within the same CTU row (line-buffer rule)
         if (y0 % self.ctu) == 0:
             above = -1
         else:
-            above = self.state.mode_at(x0 + size - 1, y0 - 1)
+            above = self.state.mode_at(x0 + w - 1, y0 - 1)
         return left, above
 
 
@@ -206,29 +215,68 @@ class TreeWriter(TreeCoder):
         self.leaf_map = leaf_map      # {(x0,y0,size): Leaf}
 
     def write_ctu(self, ctu_x: int, ctu_y: int):
-        self._tree(ctu_x, ctu_y, self.ctu)
+        self._tree(ctu_x, ctu_y, self.ctu, self.ctu, True)
 
-    def _tree(self, x0: int, y0: int, size: int):
+    def _tree(self, x0: int, y0: int, w: int, h: int, qt_allowed: bool):
         if x0 >= self.w or y0 >= self.h:
             return
-        inside = (x0 + size <= self.w) and (y0 + size <= self.h)
+        inside = (x0 + w <= self.w) and (y0 + h <= self.h)
         if not inside:
-            split = True          # implicit split, no flag
-        elif size <= self.min_cu:
-            split = False
-        else:
-            split = bool(self.split_map[(x0, y0, size)])
-            self.enc.encode_bin(1 if split else 0,
-                                self.ctxs("SPLIT_CU_FLAG", self._split_ctx(x0, y0, size)))
-        if split:
-            half = size >> 1
+            # implicit QT, no flag (square nodes only — frames are padded
+            # to min-CU multiples, so the implicit cascade ends inside)
+            half = w >> 1
             for (dx, dy) in ((0, 0), (half, 0), (0, half), (half, half)):
-                self._tree(x0 + dx, y0 + dy, half)
+                self._tree(x0 + dx, y0 + dy, half, half, qt_allowed)
+            return
+        can = allowed_splits(w, h, qt_allowed, self.mtt_enabled)
+        if not any(can):
+            code = SPLIT_NONE
         else:
-            self._cu(self.leaf_map[(x0, y0, size)])
+            code = self.split_map[(x0, y0, w, h)]
+            self.enc.encode_bin(
+                0 if code == SPLIT_NONE else 1,
+                self.ctxs("SPLIT_CU_FLAG", self._split_ctx(x0, y0, w, h)))
+        if code == SPLIT_NONE:
+            self._cu(self.leaf_map[(x0, y0, w, h)])
+            return
+        can_qt, bh, bv, th, tv = can
+        is_qt = code == SPLIT_QT
+        if can_qt and (bh or bv or th or tv):
+            self.enc.encode_bin(
+                1 if is_qt else 0,
+                self.ctxs("SPLIT_QT_FLAG", 1 if w == self.ctu else 0))
+        else:
+            assert is_qt == can_qt or not is_qt, "split code illegal here"
+        if is_qt:
+            assert can_qt
+            for (cx, cy, cw, ch) in child_blocks(x0, y0, w, h, SPLIT_QT):
+                self._tree(cx, cy, cw, ch, True)
+            return
+        vert = code in (SPLIT_BT_V, SPLIT_TT_V)
+        can_hor, can_ver = (bh or th), (bv or tv)
+        if can_hor and can_ver:
+            self.enc.encode_bin(
+                1 if vert else 0,
+                self.ctxs("MTT_SPLIT_VERT", 0 if w == h else 1))
+        else:
+            assert vert == can_ver
+        is_bt = code in (SPLIT_BT_H, SPLIT_BT_V)
+        can_b = bv if vert else bh
+        can_t = tv if vert else th
+        if can_b and can_t:
+            self.enc.encode_bin(1 if is_bt else 0,
+                                self.ctxs("MTT_SPLIT_BINARY", 0))
+        else:
+            assert is_bt == can_b
+        for (cx, cy, cw, ch) in child_blocks(x0, y0, w, h, code):
+            self._tree(cx, cy, cw, ch, False)
 
     def _cu(self, leaf: Leaf):
         enc, ctxs = self.enc, self.ctxs
+        if leaf.w != leaf.h:
+            # rect leaves are intra-only (MTT gated to intra slices)
+            self._cu_intra(leaf)
+            return
         x0, y0, size = leaf.x0, leaf.y0, leaf.size
         if self.inter_slice:
             from vvc.model.motion import amvp_candidates
@@ -350,10 +398,12 @@ class TreeWriter(TreeCoder):
     def _cu_intra(self, leaf: Leaf):
         from vvc.kernels.mip import mip_allowed, K_MIP_MODES
         enc, ctxs = self.enc, self.ctxs
-        x0, y0, size, mode = leaf.x0, leaf.y0, leaf.size, leaf.luma_mode
+        x0, y0, mode = leaf.x0, leaf.y0, leaf.luma_mode
+        w, h = leaf.w, leaf.h
         is_mip = mode >= 67
         # intra_mip_flag + mode (TB), before the conventional mode tree
-        if self.mip_enabled and mip_allowed(size):
+        # (square leaves only — the MIP weight ROM is square)
+        if self.mip_enabled and w == h and mip_allowed(w):
             enc.encode_bin(1 if is_mip else 0, ctxs("MIP_FLAG", 0))
             if is_mip:
                 _tb_write(enc, mode - 67, K_MIP_MODES)
@@ -363,7 +413,7 @@ class TreeWriter(TreeCoder):
             # intra_luma_ref_idx (always reference line 0)
             if (y0 % self.ctu) > 0:
                 enc.encode_bin(0, ctxs("INTRA_LUMA_REF_IDX", 0))
-            left, above = self._neighbor_modes(x0, y0, size)
+            left, above = self._neighbor_modes(x0, y0, w, h)
             mpm = mpm_list(left, above)
             if mode in mpm:
                 idx = mpm.index(mode)
@@ -380,8 +430,10 @@ class TreeWriter(TreeCoder):
                 enc.encode_bin(0, ctxs("INTRA_LUMA_MPM_FLAG", 0))
                 rem = sorted(set(range(67)) - set(mpm))
                 _tb_write(enc, rem.index(mode), len(rem))
-        # chroma mode: optional cclm_mode_flag, then DM (bin 1 = DM)
-        if self.cclm_enabled:
+        # chroma mode: optional cclm_mode_flag, then DM (bin 1 = DM);
+        # CCLM gated to square leaves (rect model derivation lands later)
+        cclm_ok = self.cclm_enabled and w == h
+        if cclm_ok:
             is_lm = leaf.chroma_mode != 0
             enc.encode_bin(1 if is_lm else 0, ctxs("CCLM_FLAG", 0))
             if is_lm:
@@ -391,15 +443,17 @@ class TreeWriter(TreeCoder):
                                ctxs("CCLM_MODE", 0))
                 if leaf.chroma_mode != 1:
                     enc.encode_bin_ep(leaf.chroma_mode - 2)
-        if not (self.cclm_enabled and leaf.chroma_mode):
+        else:
+            assert leaf.chroma_mode == 0 or cclm_ok
+        if not (cclm_ok and leaf.chroma_mode):
             enc.encode_bin(1, ctxs("INTRA_CHROMA_PRED_MODE", 0))
         self._residuals(leaf)
-        d = (self.ctu.bit_length() - 1) - (size.bit_length() - 1)
+        d = node_depth(self.ctu, w, h)
         # neighbours see a MIP CU as planar (spec MPM rule shape)
-        self.state.set_cu(x0, y0, size, PLANAR_IDX if is_mip else mode, d)
-        self.state.mark_coded(x0, y0, size)
+        self.state.set_cu(x0, y0, w, PLANAR_IDX if is_mip else mode, d, h=h)
+        self.state.mark_coded(x0, y0, w, h=h)
         if self.inter_slice:
-            self.mstate.set_intra(x0, y0, size)
+            self.mstate.set_intra(x0, y0, w)
 
     def _residuals(self, leaf: Leaf):
         enc, ctxs = self.enc, self.ctxs
@@ -408,14 +462,15 @@ class TreeWriter(TreeCoder):
         enc.encode_bin(cbf_cb, ctxs("CBF_CB", 0))
         enc.encode_bin(cbf_cr, ctxs("CBF_CR", cbf_cb))
         enc.encode_bin(cbf_y, ctxs("CBF_LUMA", 0))
-        if self._mts_signaled(leaf.size, cbf_y) and leaf.pred == 0:
+        if self._mts_signaled(leaf.w, cbf_y, leaf.h) and leaf.pred == 0:
             # mts_idx: truncated unary, cMax 4, one ctx per bin (reference:
             # CABACWriter::mts_idx)
             for i in range(leaf.mts):
                 enc.encode_bin(1, ctxs("MTS_IDX", i))
             if leaf.mts < 4:
                 enc.encode_bin(0, ctxs("MTS_IDX", leaf.mts))
-        if self._lfnst_signaled(leaf.size, cbf_y, leaf.mts, leaf.pred):
+        if self._lfnst_signaled(leaf.w, cbf_y, leaf.mts, leaf.pred,
+                                h=leaf.h):
             # lfnst_idx: truncated unary, cMax 2 (reference:
             # CABACWriter::residual_lfnst_mode)
             enc.encode_bin(1 if leaf.lfnst else 0, ctxs("LFNST_IDX", 0))
@@ -438,28 +493,57 @@ class TreeReader(TreeCoder):
         self.leaves: list[Leaf] = []
 
     def read_ctu(self, ctu_x: int, ctu_y: int):
-        self._tree(ctu_x, ctu_y, self.ctu)
+        self._tree(ctu_x, ctu_y, self.ctu, self.ctu, True)
 
-    def _tree(self, x0: int, y0: int, size: int):
+    def _tree(self, x0: int, y0: int, w: int, h: int, qt_allowed: bool):
         if x0 >= self.w or y0 >= self.h:
             return
-        inside = (x0 + size <= self.w) and (y0 + size <= self.h)
+        inside = (x0 + w <= self.w) and (y0 + h <= self.h)
         if not inside:
-            split = True
-        elif size <= self.min_cu:
-            split = False
-        else:
-            split = bool(self.dec.decode_bin(
-                self.ctxs("SPLIT_CU_FLAG", self._split_ctx(x0, y0, size))))
-        if split:
-            half = size >> 1
+            half = w >> 1
             for (dx, dy) in ((0, 0), (half, 0), (0, half), (half, half)):
-                self._tree(x0 + dx, y0 + dy, half)
+                self._tree(x0 + dx, y0 + dy, half, half, qt_allowed)
+            return
+        can = allowed_splits(w, h, qt_allowed, self.mtt_enabled)
+        split = any(can) and bool(self.dec.decode_bin(
+            self.ctxs("SPLIT_CU_FLAG", self._split_ctx(x0, y0, w, h))))
+        if not split:
+            self._cu(x0, y0, w, h)
+            return
+        can_qt, bh, bv, th, tv = can
+        if can_qt and (bh or bv or th or tv):
+            is_qt = bool(self.dec.decode_bin(
+                self.ctxs("SPLIT_QT_FLAG", 1 if w == self.ctu else 0)))
         else:
-            self._cu(x0, y0, size)
+            is_qt = can_qt
+        if is_qt:
+            for (cx, cy, cw, ch) in child_blocks(x0, y0, w, h, SPLIT_QT):
+                self._tree(cx, cy, cw, ch, True)
+            return
+        can_hor, can_ver = (bh or th), (bv or tv)
+        if can_hor and can_ver:
+            vert = bool(self.dec.decode_bin(
+                self.ctxs("MTT_SPLIT_VERT", 0 if w == h else 1)))
+        else:
+            vert = can_ver
+        can_b = bv if vert else bh
+        can_t = tv if vert else th
+        if can_b and can_t:
+            is_bt = bool(self.dec.decode_bin(
+                self.ctxs("MTT_SPLIT_BINARY", 0)))
+        else:
+            is_bt = can_b
+        code = ((SPLIT_BT_V if vert else SPLIT_BT_H) if is_bt
+                else (SPLIT_TT_V if vert else SPLIT_TT_H))
+        for (cx, cy, cw, ch) in child_blocks(x0, y0, w, h, code):
+            self._tree(cx, cy, cw, ch, False)
 
-    def _cu(self, x0: int, y0: int, size: int):
+    def _cu(self, x0: int, y0: int, size: int, h: int | None = None):
         dec, ctxs = self.dec, self.ctxs
+        if h is not None and h != size:
+            # rect leaves are intra-only (MTT is gated to intra slices)
+            self._cu_intra(x0, y0, size, h)
+            return
         if self.inter_slice:
             from vvc.model.motion import amvp_candidates
             skip = dec.decode_bin(ctxs("CU_SKIP_FLAG",
@@ -555,11 +639,13 @@ class TreeReader(TreeCoder):
             out.append(-a if dec.decode_bin_ep() else a)
         return out
 
-    def _cu_intra(self, x0: int, y0: int, size: int):
+    def _cu_intra(self, x0: int, y0: int, size: int, h: int | None = None):
         from vvc.kernels.mip import mip_allowed, K_MIP_MODES
         dec, ctxs = self.dec, self.ctxs
+        w = size
+        h = w if h is None else h
         is_mip = False
-        if self.mip_enabled and mip_allowed(size):
+        if self.mip_enabled and w == h and mip_allowed(w):
             is_mip = bool(dec.decode_bin(ctxs("MIP_FLAG", 0)))
         if is_mip:
             mode = 67 + _tb_read(dec, K_MIP_MODES)
@@ -567,7 +653,7 @@ class TreeReader(TreeCoder):
             if (y0 % self.ctu) > 0:
                 ref_idx_bin = dec.decode_bin(ctxs("INTRA_LUMA_REF_IDX", 0))
                 assert ref_idx_bin == 0, "multi-ref-line not supported yet"
-            left, above = self._neighbor_modes(x0, y0, size)
+            left, above = self._neighbor_modes(x0, y0, w, h)
             mpm = mpm_list(left, above)
             if dec.decode_bin(ctxs("INTRA_LUMA_MPM_FLAG", 0)):
                 if dec.decode_bin(ctxs("INTRA_LUMA_NOT_PLANAR", 0)):
@@ -581,7 +667,7 @@ class TreeReader(TreeCoder):
                 rem = sorted(set(range(67)) - set(mpm))
                 mode = rem[_tb_read(dec, len(rem))]
         chroma_mode = 0
-        if self.cclm_enabled:
+        if self.cclm_enabled and w == h:
             if dec.decode_bin(ctxs("CCLM_FLAG", 0)):
                 if dec.decode_bin(ctxs("CCLM_MODE", 0)):
                     chroma_mode = 1
@@ -590,31 +676,31 @@ class TreeReader(TreeCoder):
         if not chroma_mode:
             dm = dec.decode_bin(ctxs("INTRA_CHROMA_PRED_MODE", 0))
             assert dm == 1, "non-DM chroma not supported yet"
-        leaf = Leaf(x0, y0, size, size, mode, chroma_mode=chroma_mode)
+        leaf = Leaf(x0, y0, w, h, mode, chroma_mode=chroma_mode)
         self._read_residuals(leaf)
-        d = (self.ctu.bit_length() - 1) - (size.bit_length() - 1)
-        self.state.set_cu(x0, y0, size, PLANAR_IDX if is_mip else mode, d)
-        self.state.mark_coded(x0, y0, size)
+        d = node_depth(self.ctu, w, h)
+        self.state.set_cu(x0, y0, w, PLANAR_IDX if is_mip else mode, d, h=h)
+        self.state.mark_coded(x0, y0, w, h=h)
         if self.inter_slice:
-            self.mstate.set_intra(x0, y0, size)
+            self.mstate.set_intra(x0, y0, w)
         self.leaves.append(leaf)
 
     def _read_residuals(self, leaf: Leaf):
         dec, ctxs = self.dec, self.ctxs
-        size = leaf.size
+        w, h = leaf.w, leaf.h
         cbf_cb = dec.decode_bin(ctxs("CBF_CB", 0))
         cbf_cr = dec.decode_bin(ctxs("CBF_CR", cbf_cb))
         cbf_y = dec.decode_bin(ctxs("CBF_LUMA", 0))
-        if self._mts_signaled(size, cbf_y) and leaf.pred == 0:
+        if self._mts_signaled(w, cbf_y, h) and leaf.pred == 0:
             while leaf.mts < 4 and dec.decode_bin(ctxs("MTS_IDX", leaf.mts)):
                 leaf.mts += 1
-        if self._lfnst_signaled(size, cbf_y, leaf.mts, leaf.pred):
+        if self._lfnst_signaled(w, cbf_y, leaf.mts, leaf.pred, h=h):
             if dec.decode_bin(ctxs("LFNST_IDX", 0)):
                 leaf.lfnst = 1 + dec.decode_bin(ctxs("LFNST_IDX", 1))
-        cs = size >> 1
+        cw, ch = w >> 1, h >> 1
         if cbf_cb:
-            leaf.lev_cb = read_residual(dec, ctxs, cs, is_luma=False)
+            leaf.lev_cb = read_residual(dec, ctxs, (cw, ch), is_luma=False)
         if cbf_cr:
-            leaf.lev_cr = read_residual(dec, ctxs, cs, is_luma=False)
+            leaf.lev_cr = read_residual(dec, ctxs, (cw, ch), is_luma=False)
         if cbf_y:
-            leaf.lev_y = read_residual(dec, ctxs, size, is_luma=True)
+            leaf.lev_y = read_residual(dec, ctxs, (w, h), is_luma=True)

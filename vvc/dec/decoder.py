@@ -107,7 +107,8 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
     sao_params = {}
 
     def _recon(leaves):
-        if wavefront and not inter and not sps.dep_quant:
+        if (wavefront and not inter and not sps.dep_quant
+                and all(l.w == l.h for l in leaves)):
             from vvc.dec.wavefront import reconstruct_leaves_wavefront
             reconstruct_leaves_wavefront(leaves, recon, sh.qp,
                                          sps.bit_depth, sps.lossless)
@@ -140,6 +141,7 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
                                 mts_enabled=sps.mts_intra,
                                 cclm_enabled=sps.cclm, mip_enabled=sps.mip,
                             lfnst_enabled=sps.lfnst,
+                            mtt_enabled=sps.max_mtt_depth_intra > 0,
                                 slice_type=sh.slice_type, mstate=mstate,
                                 n_ref=n_ref, col=col, cur_poc=sh.poc,
                                 ref_pocs=ref_pocs)
@@ -172,6 +174,7 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
                             mts_enabled=sps.mts_intra,
                             cclm_enabled=sps.cclm, mip_enabled=sps.mip,
                             lfnst_enabled=sps.lfnst,
+                            mtt_enabled=sps.max_mtt_depth_intra > 0,
                             slice_type=sh.slice_type,
                             mstate=MotionState(sps.width, sps.height),
                             n_ref=n_ref, col=col, cur_poc=sh.poc,

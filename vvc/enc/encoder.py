@@ -152,6 +152,7 @@ class Encoder:
                                 sps.min_cu_size, mts_enabled=sps.mts_intra,
                                 cclm_enabled=sps.cclm, mip_enabled=sps.mip,
                             lfnst_enabled=sps.lfnst,
+                            mtt_enabled=sps.max_mtt_depth_intra > 0,
                                 slice_type=int(slice_type), mstate=mstate,
                                 n_ref=n_ref, col=col_info[0],
                                 cur_poc=col_info[1], ref_pocs=col_info[2])
@@ -228,6 +229,7 @@ class Encoder:
                             sps.min_cu_size, mts_enabled=sps.mts_intra,
                             cclm_enabled=sps.cclm, mip_enabled=sps.mip,
                             lfnst_enabled=sps.lfnst,
+                            mtt_enabled=sps.max_mtt_depth_intra > 0,
                             slice_type=int(slice_type),
                             mstate=MotionState(sps.width, sps.height),
                             n_ref=n_ref, col=col_info[0],
@@ -365,6 +367,7 @@ class Encoder:
         col_info = (col, poc, (tuple(p for p, _ in refs_l0),
                                tuple(p for p, _ in refs_l1)))
         use_native = (USE_NATIVE_TREE and not inter_slice
+                      and sps.max_mtt_depth_intra == 0
                       and native_packer.available())
         if use_native:
             size_map = native_packer.build_size_map(

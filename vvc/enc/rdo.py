@@ -37,6 +37,7 @@ from vvc.kernels.satd import satd_batch
 from vvc.kernels.transform import fwd_transform_batch, inv_transform_batch
 from vvc.kernels.quant import quant_batch, dequant_batch
 from vvc.model.frame import Leaf
+from vvc.model.partition import SPLIT_NONE, SPLIT_QT
 
 RD_SHORTLIST = 3  # full-RD candidates after SATD prescreen (EncModeCtrl analog)
 
@@ -504,18 +505,18 @@ def _dp_backtrack(results, w, h, qp, sizes, ctu_size, min_cu):
                 walk(x0 + dx, y0 + dy, half)
             return
         if s > min_cu and use_split[s][y0 // s, x0 // s]:
-            split_map[(x0, y0, s)] = True
+            split_map[(x0, y0, s, s)] = SPLIT_QT
             half = s // 2
             for dx, dy in ((0, 0), (half, 0), (0, half), (half, half)):
                 walk(x0 + dx, y0 + dy, half)
         else:
             if s > min_cu:
-                split_map[(x0, y0, s)] = False
+                split_map[(x0, y0, s, s)] = SPLIT_NONE
             leaf = Leaf(x0, y0, s, s, int(mode[s][y0 // s, x0 // s]),
                         mts=int(mts[s][y0 // s, x0 // s]),
                         lfnst=int(lfn[s][y0 // s, x0 // s]),
                         chroma_mode=int(cmode[s][y0 // s, x0 // s]))
-            leaf_map[(x0, y0, s)] = leaf
+            leaf_map[(x0, y0, s, s)] = leaf
             leaves.append(leaf)
 
     for cy in range(0, h, ctu_size):

@@ -822,7 +822,7 @@ void tw_cu(Enc& e, TreeCtx& t, TwArgs& a, const int32_t* rec) {
   if (cbf_cb) enc_residual(e, rc, a.levels + rec[L_OFF_CB], cs, cs, 0);
   if (cbf_cr) enc_residual(e, rc, a.levels + rec[L_OFF_CR], cs, cs, 0);
   if (cbf_y) enc_residual(e, rc, a.levels + rec[L_OFF_Y], size, size, 1);
-  int d = t.log2(t.ctu) - t.log2(size);
+  int d = 2 * (t.log2(t.ctu) - t.log2(size));  // node_depth (QT adds 2)
   t.set_cu(x0, y0, size, is_mip ? PLANAR : mode, d);
 }
 
@@ -839,7 +839,7 @@ void tw_tree(Enc& e, TreeCtx& t, TwArgs& a, int x0, int y0, int size) {
     int lg = a.size_map[(size_t)(y0 / t.min_cu) * a.sm_stride
                         + (x0 / t.min_cu)];
     split = (1 << lg) != size;
-    int d = t.log2(t.ctu) - t.log2(size);
+    int d = 2 * (t.log2(t.ctu) - t.log2(size));  // node_depth (QT adds 2)
     int c = (t.depth_at(x0 - 1, y0) > d ? 1 : 0) +
             (t.depth_at(x0, y0 - 1) > d ? 1 : 0);
     e.bin(a.ctx, a.tid(T_SPLIT, c), split);
