@@ -167,3 +167,49 @@ def test_rect_residual_python_native_equality(seed):
         out_p = read_residual(dp, cd, (w, h), is_luma=True)
         out_n = read_residual(dn, cn, (w, h), is_luma=True)
         assert (out_p == lv).all() and (out_n == lv).all()
+
+
+def test_mtt_bdrate_win_on_structured_content():
+    """MTT must show a clear BD-rate win over QT-only on thin-bar content
+    (the shape MTT exists for).  Anchor measured -8.2% at introduction."""
+    from vvc.io.yuv import Frame
+    from vvc.enc.encoder import encode_sequence
+    from vvc.utils.bdrate import bd_rate
+    rng = np.random.default_rng(7)
+    H, W = 144, 176
+    y = np.full((H, W), 128, np.int32)
+    for r in range(0, H, 12):
+        y[r:r + 2, :] = 40 + (r * 3) % 160
+    for c in range(0, W, 16):
+        y[:, c:c + 3] = 210 - (c * 2) % 120
+    y = (y + rng.integers(-4, 5, (H, W))).clip(0, 255).astype(np.int32)
+    cb = np.full((H // 2, W // 2), 120, np.int32)
+    cr = np.full((H // 2, W // 2), 130, np.int32)
+    frames = [Frame(y, cb, cr, 8)]
+    qps = [22, 27, 32, 37]
+    curves = {}
+    for mtt in (False, True):
+        rs, ps = [], []
+        for qp in qps:
+            from vvc.io.yuv import psnr
+            bs, recons, stats = encode_sequence(frames, qp=qp, mode="ai",
+                                                mtt=mtt)
+            rs.append(sum(s["bits"] for s in stats))
+            ps.append(np.mean([s["psnr_y"] for s in stats]))
+        curves[mtt] = (rs, ps)
+    r0, p0 = curves[False]
+    r1, p1 = curves[True]
+    assert bd_rate(r0, p0, r1, p1) < -3.0
+
+
+def test_mtt_stream_decodes_bit_exact():
+    from vvc.io.synth import synth_frame
+    from vvc.enc.encoder import encode_sequence
+    from vvc.dec.decoder import decode_stream
+    frames = [synth_frame(176, 144, t) for t in range(2)]
+    bs, recons, stats = encode_sequence(frames, qp=32, mode="ai", mtt=True)
+    decs, info = decode_stream(bs)
+    assert all(st is True for st in info["hash_ok"])
+    for d, r in zip(decs, recons):
+        assert (d.y == r.y).all()
+        assert (d.cb == r.cb).all() and (d.cr == r.cr).all()

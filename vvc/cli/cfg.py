@@ -134,6 +134,8 @@ def build_encoder_config(opts: dict):
         "target_kbps": (as_int(opts.get("TargetBitrate")) / 1000.0
                         if as_bool(opts.get("RateControl")) else 0.0),
         "dep_quant": as_bool(opts.get("DepQuant")),
+        "mtt": (as_int(opts.get("MaxMTTHierarchyDepthISliceL"),
+                       as_int(opts.get("MaxMTTHierarchyDepth"), 0)) > 0),
         "mctf": as_bool(opts.get("TemporalFilter")),
         "bdof": as_bool(opts.get("BIO")),
         "dmvr": as_bool(opts.get("DMVR")),

@@ -289,7 +289,8 @@ class Encoder:
             split_map, leaf_map, leaves = rdo_partition(
                 src.y, qp, bd, sps.ctu_size, sps.min_cu_size,
                 lossless=sps.lossless, lfnst=sps.lfnst,
-                chroma_planes=(src.cb, src.cr) if sps.cclm else None)
+                chroma_planes=(src.cb, src.cr) if sps.cclm else None,
+                mtt=sps.max_mtt_depth_intra > 0)
             chroma_on_device = sps.cclm
         if sps.cclm and not chroma_on_device:
             intra_leaves = [l for l in leaves if l.pred == 0]
@@ -433,7 +434,8 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
                     gop_size: int = 16, intra_period: int = -1,
                     target_kbps: float = 0.0, fps: float = 30.0,
                     dep_quant: bool = False, mctf: bool = False,
-                    bdof: bool = False, dmvr: bool = False):
+                    bdof: bool = False, dmvr: bool = False,
+                    mtt: bool = False):
     """Encode frames (list of Frame) → (annexb bytes, recons, stats).
 
     mode: "ai" (all-intra), "ldp" (low-delay P), "ra" (random access
@@ -449,6 +451,7 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
               mip=not lossless, lfnst=not lossless,
               sao=not lossless, alf=not lossless, cclm=not lossless,
               lmcs=lmcs and not lossless, lossless=lossless,
+              max_mtt_depth_intra=2 if (mtt and not lossless) else 0,
               dep_quant=dep_quant and not lossless,
               bdof=bdof and mode == "ra", dmvr=dmvr and mode == "ra")
     pps = PPS(init_qp=qp, num_tile_cols=num_tile_cols, wpp=wpp)
@@ -475,7 +478,8 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
         handles = [rdo_partition_dispatch(
             f.y, qp, bit_depth, sps.ctu_size, sps.min_cu_size,
             lossless=lossless, lfnst=sps.lfnst,
-            chroma_planes=(f.cb, f.cr) if sps.cclm else None)
+            chroma_planes=(f.cb, f.cr) if sps.cclm else None,
+            mtt=sps.max_mtt_depth_intra > 0)
             for f in frames]
 
         def do_frame(poc):
@@ -501,7 +505,8 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
             [f.y for f in frames], qp, bit_depth, sps.ctu_size,
             sps.min_cu_size, lossless=lossless, lfnst=sps.lfnst,
             chroma_planes=(([f.cb for f in frames], [f.cr for f in frames])
-                           if sps.cclm else None))
+                           if sps.cclm else None),
+            mtt=sps.max_mtt_depth_intra > 0)
     else:
         rdo_results = None
 

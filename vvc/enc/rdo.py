@@ -37,7 +37,8 @@ from vvc.kernels.satd import satd_batch
 from vvc.kernels.transform import fwd_transform_batch, inv_transform_batch
 from vvc.kernels.quant import quant_batch, dequant_batch
 from vvc.model.frame import Leaf
-from vvc.model.partition import SPLIT_NONE, SPLIT_QT
+from vvc.model.partition import (SPLIT_NONE, SPLIT_QT,
+                                 SPLIT_BT_H, SPLIT_BT_V)
 
 RD_SHORTLIST = 3  # full-RD candidates after SATD prescreen (EncModeCtrl analog)
 
@@ -81,6 +82,32 @@ def build_ref_lines_device(plane: jax.Array, xs: jax.Array, ys: jax.Array,
         [left[:, ::-1], corner[:, None], top, top[:, -1:], top[:, -1:]], axis=1)
 
 
+def build_ref_lines_device_rect(plane: jax.Array, xs: jax.Array,
+                                ys: jax.Array, w: int, h: int,
+                                bit_depth: int) -> jax.Array:
+    """Rect twin of build_ref_lines_device: [N, 2H+2W+3] int32 lines
+    (left 2H reversed, corner, top 2W, 2 pads) from the original plane."""
+    ph, pw = plane.shape
+    mid = 1 << (bit_depth - 1)
+    kh = jnp.arange(2 * h)
+    kw = jnp.arange(2 * w)
+    lx = jnp.clip(xs - 1, 0, pw - 1)
+    lyy = jnp.clip(ys[:, None] + kh[None, :], 0, ph - 1)
+    left = plane[lyy, lx[:, None]]
+    ty = jnp.clip(ys - 1, 0, ph - 1)
+    txx = jnp.clip(xs[:, None] + kw[None, :], 0, pw - 1)
+    top = plane[ty[:, None], txx]
+    corner = plane[ty, lx]
+    top = jnp.where((ys > 0)[:, None], top,
+                    jnp.where((xs > 0)[:, None], left[:, :1], mid))
+    corner = jnp.where(ys > 0, corner, jnp.where(xs > 0, left[:, 0], mid))
+    left = jnp.where((xs > 0)[:, None], left,
+                     jnp.where((ys > 0)[:, None], top[:, :1], mid))
+    return jnp.concatenate(
+        [left[:, ::-1], corner[:, None], top, top[:, -1:], top[:, -1:]],
+        axis=1)
+
+
 # approximate mts_idx signalling cost (truncated-unary ctx bins)
 _MTS_BITS = (0.5, 2.0, 3.0, 4.0, 4.0)
 
@@ -94,8 +121,8 @@ _LFNST_BITS = (0.0, 2.0, 3.0)
 def eval_blocks(orig: jax.Array, refs: jax.Array, size: int, qp: int,
                 bit_depth: int = 8, try_mts: bool = False,
                 lossless: bool = False, try_mip: bool = False,
-                try_lfnst: bool = False):
-    """[N,S,S] originals + [N,4S+3] refs →
+                try_lfnst: bool = False, h: int | None = None):
+    """[N,H,W] originals + [N,2H+2W+3] refs →
     (best_cost [N] f32, best_mode [N] i32, best_mts [N] i32,
      best_lfnst [N] i32).
 
@@ -103,15 +130,24 @@ def eval_blocks(orig: jax.Array, refs: jax.Array, size: int, qp: int,
     indices 67..67+K-1), then full RD on the shortlist — jointly over MTS
     transform candidates when try_mts (reference:
     IntraSearch::estIntraPredLumaQT's MTS loop + MIP candidates).  Pure
-    (trace-safe).
+    (trace-safe).  h != size → rect MTT shape (wide-angle predictor;
+    MIP/LFNST are square-only and must be off).
     """
     from vvc.kernels.transform import MTS_TR
 
+    w = size
+    h = w if h is None else h
     qp = jnp.asarray(qp, dtype=jnp.int32)
     lam = 0.57 * jnp.exp2((qp.astype(jnp.float32) - 12.0) / 3.0)
     sqrt_lam = jnp.sqrt(lam)
-    n, s, _ = orig.shape
-    preds = predict_all_modes_batch(refs, size, bit_depth)      # [N,67,S,S]
+    n = orig.shape[0]
+    s = w  # legacy alias (square paths)
+    if w == h:
+        preds = predict_all_modes_batch(refs, w, bit_depth)     # [N,67,S,S]
+    else:
+        assert not try_mip and not try_lfnst
+        from vvc.kernels.intra import predict_all_modes_batch_rect
+        preds = predict_all_modes_batch_rect(refs, w, h, bit_depth)
     mode_bits_np = _MODE_BITS
     if try_mip:
         from vvc.kernels.mip import mip_predict_all_batch, K_MIP_MODES
@@ -120,10 +156,10 @@ def eval_blocks(orig: jax.Array, refs: jax.Array, size: int, qp: int,
         mode_bits_np = np.concatenate(
             [_MODE_BITS, np.full((K_MIP_MODES,), _MIP_BITS, np.float32)])
     n_modes = preds.shape[1]
-    o = orig[:, None]                                           # [N,1,S,S]
+    o = orig[:, None]                                           # [N,1,H,W]
     satd = satd_batch(
-        preds.reshape(-1, s, s),
-        jnp.broadcast_to(o, preds.shape).reshape(-1, s, s)).reshape(n, n_modes)
+        preds.reshape(-1, h, w),
+        jnp.broadcast_to(o, preds.shape).reshape(-1, h, w)).reshape(n, n_modes)
     mode_bits = jnp.asarray(mode_bits_np)
     pre_cost = satd.astype(jnp.float32) + sqrt_lam * mode_bits[None, :]
     if lossless:
@@ -147,9 +183,9 @@ def eval_blocks(orig: jax.Array, refs: jax.Array, size: int, qp: int,
         return sse + lam * (rate + extra_bits)
 
     # stage A: DCT2 RD over the SATD shortlist → best mode
-    cand = jnp.take_along_axis(preds, short[:, :, None, None], axis=1)  # [N,K,S,S]
-    resi = (orig[:, None] - cand).reshape(-1, s, s)
-    pred_flat = cand.reshape(-1, s, s)
+    cand = jnp.take_along_axis(preds, short[:, :, None, None], axis=1)  # [N,K,H,W]
+    resi = (orig[:, None] - cand).reshape(-1, h, w)
+    pred_flat = cand.reshape(-1, h, w)
     cost_a = rd_pass(resi, pred_flat, MTS_TR[0][0], MTS_TR[0][1],
                      mode_bits[short].reshape(-1) + _MTS_BITS[0]
                      ).reshape(n, RD_SHORTLIST)
@@ -232,32 +268,44 @@ def eval_chroma_modes(cb, cr, ds, xs, ys, size: int, best_mode, bit_depth):
 def eval_size_plane(plane: jax.Array, size: int, qp: int, bit_depth: int,
                     ny: int, nx: int, mts_enabled: bool = True,
                     lossless: bool = False, lfnst_enabled: bool = True,
-                    chroma=None):
-    """Whole-frame single-size evaluation: plane [H,W] int32 →
+                    chroma=None, h: int | None = None):
+    """Whole-frame single-shape evaluation: plane [H,W] int32 →
     (cost [ny,nx] f32, mode [ny,nx] i32, mts [ny,nx] i32,
      lfnst [ny,nx] i32, chroma_mode [ny,nx] i32).  Trace-safe.
-    chroma: optional (cb, cr, ds) planes for the device chroma decision."""
+    chroma: optional (cb, cr, ds) planes for the device chroma decision.
+    h != size → rect MTT shape (MIP/LFNST/CCLM gated off)."""
     s = size
-    blocks = (plane[:ny * s, :nx * s]
-              .reshape(ny, s, nx, s).transpose(0, 2, 1, 3).reshape(-1, s, s))
-    ys = (jnp.repeat(jnp.arange(ny), nx) * s)
+    bh = s if h is None else h
+    blocks = (plane[:ny * bh, :nx * s]
+              .reshape(ny, bh, nx, s).transpose(0, 2, 1, 3).reshape(-1, bh, s))
+    ys = (jnp.repeat(jnp.arange(ny), nx) * bh)
     xs = (jnp.tile(jnp.arange(nx), ny) * s)
-    refs = build_ref_lines_device(plane, xs, ys, s, bit_depth)
-    try_mts = (not lossless) and mts_enabled and 8 <= s <= 32  # spec limit 32
+    square = bh == s
+    if square:
+        refs = build_ref_lines_device(plane, xs, ys, s, bit_depth)
+    else:
+        refs = build_ref_lines_device_rect(plane, xs, ys, s, bh, bit_depth)
+    try_mts = ((not lossless) and mts_enabled
+               and 8 <= s <= 32 and 8 <= bh <= 32)       # spec limit 32
     from vvc.kernels.mip import mip_allowed
     from vvc.kernels.lfnst import lfnst_allowed
-    try_mip = (not lossless) and mip_allowed(s)
-    try_lfnst = (not lossless) and lfnst_enabled and lfnst_allowed(s)
+    try_mip = (not lossless) and square and mip_allowed(s)
+    try_lfnst = (not lossless) and square and lfnst_enabled and lfnst_allowed(s)
     cost, mode, mts, lfnst = eval_blocks(blocks, refs, s, qp, bit_depth,
                                          try_mts, lossless, try_mip,
-                                         try_lfnst)
-    if chroma is not None:
+                                         try_lfnst, h=bh)
+    if chroma is not None and square:
         cb, cr, ds = chroma
         cmode = eval_chroma_modes(cb, cr, ds, xs, ys, s, mode, bit_depth)
     else:
         cmode = jnp.zeros_like(mode)
     return (cost.reshape(ny, nx), mode.reshape(ny, nx), mts.reshape(ny, nx),
             lfnst.reshape(ny, nx), cmode.reshape(ny, nx))
+
+
+def _as_shapes(sizes):
+    """Normalize a candidate list: ints (squares) or (w, h) pairs."""
+    return tuple((s, s) if isinstance(s, int) else tuple(s) for s in sizes)
 
 
 def _eval_all_sizes_impl(plane, sizes, qp, bit_depth, w, h, lossless=False,
@@ -267,36 +315,37 @@ def _eval_all_sizes_impl(plane, sizes, qp, bit_depth, w, h, lossless=False,
         from vvc.kernels.cclm import luma_ds_plane_jnp
         chroma = (cb, cr, luma_ds_plane_jnp(plane))
     out = {}
-    for s in sizes:
-        ny, nx = h // s, w // s
+    for (bw, bh) in _as_shapes(sizes):
+        ny, nx = h // bh, w // bw
         if ny and nx:
-            out[s] = eval_size_plane(plane, s, qp, bit_depth, ny, nx,
-                                     lossless=lossless, lfnst_enabled=lfnst,
-                                     chroma=chroma)
+            out[(bw, bh)] = eval_size_plane(plane, bw, qp, bit_depth, ny, nx,
+                                            lossless=lossless,
+                                            lfnst_enabled=lfnst,
+                                            chroma=chroma, h=bh)
     return out
 
 
 def _pack_results(out, sizes):
-    """Flatten the per-size result dict into ONE int32 vector (cost planes
+    """Flatten the per-shape result dict into ONE int32 vector (cost planes
     bitcast) — device→host transfers over the TPU tunnel cost ~6–30 ms
     EACH regardless of size, so everything rides one transfer."""
     parts = []
-    for s in sizes:
-        if s not in out:
+    for sh in _as_shapes(sizes):
+        if sh not in out:
             continue
-        c, m, t, l, cm = out[s]
+        c, m, t, l, cm = out[sh]
         parts += [jax.lax.bitcast_convert_type(c, jnp.int32).ravel(),
                   m.ravel(), t.ravel(), l.ravel(), cm.ravel()]
     return jnp.concatenate(parts)
 
 
 def unpack_results(vec: np.ndarray, sizes, w: int, h: int):
-    """Host-side inverse of _pack_results → {size: (cost, mode, mts,
+    """Host-side inverse of _pack_results → {(bw, bh): (cost, mode, mts,
     lfnst, chroma_mode)} numpy arrays."""
     out = {}
     off = 0
-    for s in sizes:
-        ny, nx = h // s, w // s
+    for (bw, bh) in _as_shapes(sizes):
+        ny, nx = h // bh, w // bw
         if not (ny and nx):
             continue
         n = ny * nx
@@ -305,7 +354,7 @@ def unpack_results(vec: np.ndarray, sizes, w: int, h: int):
         t = vec[off:off + n].reshape(ny, nx); off += n
         l = vec[off:off + n].reshape(ny, nx); off += n
         cm = vec[off:off + n].reshape(ny, nx); off += n
-        out[s] = (c, m, t, l, cm)
+        out[(bw, bh)] = (c, m, t, l, cm)
     return out
 
 
@@ -368,7 +417,9 @@ def eval_all_sizes_frames(planes_vec: jax.Array, sizes: tuple, qp,
                                  lossless, lfnst), sizes))(y)
 
 
-SPLIT_BITS = 1.5  # approximate split_cu_flag cost
+SPLIT_BITS = 1.5   # approximate split_cu_flag cost
+QT_FLAG_BITS = 1.0  # approximate split_qt_flag cost (only when MTT competes)
+MTT_DIR_BITS = 1.0  # approximate mtt_split_cu_vertical_flag cost
 
 
 def _candidate_sizes(ctu_size: int, min_cu: int):
@@ -380,9 +431,16 @@ def _candidate_sizes(ctu_size: int, min_cu: int):
     return sizes
 
 
+def _candidate_shapes(ctu_size: int, min_cu: int, mtt: bool):
+    if mtt:
+        from vvc.model.partition import shape_lattice
+        return shape_lattice(ctu_size, True)
+    return tuple((s, s) for s in _candidate_sizes(ctu_size, min_cu))
+
+
 def rdo_partition(y_plane: np.ndarray, qp: int, bit_depth: int = 8,
                   ctu_size: int = 64, min_cu: int = 8, lossless: bool = False,
-                  lfnst: bool = True, chroma_planes=None):
+                  lfnst: bool = True, chroma_planes=None, mtt: bool = False):
     """Full-frame partition + mode decision.
 
     chroma_planes: optional (cb, cr) — enables the on-device 4-way chroma
@@ -392,94 +450,99 @@ def rdo_partition(y_plane: np.ndarray, qp: int, bit_depth: int = 8,
     """
     h, w = y_plane.shape
     assert w % min_cu == 0 and h % min_cu == 0, "pad input to min-CU multiple"
-    sizes = _candidate_sizes(ctu_size, min_cu)
+    shapes = _candidate_shapes(ctu_size, min_cu, mtt)
     with_chroma = chroma_planes is not None
     vec = pack_planes(y_plane, *(chroma_planes or (None, None)))
-    packed = eval_all_sizes(jax.device_put(vec), tuple(sizes),
+    packed = eval_all_sizes(jax.device_put(vec), shapes,
                             jnp.int32(qp), bit_depth, w, h, lossless, lfnst,
                             with_chroma)
-    results = unpack_results(np.asarray(packed), sizes, w, h)
-    return _dp_backtrack(results, w, h, qp, sizes, ctu_size, min_cu)
+    results = unpack_results(np.asarray(packed), shapes, w, h)
+    return _dp_backtrack(results, w, h, qp, shapes, ctu_size, min_cu, mtt)
 
 
 def rdo_partition_dispatch(y_plane, qp: int, bit_depth: int = 8,
                            ctu_size: int = 64, min_cu: int = 8,
                            lossless: bool = False, lfnst: bool = True,
-                           chroma_planes=None):
+                           chroma_planes=None, mtt: bool = False):
     """Async half of rdo_partition: queues the device program and returns
     the packed result handle immediately (jax dispatch is async) — the
     host pipeline overlaps with device compute.  Finish with
     rdo_partition_finish."""
     h, w = y_plane.shape
-    sizes = _candidate_sizes(ctu_size, min_cu)
+    shapes = _candidate_shapes(ctu_size, min_cu, mtt)
     with_chroma = chroma_planes is not None
     vec = pack_planes(y_plane, *(chroma_planes or (None, None)))
-    packed = eval_all_sizes(jax.device_put(vec), tuple(sizes),
+    packed = eval_all_sizes(jax.device_put(vec), shapes,
                             jnp.int32(qp), bit_depth, w, h, lossless, lfnst,
                             with_chroma)
-    return (packed, w, h, qp, sizes, ctu_size, min_cu)
+    return (packed, w, h, qp, shapes, ctu_size, min_cu, mtt)
 
 
 def rdo_partition_finish(handle):
     """Blocking half: transfer + DP backtrack."""
-    packed, w, h, qp, sizes, ctu_size, min_cu = handle
-    results = unpack_results(np.asarray(packed), sizes, w, h)
-    return _dp_backtrack(results, w, h, qp, sizes, ctu_size, min_cu)
+    packed, w, h, qp, shapes, ctu_size, min_cu, mtt = handle
+    results = unpack_results(np.asarray(packed), shapes, w, h)
+    return _dp_backtrack(results, w, h, qp, shapes, ctu_size, min_cu, mtt)
 
 
 def rdo_partition_frames(y_planes, qp: int, bit_depth: int = 8,
                          ctu_size: int = 64, min_cu: int = 8,
                          lossless: bool = False, lfnst: bool = True,
-                         chroma_planes=None):
+                         chroma_planes=None, mtt: bool = False):
     """Batched variant: list of [H,W] planes → list of per-frame
     (split_map, leaf_map, leaves).  One device dispatch for the whole GOP."""
     h, w = y_planes[0].shape
     assert w % min_cu == 0 and h % min_cu == 0, "pad input to min-CU multiple"
-    sizes = _candidate_sizes(ctu_size, min_cu)
+    shapes = _candidate_shapes(ctu_size, min_cu, mtt)
     nf = len(y_planes)
     with_chroma = chroma_planes is not None
     vec = pack_planes(np.stack(y_planes),
                       *((np.stack(chroma_planes[0]),
                          np.stack(chroma_planes[1])) if with_chroma
                         else (None, None)))
-    packed = eval_all_sizes_frames(jax.device_put(vec), tuple(sizes),
+    packed = eval_all_sizes_frames(jax.device_put(vec), shapes,
                                    jnp.int32(qp), bit_depth, w, h, nf,
                                    lossless, lfnst, with_chroma)
     packed = np.asarray(packed)
     out = []
     for f in range(nf):
-        per = unpack_results(packed[f], sizes, w, h)
-        out.append(_dp_backtrack(per, w, h, qp, sizes, ctu_size, min_cu))
+        per = unpack_results(packed[f], shapes, w, h)
+        out.append(_dp_backtrack(per, w, h, qp, shapes, ctu_size, min_cu,
+                                 mtt))
     return out
 
 
-def _dp_backtrack(results, w, h, qp, sizes, ctu_size, min_cu):
+def _dp_backtrack(results, w, h, qp, sizes, ctu_size, min_cu, mtt=False):
+    if mtt:
+        return _dp_backtrack_mtt(results, w, h, qp, sizes, ctu_size, min_cu)
     lam = rd_lambda(qp)
     cost = {}
     mode = {}
     mts = {}
     lfn = {}
     cmode = {}
-    for s in sizes:
+    szs = [bw for (bw, bh) in _as_shapes(sizes)]
+    for s in szs:
         nx, ny = w // s, h // s
         cost[s] = np.full((ny, nx), np.inf, dtype=np.float64)
         mode[s] = np.zeros((ny, nx), dtype=np.int32)
         mts[s] = np.zeros((ny, nx), dtype=np.int32)
         lfn[s] = np.zeros((ny, nx), dtype=np.int32)
         cmode[s] = np.zeros((ny, nx), dtype=np.int32)
-        if s in results:
-            cost[s][:] = results[s][0]
-            mode[s][:] = results[s][1]
-            mts[s][:] = results[s][2]
-            if len(results[s]) > 3:
-                lfn[s][:] = results[s][3]
-            if len(results[s]) > 4:
-                cmode[s][:] = results[s][4]
+        if (s, s) in results:
+            r = results[(s, s)]
+            cost[s][:] = r[0]
+            mode[s][:] = r[1]
+            mts[s][:] = r[2]
+            if len(r) > 3:
+                lfn[s][:] = r[3]
+            if len(r) > 4:
+                cmode[s][:] = r[4]
 
     # bottom-up DP
     best = {min_cu: cost[min_cu].copy()}
     use_split = {}
-    for s in sizes[1:]:
+    for s in szs[1:] if szs[0] == min_cu else sorted(szs)[1:]:
         half = s // 2
         ny, nx = h // s, w // s
         ch = best[half]
@@ -522,4 +585,130 @@ def _dp_backtrack(results, w, h, qp, sizes, ctu_size, min_cu):
     for cy in range(0, h, ctu_size):
         for cx in range(0, w, ctu_size):
             walk(cx, cy, ctu_size)
+    return split_map, leaf_map, leaves
+
+
+def _dp_backtrack_mtt(results, w, h, qp, shapes, ctu_size, min_cu):
+    """Shape-lattice DP over QT + BT (TT decode-side only for now): two
+    tables per shape — best_q (QT still allowed) and best_m (inside MTT,
+    the spec's no-QT-below-MTT rule) — then a z-order backtrack emitting
+    split codes (reference: EncCu::xCheckModeSplit over canSplit results).
+
+    Child grids align because BT children of an aligned (w,h) grid land on
+    the (w',h') grid (TT middles would not — they need half-offset cost
+    planes, which is why TT is not searched yet)."""
+    from vvc.model.partition import allowed_splits
+    lam = rd_lambda(qp)
+    shapes = _as_shapes(shapes)
+    data = {}
+    for sh in shapes:
+        bw, bh = sh
+        ny, nx = h // bh, w // bw
+        if not (ny and nx):
+            continue
+        if sh in results:
+            r = results[sh]
+            data[sh] = tuple(np.asarray(x) for x in r)
+        else:
+            data[sh] = (np.full((ny, nx), np.inf, np.float64),
+                        np.zeros((ny, nx), np.int32),
+                        np.zeros((ny, nx), np.int32),
+                        np.zeros((ny, nx), np.int32),
+                        np.zeros((ny, nx), np.int32))
+
+    # process smallest-area first so children exist before parents
+    order = sorted(data.keys(), key=lambda sh: (sh[0] * sh[1], sh[0]))
+    best_m, choice_m = {}, {}
+    best_q, choice_q = {}, {}
+
+    def bt_costs(tbl, sh):
+        """(bt_h, bt_v) child-sum planes for shape sh from table tbl."""
+        bw, bh = sh
+        ny, nx = h // bh, w // bw
+        out = []
+        ch_h = tbl.get((bw, bh >> 1))
+        out.append(None if ch_h is None else
+                   ch_h[0::2, :][:ny, :nx] + ch_h[1::2, :][:ny, :nx])
+        ch_v = tbl.get((bw >> 1, bh))
+        out.append(None if ch_v is None else
+                   ch_v[:, 0::2][:ny, :nx] + ch_v[:, 1::2][:ny, :nx])
+        return out
+
+    for sh in order:
+        bw, bh = sh
+        ny, nx = h // bh, w // bw
+        leaf = data[sh][0].astype(np.float64)
+        # ---- MTT-context table (QT barred) ----
+        _, mbth, mbtv, _, _ = allowed_splits(bw, bh, False, True)
+        cands = [leaf + lam * SPLIT_BITS]       # choice 0 = leaf
+        codes = [SPLIT_NONE]
+        sums = bt_costs(best_m, sh)
+        if mbth and sums[0] is not None:
+            cands.append(sums[0] + lam * (SPLIT_BITS + MTT_DIR_BITS))
+            codes.append(SPLIT_BT_H)
+        if mbtv and sums[1] is not None:
+            cands.append(sums[1] + lam * (SPLIT_BITS + MTT_DIR_BITS))
+            codes.append(SPLIT_BT_V)
+        stack = np.stack(cands)
+        pick = np.argmin(stack, axis=0)
+        best_m[sh] = np.take_along_axis(stack, pick[None], axis=0)[0]
+        choice_m[sh] = np.asarray(codes, np.int32)[pick]
+        # ---- QT-allowed table (square shapes only) ----
+        if bw == bh:
+            qt_ok, qbth, qbtv, _, _ = allowed_splits(bw, bh, True, True)
+            cands = [leaf + lam * SPLIT_BITS]
+            codes = [SPLIT_NONE]
+            if qt_ok and (bw >> 1, bh >> 1) in best_q:
+                cq = best_q[(bw >> 1, bh >> 1)]
+                qsum = (cq[0::2, 0::2][:ny, :nx] + cq[0::2, 1::2][:ny, :nx]
+                        + cq[1::2, 0::2][:ny, :nx] + cq[1::2, 1::2][:ny, :nx])
+                cands.append(qsum + lam * (SPLIT_BITS + QT_FLAG_BITS))
+                codes.append(SPLIT_QT)
+            sums = bt_costs(best_m, sh)
+            if qbth and sums[0] is not None:
+                cands.append(sums[0] + lam * (SPLIT_BITS + QT_FLAG_BITS
+                                              + MTT_DIR_BITS))
+                codes.append(SPLIT_BT_H)
+            if qbtv and sums[1] is not None:
+                cands.append(sums[1] + lam * (SPLIT_BITS + QT_FLAG_BITS
+                                              + MTT_DIR_BITS))
+                codes.append(SPLIT_BT_V)
+            stack = np.stack(cands)
+            pick = np.argmin(stack, axis=0)
+            best_q[sh] = np.take_along_axis(stack, pick[None], axis=0)[0]
+            choice_q[sh] = np.asarray(codes, np.int32)[pick]
+
+    split_map = {}
+    leaf_map = {}
+    leaves = []
+    from vvc.model.partition import child_blocks
+
+    def walk(x0, y0, bw, bh, qt_allowed):
+        if x0 >= w or y0 >= h:
+            return
+        if not (x0 + bw <= w and y0 + bh <= h):
+            half = bw >> 1
+            for dx, dy in ((0, 0), (half, 0), (0, half), (half, half)):
+                walk(x0 + dx, y0 + dy, half, half, qt_allowed)
+            return
+        sh = (bw, bh)
+        tbl = choice_q if (qt_allowed and bw == bh) else choice_m
+        code = int(tbl[sh][y0 // bh, x0 // bw]) if sh in tbl else SPLIT_NONE
+        if any(allowed_splits(bw, bh, qt_allowed, True)):
+            split_map[(x0, y0, bw, bh)] = code
+        if code == SPLIT_NONE:
+            r = data[sh]
+            iy, ix = y0 // bh, x0 // bw
+            leaf = Leaf(x0, y0, bw, bh, int(r[1][iy, ix]),
+                        mts=int(r[2][iy, ix]), lfnst=int(r[3][iy, ix]),
+                        chroma_mode=int(r[4][iy, ix]))
+            leaf_map[(x0, y0, bw, bh)] = leaf
+            leaves.append(leaf)
+            return
+        for (cx, cy, cw, ch) in child_blocks(x0, y0, bw, bh, code):
+            walk(cx, cy, cw, ch, code == SPLIT_QT and qt_allowed)
+
+    for cy in range(0, h, ctu_size):
+        for cx in range(0, w, ctu_size):
+            walk(cx, cy, ctu_size, ctu_size, True)
     return split_map, leaf_map, leaves

@@ -50,11 +50,12 @@ def _edge_maps(leaves, h: int, w: int, grid: int, scale: int):
     ev = np.zeros((h, max(nv, 0)), dtype=bool)
     eh = np.zeros((max(nh, 0), w), dtype=bool)
     for leaf in leaves:
-        x0, y0, s = leaf.x0 >> scale, leaf.y0 >> scale, leaf.size >> scale
+        x0, y0 = leaf.x0 >> scale, leaf.y0 >> scale
+        bw, bh = leaf.w >> scale, leaf.h >> scale
         if x0 > 0 and x0 % grid == 0:
-            ev[y0:y0 + s, x0 // grid - 1] = True
+            ev[y0:y0 + bh, x0 // grid - 1] = True
         if y0 > 0 and y0 % grid == 0:
-            eh[y0 // grid - 1, x0:x0 + s] = True
+            eh[y0 // grid - 1, x0:x0 + bw] = True
     return ev, eh
 
 

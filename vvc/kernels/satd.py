@@ -35,14 +35,15 @@ def sad_batch(a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 def satd_batch(a: jax.Array, b: jax.Array) -> jax.Array:
-    """[N, S, S] → [N] Hadamard SATD (8×8 tiles like the reference's
-    xGetHADs when S>=8; whole-block transform for S=4)."""
-    n, s, _ = a.shape
+    """[N, H, W] → [N] Hadamard SATD (8×8 tiles like the reference's
+    xGetHADs when min(H,W)>=8; whole-block transform for 4-side blocks).
+    Rectangular blocks tile the same way (reference xGetHADs W!=H path)."""
+    n, hh, ww = a.shape
     d = (a - b).astype(jnp.int32)
-    t = 8 if s >= 8 else s
+    t = 8 if min(hh, ww) >= 8 else min(hh, ww)
     h = jnp.asarray(hadamard(t))
     # tile into [N*tiles, t, t]
-    d = d.reshape(n, s // t, t, s // t, t).transpose(0, 1, 3, 2, 4).reshape(-1, t, t)
+    d = d.reshape(n, hh // t, t, ww // t, t).transpose(0, 1, 3, 2, 4).reshape(-1, t, t)
     had = jnp.einsum("ij,njk,kl->nil", h, d, h, preferred_element_type=jnp.int32)
     per_tile = jnp.sum(jnp.abs(had), axis=(1, 2))
     # reference normalization: (sum + t) >> log2(2t) per 8x8 tile ≈ /2t
