@@ -59,3 +59,35 @@ def test_graft_entry_multichip():
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_sharded_sequence_encode_matches_single_device_bytes():
+    """The real scale-out gate (SURVEY §2.7 P-3/P-5): an All-Intra
+    sequence encode with per-(frame, tile) RDO fanned over the 8-device
+    mesh must produce the SAME Annex-B bytes as the single-device
+    encoder."""
+    from vvc.io.synth import synth_frame
+    from vvc.enc.encoder import encode_sequence
+    from vvc.shard.encode import encode_sequence_sharded, make_encode_mesh
+
+    frames = [synth_frame(128, 64, t) for t in range(2)]
+    bs1, rec1, _ = encode_sequence(frames, qp=32, num_tile_cols=2)
+    mesh = make_encode_mesh(2, 2)
+    bs2, rec2, _ = encode_sequence_sharded(frames, qp=32, num_tile_cols=2,
+                                           mesh=mesh)
+    assert bs1 == bs2
+    for a, b in zip(rec1, rec2):
+        assert (a.y == b.y).all() and (a.cb == b.cb).all()
+
+
+def test_sharded_encode_decodes_bit_exact():
+    from vvc.io.synth import synth_frame
+    from vvc.dec.decoder import decode_stream
+    from vvc.shard.encode import encode_sequence_sharded
+
+    frames = [synth_frame(128, 64, t) for t in range(2)]
+    bs, recons, _ = encode_sequence_sharded(frames, qp=32, num_tile_cols=2)
+    dec, info = decode_stream(bs)
+    assert all(info["hash_ok"])
+    for d, r in zip(dec, recons):
+        assert (d.y == r.y).all()

@@ -285,6 +285,18 @@ class Encoder:
                 src.y, [f.y for _, f in refs_l0], [f.y for _, f in refs_l1],
                 qp, bd, sps.ctu_size, sps.min_cu_size,
                 is_b=slice_type == SliceType.B)
+        elif pps.num_tile_cols > 1:
+            # per-tile search: the same unit the sharded multi-device
+            # encode distributes (vvc.shard.encode) — 1-dev == N-dev
+            from vvc.enc.rdo import rdo_partition_tiled
+            split_map, leaf_map, leaves = rdo_partition_tiled(
+                src.y, tile_columns(pps.num_tile_cols, sps.width,
+                                    sps.ctu_size),
+                qp, bd, sps.ctu_size, sps.min_cu_size,
+                lossless=sps.lossless, lfnst=sps.lfnst,
+                chroma_planes=(src.cb, src.cr) if sps.cclm else None,
+                mtt=sps.max_mtt_depth_intra > 0)
+            chroma_on_device = sps.cclm
         else:
             split_map, leaf_map, leaves = rdo_partition(
                 src.y, qp, bd, sps.ctu_size, sps.min_cu_size,
@@ -435,7 +447,7 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
                     target_kbps: float = 0.0, fps: float = 30.0,
                     dep_quant: bool = False, mctf: bool = False,
                     bdof: bool = False, dmvr: bool = False,
-                    mtt: bool = False):
+                    mtt: bool = False, _precomputed_rdo=None):
     """Encode frames (list of Frame) → (annexb bytes, recons, stats).
 
     mode: "ai" (all-intra), "ldp" (low-delay P), "ra" (random access
@@ -468,7 +480,8 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
         rc = RateCtrl(target_kbps, fps, len(frames), base_qp=qp)
     n_pix = w * h
 
-    if mode == "ai" and rc is None and not lmcs:
+    if (mode == "ai" and rc is None and not lmcs
+            and num_tile_cols == 1 and _precomputed_rdo is None):
         # AI pipeline: per-frame async RDO dispatches queue on the device
         # while a host thread pool runs recon/filters/entropy for earlier
         # frames (frames are independent; the native cores release the GIL).
@@ -498,7 +511,11 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
             stats[poc] = s
         return write_annexb(nals), recons, stats
 
-    if mode == "ai":
+    if _precomputed_rdo is not None:
+        # sharded path (vvc.shard.encode): per-(frame, tile) RDO already ran
+        # on the mesh; this call only assembles recon/entropy/NALs
+        rdo_results = _precomputed_rdo
+    elif mode == "ai" and num_tile_cols == 1:
         # one device dispatch for the whole sequence's RDO search (AI frames
         # are independent); host recon/entropy then proceeds per frame
         rdo_results = rdo_partition_frames(

@@ -512,6 +512,78 @@ def rdo_partition_frames(y_planes, qp: int, bit_depth: int = 8,
     return out
 
 
+def _offset_rdo_result(result, dx: int):
+    """Shift a per-tile (split_map, leaf_map, leaves) to frame coords."""
+    if dx == 0:
+        return result
+    sm, lm, leaves = result
+    for leaf in leaves:
+        leaf.x0 += dx
+    return ({(x + dx, y, bw, bh): v for (x, y, bw, bh), v in sm.items()},
+            {(x + dx, y, bw, bh): v for (x, y, bw, bh), v in lm.items()},
+            leaves)
+
+
+def rdo_partition_tiled(y_plane: np.ndarray, tiles, qp: int,
+                        bit_depth: int = 8, ctu_size: int = 64,
+                        min_cu: int = 8, lossless: bool = False,
+                        lfnst: bool = True, chroma_planes=None,
+                        mtt: bool = False, tile_results=None):
+    """Per-tile RDO: each tile column is searched on its own sub-plane
+    (prediction references clamp at the tile edge, matching the tile
+    reconstruction's availability — the frame-wide search crossed edges
+    the recon pass could never use).  This per-tile formulation is ALSO
+    the unit the sharded multi-device encode distributes (vvc.shard.encode
+    runs the identical per-tile program under shard_map), so 1-device and
+    N-device encodes agree by construction.
+
+    tiles: [(tx0, tx1)] from tile_columns.  tile_results: optional
+    precomputed per-tile unpacked result dicts (the sharded path supplies
+    these).  Returns frame-coordinate (split_map, leaf_map, leaves)."""
+    h, w = y_plane.shape
+    shapes = _candidate_shapes(ctu_size, min_cu, mtt)
+    widths = [tx1 - tx0 for tx0, tx1 in tiles]
+    uniform = len(set(widths)) == 1
+    with_chroma = chroma_planes is not None
+    if tile_results is None:
+        tile_results = []
+        if uniform:
+            wt = widths[0]
+            ys = np.stack([y_plane[:, tx0:tx1] for tx0, tx1 in tiles])
+            cbs = crs = None
+            if with_chroma:
+                cb, cr = chroma_planes
+                cbs = np.stack([cb[:, tx0 >> 1:tx1 >> 1] for tx0, tx1 in tiles])
+                crs = np.stack([cr[:, tx0 >> 1:tx1 >> 1] for tx0, tx1 in tiles])
+            vec = pack_planes(ys, cbs, crs)
+            packed = np.asarray(eval_all_sizes_frames(
+                jax.device_put(vec), shapes, jnp.int32(qp), bit_depth, wt, h,
+                len(tiles), lossless, lfnst, with_chroma))
+            tile_results = [unpack_results(packed[i], shapes, wt, h)
+                            for i in range(len(tiles))]
+        else:
+            for tx0, tx1 in tiles:
+                cp = None
+                if with_chroma:
+                    cb, cr = chroma_planes
+                    cp = (cb[:, tx0 >> 1:tx1 >> 1], cr[:, tx0 >> 1:tx1 >> 1])
+                vec = pack_planes(y_plane[:, tx0:tx1], *(cp or (None, None)))
+                packed = np.asarray(eval_all_sizes(
+                    jax.device_put(vec), shapes, jnp.int32(qp), bit_depth,
+                    tx1 - tx0, h, lossless, lfnst, with_chroma))
+                tile_results.append(
+                    unpack_results(packed, shapes, tx1 - tx0, h))
+    split_map, leaf_map, leaves = {}, {}, []
+    for (tx0, tx1), res in zip(tiles, tile_results):
+        sm, lm, lv = _offset_rdo_result(
+            _dp_backtrack(res, tx1 - tx0, h, qp, shapes, ctu_size, min_cu,
+                          mtt), tx0)
+        split_map.update(sm)
+        leaf_map.update(lm)
+        leaves.extend(lv)
+    return split_map, leaf_map, leaves
+
+
 def _dp_backtrack(results, w, h, qp, sizes, ctu_size, min_cu, mtt=False):
     if mtt:
         return _dp_backtrack_mtt(results, w, h, qp, sizes, ctu_size, min_cu)
