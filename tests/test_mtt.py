@@ -213,3 +213,33 @@ def test_mtt_stream_decodes_bit_exact():
     for d, r in zip(decs, recons):
         assert (d.y == r.y).all()
         assert (d.cb == r.cb).all() and (d.cr == r.cr).all()
+
+
+def test_trace_enc_dec_syntax_identical(tmp_path):
+    """dtrace analog (SURVEY §5.1): encoder and decoder emit identical
+    per-CU SYNTAX records, so diffing the two traces bisects any
+    divergence to one element."""
+    import json
+    from vvc.io.synth import synth_frame
+    from vvc.enc.encoder import encode_sequence
+    from vvc.dec.decoder import decode_stream
+    from vvc.utils.trace import Trace, set_trace
+
+    frames = [synth_frame(96, 64, 0)]
+    fe = open(tmp_path / "enc.jsonl", "w")
+    set_trace(Trace(fe, channels={"SYNTAX"}))
+    try:
+        bs, _, _ = encode_sequence(frames, qp=32, mtt=True)
+    finally:
+        fe.close()
+        set_trace(Trace(None))
+    fd = open(tmp_path / "dec.jsonl", "w")
+    set_trace(Trace(fd, channels={"SYNTAX"}))
+    try:
+        decode_stream(bs)
+    finally:
+        fd.close()
+        set_trace(Trace(None))
+    enc_recs = [json.loads(l) for l in open(tmp_path / "enc.jsonl")]
+    dec_recs = [json.loads(l) for l in open(tmp_path / "dec.jsonl")]
+    assert enc_recs and enc_recs == dec_recs

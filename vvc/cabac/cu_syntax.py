@@ -26,6 +26,7 @@ from vvc.model.partition import (SPLIT_NONE, SPLIT_QT, SPLIT_BT_H,
                                  SPLIT_BT_V, SPLIT_TT_H, SPLIT_TT_V,
                                  allowed_splits, child_blocks, node_depth)
 from vvc.cabac.residual import write_residual, read_residual
+from vvc.utils.trace import active as _trace
 
 
 def mpm_list(left_mode: int, above_mode: int):
@@ -448,6 +449,12 @@ class TreeWriter(TreeCoder):
         if not (cclm_ok and leaf.chroma_mode):
             enc.encode_bin(1, ctxs("INTRA_CHROMA_PRED_MODE", 0))
         self._residuals(leaf)
+        tr = _trace()
+        if tr.enabled:
+            tr.emit("SYNTAX", x=x0, y=y0, w=w, h=h, mode=mode,
+                    cm=leaf.chroma_mode, mts=leaf.mts if leaf.cbf_y else 0,
+                    lfnst=leaf.lfnst if leaf.cbf_y else 0,
+                    cbf=[leaf.cbf_y, leaf.cbf_cb, leaf.cbf_cr])
         d = node_depth(self.ctu, w, h)
         # neighbours see a MIP CU as planar (spec MPM rule shape)
         self.state.set_cu(x0, y0, w, PLANAR_IDX if is_mip else mode, d, h=h)
@@ -678,6 +685,12 @@ class TreeReader(TreeCoder):
             assert dm == 1, "non-DM chroma not supported yet"
         leaf = Leaf(x0, y0, w, h, mode, chroma_mode=chroma_mode)
         self._read_residuals(leaf)
+        tr = _trace()
+        if tr.enabled:
+            tr.emit("SYNTAX", x=x0, y=y0, w=w, h=h, mode=mode,
+                    cm=leaf.chroma_mode, mts=leaf.mts if leaf.cbf_y else 0,
+                    lfnst=leaf.lfnst if leaf.cbf_y else 0,
+                    cbf=[leaf.cbf_y, leaf.cbf_cb, leaf.cbf_cr])
         d = node_depth(self.ctu, w, h)
         self.state.set_cu(x0, y0, w, PLANAR_IDX if is_mip else mode, d, h=h)
         self.state.mark_coded(x0, y0, w, h=h)

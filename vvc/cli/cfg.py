@@ -81,7 +81,7 @@ SUPPORTED_KEYS = {
     "DepQuant", "TemporalFilter", "BIO", "DMVR",
     "NumTileColumns", "WaveFrontSynchro", "LMCSEnable", "SAO", "ALF",
     "CostMode", "MTS", "LFNST", "MIP", "ISP", "MaxMTTHierarchyDepth",
-    "MaxMTTHierarchyDepthISliceL",
+    "MaxMTTHierarchyDepthISliceL", "TraceFile", "TraceRule",
 }
 
 
@@ -143,6 +143,7 @@ def build_encoder_config(opts: dict):
         "wpp": pps.wpp,
         "lossless": lossless,
         "lmcs": sps.lmcs,
+        "trace_file": opts.get("TraceFile"),
     }
     leftover = {k: v for k, v in opts.items() if k not in SUPPORTED_KEYS}
     return sps, pps, io, leftover

@@ -18,7 +18,7 @@ from vvc.io.yuv import YuvWriter
 
 def main(argv=None):
     args = sys.argv[1:] if argv is None else argv
-    bs = out = None
+    bs = out = tracef = None
     i = 0
     while i < len(args):
         if args[i] == "-b":
@@ -27,9 +27,15 @@ def main(argv=None):
         elif args[i] == "-o":
             i += 1
             out = args[i]
+        elif args[i] == "-tf":     # dtrace analog (--TraceFile)
+            i += 1
+            tracef = args[i]
         else:
             raise SystemExit(f"unknown option {args[i]}")
         i += 1
+    if tracef:
+        from vvc.utils.trace import Trace, set_trace
+        set_trace(Trace(open(tracef, "w"), channels={"SYNTAX"}))
     data = open(bs, "rb").read()
     t0 = time.perf_counter()
     frames, info = decode_stream(data)

@@ -24,6 +24,10 @@ def main(argv=None):
     if leftover:
         print(f"note: {len(leftover)} options parsed but not yet consumed "
               f"(tools land per SURVEY.md §7.2): {sorted(leftover)[:8]}...")
+    if io.get("trace_file"):
+        from vvc.utils.trace import Trace, set_trace
+        set_trace(Trace(open(io["trace_file"], "w"),
+                        channels={"SYNTAX", "BEST_MODE"}))
     frames = []
     with YuvReader(io["input"], sps.width, sps.height, sps.bit_depth) as r:
         for _ in range(io["skip"]):

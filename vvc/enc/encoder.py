@@ -379,8 +379,10 @@ class Encoder:
         # the Python TreeWriter (native inter syntax lands with merge RDO).
         col_info = (col, poc, (tuple(p for p, _ in refs_l0),
                                tuple(p for p, _ in refs_l1)))
+        from vvc.utils.trace import active as _trace
         use_native = (USE_NATIVE_TREE and not inter_slice
                       and sps.max_mtt_depth_intra == 0
+                      and not _trace().enabled
                       and native_packer.available())
         if use_native:
             size_map = native_packer.build_size_map(

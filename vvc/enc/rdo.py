@@ -37,6 +37,7 @@ from vvc.kernels.satd import satd_batch
 from vvc.kernels.transform import fwd_transform_batch, inv_transform_batch
 from vvc.kernels.quant import quant_batch, dequant_batch
 from vvc.model.frame import Leaf
+from vvc.utils.trace import active as _trace
 from vvc.model.partition import (SPLIT_NONE, SPLIT_QT,
                                  SPLIT_BT_H, SPLIT_BT_V)
 
@@ -651,6 +652,11 @@ def _dp_backtrack(results, w, h, qp, sizes, ctu_size, min_cu, mtt=False):
                         mts=int(mts[s][y0 // s, x0 // s]),
                         lfnst=int(lfn[s][y0 // s, x0 // s]),
                         chroma_mode=int(cmode[s][y0 // s, x0 // s]))
+            tr = _trace()
+            if tr.enabled:
+                tr.emit("BEST_MODE", x=x0, y=y0, w=s, h=s,
+                        mode=leaf.luma_mode,
+                        cost=float(cost[s][y0 // s, x0 // s]))
             leaf_map[(x0, y0, s, s)] = leaf
             leaves.append(leaf)
 

@@ -39,6 +39,27 @@ def luma_ds_plane(luma: np.ndarray) -> np.ndarray:
              + r1[:, xm] + 2 * r1[:, x0] + r1[:, xp] + 4) >> 3)
 
 
+def luma_ds_region(luma: np.ndarray, cx0: int, cy0: int, cw: int,
+                   ch: int) -> np.ndarray:
+    """Region-local twin of luma_ds_plane: the [ch, cw] downsampled patch
+    whose top-left is chroma position (cx0, cy0).  Lets the sequential
+    recon refresh only a leaf's neighbourhood instead of re-downsampling
+    the whole plane per CCLM leaf (O(leaf) instead of O(frame))."""
+    h, w = luma.shape
+    l = luma.astype(np.int32)
+    cx = np.arange(cx0, cx0 + cw)
+    xm = np.clip(2 * cx - 1, 0, w - 1)
+    x0 = np.clip(2 * cx, 0, w - 1)
+    xp = np.clip(2 * cx + 1, 0, w - 1)
+    cy = np.arange(cy0, cy0 + ch)
+    y0 = np.clip(2 * cy, 0, h - 1)
+    y1 = np.clip(2 * cy + 1, 0, h - 1)
+    r0 = l[y0]
+    r1 = l[y1]
+    return ((r0[:, xm] + 2 * r0[:, x0] + r0[:, xp]
+             + r1[:, xm] + 2 * r1[:, x0] + r1[:, xp] + 4) >> 3)
+
+
 def gather_model_points(ds: np.ndarray, chroma: np.ndarray, coded_c,
                         cx0: int, cy0: int, cs: int, log2_unit=2,
                         variant: int = 1):

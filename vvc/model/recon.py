@@ -140,8 +140,12 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
         return lv if lv is not None else np.zeros((h, w), dtype=np.int32)
 
     from vvc.kernels.transform import MTS_TR
-    from vvc.kernels.cclm import luma_ds_plane
+    from vvc.kernels.cclm import luma_ds_region
     from vvc.kernels.mc import inter_pred_leaf
+    # incrementally-refreshed downsampled-luma plane for CCLM leaves:
+    # only the leaf's neighbourhood is recomputed (region-local; the old
+    # whole-plane downsample per leaf was O(leaves x frame))
+    ds_plane = np.zeros((h >> 1, w >> 1), dtype=np.int32)
     for leaf in leaves:
         lw, lh = leaf.w, leaf.h
         x0, y0 = leaf.x0, leaf.y0
@@ -170,9 +174,12 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
         cx, cy = x0 >> 1, y0 >> 1
         ds = None
         if leaf.chroma_mode and not is_inter:
-            # region-local downsample would suffice; whole-plane keeps the
-            # oracle simple (luma of this leaf is already reconstructed)
-            ds = (luma_ds_plane(y_pl), leaf.chroma_mode)
+            # refresh the leaf's DS neighbourhood (luma of this leaf was
+            # just reconstructed; its causal neighbours earlier)
+            ry0, rx0 = max(0, cy - 1), max(0, cx - 1)
+            ds_plane[ry0:cy + ch, rx0:cx + cw] = luma_ds_region(
+                y_pl, rx0, ry0, cx + cw - rx0, cy + ch - ry0)
+            ds = (ds_plane, leaf.chroma_mode)
         lev = _recon_block(cb_pl, o_cb, coded_c, cx, cy, cw, dm_mode,
                            qpc, bit_depth,
                            None if encode_mode else dec_levels(leaf.lev_cb,
