@@ -66,6 +66,8 @@ CTX_SETS = [
     ("SPLIT_QT_FLAG", 2),
     ("MTT_SPLIT_VERT", 2),
     ("MTT_SPLIT_BINARY", 2),
+    # ISP (appended)
+    ("ISP_MODE", 2),
 ]
 
 _OFFSETS = {}

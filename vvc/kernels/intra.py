@@ -19,10 +19,17 @@ invAngle folded in at table-build time).  The batched JAX path evaluates
 all modes × all blocks of one size in a single gather+FMA — MXU/VPU
 friendly, no data-dependent control flow.
 
-Round-1 simplifications (self-consistent, shared by encoder and decoder;
-flagged for later spec alignment): 2-tap linear interpolation (the spec
-uses 4-tap fC/fG for luma), no reference smoothing, PDPC applied to
-planar/DC only, square blocks only (QT round 1 ⇒ no wide-angle remap).
+PDPC (position-dependent prediction combination, spec 8.4.5.2.14;
+reference IntraPrediction.cpp → the applyPDPC blocks of predIntraAng):
+planar/DC use the two-sided weighted blend; VER/HOR (v-space mode 50) use
+the difference form against the corner; modes past vertical (v-space
+51..82, which covers signaled 2..10 and 58..66 plus wide-angle) blend
+with the opposite-side reference found along invAngle.  All of it is
+static per (shape, mode), so it rides the same gather-table design as the
+4-tap interpolation: pdpc_ang_tables() yields (W, I, diff) matrices and
+every implementation (numpy oracle, batched jax, C++ core) applies the
+identical integer update.  [verify] exact spec clamping when the
+invAngle row exceeds the 2H reference extent (we zero the weight).
 """
 from __future__ import annotations
 
@@ -68,6 +75,68 @@ def inv_angle(angle: int) -> int:
     assert angle != 0
     a = abs(angle)
     return (512 * 32 + a // 2) // a
+
+
+# ---------------------------------------------------------------------------
+# PDPC for angular modes (spec 8.4.5.2.14 analog) — static per (shape, mode)
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def pdpc_ang_tables(wv: int, hv: int, vmode: int):
+    """PDPC tables for an (extended-)vertical-family mode in v-space.
+
+    v-space: block wv×hv predicted from line C with corner at index 2·hv
+    (left samples C[2hv-1-k]).  Horizontal-family modes reuse these tables
+    on the reversed line with (wv, hv) swapped, exactly like the 4-tap
+    interpolation tables.
+
+    Returns (W [hv,wv] i32, I [hv,wv] i32 index into C, diff: bool) or
+    None when PDPC is off for this mode/shape.
+      diff form (VER, vmode 50): out = pred + ((W·(C[I] − C[2hv])) >> 6)
+      avg  form (vmode  > 50):   out = pred + ((W·(C[I] − pred) + 32) >> 6)
+    (the avg form equals (W·ref + (64−W)·pred + 32) >> 6 exactly).
+    """
+    if vmode < 50 or vmode > 82:
+        return None
+    log2w, log2h = int(np.log2(wv)), int(np.log2(hv))
+    if vmode == 50:
+        scale = (log2w + log2h - 2) >> 2
+        xs = np.arange(wv)
+        wl = (32 >> np.minimum(31, (2 * xs) >> scale)).astype(np.int32)
+        W = np.broadcast_to(wl[None, :], (hv, wv)).copy()
+        ys = np.arange(hv)
+        I = np.broadcast_to((2 * hv - 1 - ys)[:, None], (hv, wv)).copy()
+        return W, I.astype(np.int32), True
+    angle = pred_angle(vmode)
+    ia = inv_angle(angle)
+    scale = min(2, log2h - (int(np.log2(3 * ia - 2)) - 8))
+    if scale < 0:
+        return None
+    xs = np.arange(wv)
+    dy = (256 + (xs + 1) * ia) >> 9
+    wl = np.where(xs < min(3 << scale, wv),
+                  32 >> np.minimum(31, (2 * xs) >> scale), 0)
+    ys = np.arange(hv)
+    row = ys[:, None] + dy[None, :]                      # [hv, wv]
+    ok = row < 2 * hv
+    W = np.where(ok, wl[None, :], 0).astype(np.int32)
+    I = np.where(ok, 2 * hv - 1 - np.minimum(row, 2 * hv - 1),
+                 2 * hv).astype(np.int32)
+    return W, I, False
+
+
+def apply_pdpc_ang_np(pred: np.ndarray, c: np.ndarray, wv: int, hv: int,
+                      vmode: int) -> np.ndarray:
+    """Apply angular PDPC to a v-space prediction (numpy oracle form)."""
+    t = pdpc_ang_tables(wv, hv, vmode)
+    if t is None:
+        return pred
+    W, I, diff = t
+    ref = c[I].astype(np.int64)
+    if diff:
+        return pred + ((W * (ref - int(c[2 * hv]))) >> 6)
+    return pred + ((W * (ref - pred) + 32) >> 6)
 
 
 # ---------------------------------------------------------------------------
@@ -304,12 +373,14 @@ def predict_intra_rect(c: np.ndarray, mode: int, w: int, h: int,
         if m >= DIA_IDX:
             idx, co = angular_tables4_rect(w, h, m)
             pred = ((co * c[idx].astype(np.int64)).sum(axis=0) + 32) >> 6
+            pred = apply_pdpc_ang_np(pred, c, w, h, m)
         else:
             idx, co = angular_tables4_rect(h, w, 68 - m)
             lim = 2 * h + 2 * w + 1
             ct = c[:lim][::-1]
             ct = np.concatenate([ct, ct[-1:], ct[-1:]])
-            pred = (((co * ct[idx].astype(np.int64)).sum(axis=0) + 32) >> 6).T
+            pred = ((co * ct[idx].astype(np.int64)).sum(axis=0) + 32) >> 6
+            pred = apply_pdpc_ang_np(pred, ct, h, w, 68 - m).T
         pred = pred.astype(np.int32)
     if mode in (PLANAR_IDX, DC_IDX) and min(w, h) >= 4:
         scale = ((log2w + log2h - 2) >> 2)
@@ -369,13 +440,15 @@ def predict_intra(c: np.ndarray, mode: int, size: int, bit_depth: int = 8,
         if mode >= DIA_IDX:
             idx, co = angular_tables4(s, mode)
             pred = ((co * c[idx]).sum(axis=0) + 32) >> 6
+            pred = apply_pdpc_ang_np(pred, c, s, s, mode)
         else:
             # horizontal family = transpose of vertical mode 68-m on the
             # reversed reference line (left/top swap roles)
             idx, co = angular_tables4(s, 68 - mode)
             ct = c[:4 * s + 1][::-1]
             ct = np.concatenate([ct, ct[-1:], ct[-1:]])
-            pred = (((co * ct[idx]).sum(axis=0) + 32) >> 6).T
+            pred = ((co * ct[idx]).sum(axis=0) + 32) >> 6
+            pred = apply_pdpc_ang_np(pred, ct, s, s, 68 - mode).T
         pred = pred.astype(np.int32)
 
     if pdpc and mode in (PLANAR_IDX, DC_IDX) and s >= 4:
@@ -396,6 +469,51 @@ def _stacked_tables(size: int):
     idx = np.stack([m[0] for m in mats])
     co = np.stack([m[1] for m in mats])
     return idx, co
+
+
+@lru_cache(maxsize=None)
+def _stacked_pdpc(wv: int, hv: int, vmodes: tuple):
+    """Stack pdpc_ang_tables over a v-space mode tuple →
+    (W [M,hv,wv], I [M,hv,wv], diff [M] bool); W rows are zero for modes
+    without PDPC, so one fused update covers the whole stack."""
+    m = len(vmodes)
+    W = np.zeros((m, hv, wv), np.int32)
+    I = np.full((m, hv, wv), 2 * hv, np.int32)
+    diff = np.zeros(m, bool)
+    for j, vm in enumerate(vmodes):
+        t = pdpc_ang_tables(wv, hv, vm)
+        if t is not None:
+            W[j], I[j], diff[j] = t
+    return W, I, diff
+
+
+def _apply_pdpc_batch1(pred, cb, wv: int, hv: int, vmode: int, xp=np):
+    """Single-mode batched angular PDPC: pred [N,hv,wv], cb [N,L]."""
+    t = pdpc_ang_tables(wv, hv, vmode)
+    if t is None:
+        return pred
+    W, I, diff = t
+    ref = cb[:, I]
+    if diff:
+        corner = cb[:, 2 * hv][:, None, None]
+        return pred + ((W[None] * (ref - corner)) >> 6)
+    return pred + ((W[None] * (ref - pred) + 32) >> 6)
+
+
+def _apply_pdpc_stack(pv, cb, wv: int, hv: int, vmodes, xp=jnp):
+    """Apply the stacked angular PDPC to [N,M,hv,wv] v-space predictions
+    gathered from [N,L] reference lines cb (jnp or numpy, same integers)."""
+    W, I, diff = _stacked_pdpc(wv, hv, tuple(vmodes))
+    if not W.any():
+        return pv
+    if xp is jnp:
+        W, I, diff = jnp.asarray(W), jnp.asarray(I), jnp.asarray(diff)
+    ref = cb[:, I]                                       # [N, M, hv, wv]
+    corner = cb[:, 2 * hv][:, None, None, None]
+    d = xp.where(diff[None, :, None, None],
+                 (W[None] * (ref - corner)) >> 6,
+                 (W[None] * (ref - pv) + 32) >> 6)
+    return pv + d
 
 
 def predict_all_modes_batch_np(c_batch: np.ndarray, size: int,
@@ -430,10 +548,13 @@ def predict_all_modes_batch_np(c_batch: np.ndarray, size: int,
 
     planar = pdpc(planar)
     dc_pred = pdpc(dc_pred)
+    vmodes = tuple(range(DIA_IDX, 67))
     pv = ((co[None] * c_batch[:, idx]).sum(axis=2) + 32) >> 6
+    pv = _apply_pdpc_stack(pv, c_batch, s, s, vmodes, xp=np)
     ct = c_batch[:, 4 * s::-1]
     ct = np.concatenate([ct, ct[:, -1:], ct[:, -1:]], axis=1)
-    ph = (((co[None] * ct[:, idx]).sum(axis=2) + 32) >> 6).transpose(0, 1, 3, 2)
+    ph = ((co[None] * ct[:, idx]).sum(axis=2) + 32) >> 6
+    ph = _apply_pdpc_stack(ph, ct, s, s, vmodes, xp=np).transpose(0, 1, 3, 2)
     hm = ph[:, np.arange(32, 0, -1)]
     out = np.concatenate([planar[:, None], dc_pred[:, None], hm, pv], axis=1)
     return np.clip(out, 0, (1 << bit_depth) - 1).astype(np.int32)
@@ -464,13 +585,15 @@ def predict_modes_np(c_batch: np.ndarray, modes: np.ndarray, size: int,
             continue
         if m >= DIA_IDX:
             idx, co = angular_tables4(s, int(m))
-            out[sel] = ((co[None] * cb[:, idx]).sum(axis=1) + 32) >> 6
+            p = ((co[None] * cb[:, idx]).sum(axis=1) + 32) >> 6
+            out[sel] = _apply_pdpc_batch1(p, cb, s, s, int(m))
         else:
             idx, co = angular_tables4(s, 68 - int(m))
             ct = cb[:, 4 * s::-1]
             ct = np.concatenate([ct, ct[:, -1:], ct[:, -1:]], axis=1)
-            out[sel] = (((co[None] * ct[:, idx]).sum(axis=1) + 32) >> 6
-                        ).transpose(0, 2, 1)
+            p = ((co[None] * ct[:, idx]).sum(axis=1) + 32) >> 6
+            out[sel] = _apply_pdpc_batch1(p, ct, s, s, 68 - int(m)
+                                          ).transpose(0, 2, 1)
         k = j
     return np.clip(out, 0, (1 << bit_depth) - 1).astype(np.int32)
 
@@ -544,15 +667,18 @@ def predict_all_modes_batch(c_batch: jax.Array, size: int, bit_depth: int = 8) -
     dc_pred = pdpc(dc_pred)
 
     # vertical family (34..66): 4-tap gather from C with the stacked tables
+    vmodes = tuple(range(DIA_IDX, 67))
     gv = c_batch[:, idx]     # [N, 33, 4, S, S]
     pv = ((co[None] * gv).sum(axis=2) + 32) >> 6
+    pv = _apply_pdpc_stack(pv, c_batch, s, s, vmodes)
 
     # horizontal family (2..33): prediction of vertical mode 68-m on the
     # reversed reference line (left/top swapped), then transposed
     ct = c_batch[:, 4 * s::-1]
     ct = jnp.concatenate([ct, ct[:, -1:], ct[:, -1:]], axis=1)
     gh = ct[:, idx]
-    ph = (((co[None] * gh).sum(axis=2) + 32) >> 6).transpose(0, 1, 3, 2)
+    ph = ((co[None] * gh).sum(axis=2) + 32) >> 6
+    ph = _apply_pdpc_stack(ph, ct, s, s, vmodes).transpose(0, 1, 3, 2)
     # table position i holds vertical mode 34+i; horizontal mode m uses
     # position (68-m)-34 = 34-m, so modes m = 2..33 → positions 32..1
     hm = ph[:, jnp.arange(32, 0, -1)]
@@ -584,7 +710,9 @@ def _rect_mode_groups(w: int, h: int):
                      for _, vm in h_modes])
     order = [0, 1] + [m for m, _ in v_modes] + [m for m, _ in h_modes]
     inv_perm = np.argsort(np.asarray(order)).astype(np.int32)
-    return idx_v, co_v, idx_h, co_h, inv_perm
+    vm_v = tuple(vm for _, vm in v_modes)
+    vm_h = tuple(vm for _, vm in h_modes)
+    return idx_v, co_v, idx_h, co_h, inv_perm, vm_v, vm_h
 
 
 def _planar_dc_pdpc_rect(c_batch, w: int, h: int):
@@ -629,16 +757,17 @@ def predict_all_modes_batch_rect(c_batch: jax.Array, w: int, h: int,
     every signaled mode (wide-angle remap folded into the static tables).
     For W == H this equals predict_all_modes_batch."""
     n = c_batch.shape[0]
-    idx_v, co_v, idx_h, co_h, inv_perm = _rect_mode_groups(w, h)
+    idx_v, co_v, idx_h, co_h, inv_perm, vm_v, vm_h = _rect_mode_groups(w, h)
     planar, dc_pred = _planar_dc_pdpc_rect(c_batch, w, h)
     gv = c_batch[:, jnp.asarray(idx_v)]          # [N, nv, 4, H, W]
     pv = ((jnp.asarray(co_v)[None] * gv).sum(axis=2) + 32) >> 6
+    pv = _apply_pdpc_stack(pv, c_batch, w, h, vm_v)
     lim = 2 * h + 2 * w + 1
     ct = c_batch[:, lim - 1::-1]
     ct = jnp.concatenate([ct, ct[:, -1:], ct[:, -1:]], axis=1)
     gh = ct[:, jnp.asarray(idx_h)]               # [N, nh, 4, W, H]
-    ph = (((jnp.asarray(co_h)[None] * gh).sum(axis=2) + 32) >> 6
-          ).transpose(0, 1, 3, 2)
+    ph = ((jnp.asarray(co_h)[None] * gh).sum(axis=2) + 32) >> 6
+    ph = _apply_pdpc_stack(ph, ct, h, w, vm_h).transpose(0, 1, 3, 2)
     out = jnp.concatenate([planar[:, None], dc_pred[:, None], pv, ph],
                           axis=1)
     out = out[:, jnp.asarray(inv_perm)]
@@ -668,10 +797,24 @@ def predict_modes_batch_rect(c_batch: jax.Array, modes: jax.Array, w: int,
     rm = jnp.asarray(remap)[modes]
     rv = jnp.clip(rm - DIA_IDX, 0, 48)
     rh = jnp.clip(68 - rm - DIA_IDX, 0, 48)
+    ext = tuple(range(DIA_IDX, 83))
+
+    def pdpc_row(p, cb, rows, wv, hv):
+        Wst, Ist, Dst = _stacked_pdpc(wv, hv, ext)
+        Wst, Ist, Dst = jnp.asarray(Wst), jnp.asarray(Ist), jnp.asarray(Dst)
+        wj = Wst[rows]
+        rf = jnp.take_along_axis(cb, Ist[rows].reshape(n, -1),
+                                 axis=1).reshape(n, hv, wv)
+        corner = cb[:, 2 * hv][:, None, None]
+        return p + jnp.where(Dst[rows][:, None, None],
+                             (wj * (rf - corner)) >> 6,
+                             (wj * (rf - p) + 32) >> 6)
+
     iv = jnp.asarray(vtab_i)[rv].reshape(n, -1)
     pv = ((jnp.asarray(vtab_c)[rv]
            * jnp.take_along_axis(c_batch, iv, axis=1).reshape(n, 4, h, w)
            ).sum(axis=1) + 32) >> 6
+    pv = pdpc_row(pv, c_batch, rv, w, h)
     lim = 2 * h + 2 * w + 1
     ct = c_batch[:, lim - 1::-1]
     ct = jnp.concatenate([ct, ct[:, -1:], ct[:, -1:]], axis=1)
@@ -679,6 +822,7 @@ def predict_modes_batch_rect(c_batch: jax.Array, modes: jax.Array, w: int,
     ph = ((jnp.asarray(htab_c)[rh]
            * jnp.take_along_axis(ct, ih, axis=1).reshape(n, 4, w, h)
            ).sum(axis=1) + 32) >> 6
+    ph = pdpc_row(ph, ct, rh, h, w)
     ang = jnp.where(is_v[:, None, None], pv, ph.transpose(0, 2, 1))
     out = jnp.where((modes == PLANAR_IDX)[:, None, None], planar,
                     jnp.where((modes == DC_IDX)[:, None, None], dc_pred,
@@ -730,14 +874,28 @@ def predict_modes_batch(c_batch: jax.Array, modes: jax.Array, size: int,
     # path, one row gathered per block
     mv = jnp.clip(modes - DIA_IDX, 0, 32)
     mh = jnp.clip(68 - modes - DIA_IDX, 0, 32)
+    Wst, Ist, Dst = _stacked_pdpc(s, s, tuple(range(DIA_IDX, 67)))
+    Wst, Ist, Dst = jnp.asarray(Wst), jnp.asarray(Ist), jnp.asarray(Dst)
+
+    def pdpc_row(p, cb, rows):
+        wj = Wst[rows]
+        rf = jnp.take_along_axis(cb, Ist[rows].reshape(n, -1),
+                                 axis=1).reshape(n, s, s)
+        corner = cb[:, 2 * s][:, None, None]
+        return p + jnp.where(Dst[rows][:, None, None],
+                             (wj * (rf - corner)) >> 6,
+                             (wj * (rf - p) + 32) >> 6)
+
     iv = idx[mv].reshape(n, -1)
     pv = ((co[mv] * jnp.take_along_axis(c_batch, iv, axis=1)
            .reshape(n, 4, s, s)).sum(axis=1) + 32) >> 6
+    pv = pdpc_row(pv, c_batch, mv)
     ct = c_batch[:, 4 * s::-1]
     ct = jnp.concatenate([ct, ct[:, -1:], ct[:, -1:]], axis=1)
     ih = idx[mh].reshape(n, -1)
-    ph = (((co[mh] * jnp.take_along_axis(ct, ih, axis=1)
-            .reshape(n, 4, s, s)).sum(axis=1) + 32) >> 6).transpose(0, 2, 1)
+    ph = ((co[mh] * jnp.take_along_axis(ct, ih, axis=1)
+           .reshape(n, 4, s, s)).sum(axis=1) + 32) >> 6
+    ph = pdpc_row(ph, ct, mh).transpose(0, 2, 1)
     ang = jnp.where((modes >= DIA_IDX)[:, None, None], pv, ph)
     out = jnp.where((modes == PLANAR_IDX)[:, None, None], planar,
                     jnp.where((modes == DC_IDX)[:, None, None], dc_pred, ang))

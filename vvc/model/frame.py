@@ -32,6 +32,7 @@ class Leaf:
     luma_mode: int = 0
     mts: int = 0  # MTS index: 0 DCT2/DCT2, 1 DST7/DST7, 2 DCT8/DST7, 3 DST7/DCT8, 4 DCT8/DCT8
     lfnst: int = 0  # LFNST kernel index (0 off, 1/2); luma, DCT2-only
+    isp: int = 0  # intra sub-partitions: 0 off, 1 horizontal, 2 vertical
     chroma_mode: int = 0  # 0 = DM (luma mode), 1 = CCLM (LM)
     # inter fields (pred 0 = intra, 1 = inter); MVs in luma quarter-pel
     pred: int = 0
@@ -55,6 +56,13 @@ class Leaf:
     @property
     def cbf_y(self) -> int:
         return int(self.lev_y is not None and np.any(self.lev_y))
+
+    def sub_cbf_y(self, part) -> int:
+        """cbf of one ISP sub-TU; part = (x_off, y_off, sub_w, sub_h)."""
+        if self.lev_y is None:
+            return 0
+        xo, yo, sw, sh = part
+        return int(np.any(self.lev_y[yo:yo + sh, xo:xo + sw]))
 
     @property
     def cbf_cb(self) -> int:

@@ -265,6 +265,7 @@ void predict_intra(const int32_t* c, int mode, int s, int bit_depth,
       return v < 0 ? 0 : v;
     };
     const int32_t* filt = use_smooth_filter(m, log2s) ? g_fg : g_fc;
+    std::vector<int32_t> pv(s * s);
     for (int y = 0; y < s; y++) {
       int off = ((y + 1) * angle) >> 5;
       int f = ((y + 1) * angle) & 31;
@@ -273,13 +274,48 @@ void predict_intra(const int32_t* c, int mode, int s, int bit_depth,
         int e = x + off + 1;
         int acc = 32;
         for (int k = 0; k < 4; k++) acc += fr[k] * cc[c_pos(e + k - 1)];
-        int p = acc >> 6;
-        if (vertical)
-          pred[y * s + x] = p;
-        else
-          pred[x * s + y] = p;
+        pv[y * s + x] = acc >> 6;
       }
     }
+    // angular PDPC in v-space (mirror of intra.py pdpc_ang_tables /
+    // apply_pdpc_ang_np; spec 8.4.5.2.14 analog)
+    if (m == 50) {
+      int scale = (2 * log2s - 2) >> 2;
+      int corner = cc[2 * s];
+      for (int y = 0; y < s; y++) {
+        int left = cc[2 * s - 1 - y];
+        for (int x = 0; x < s; x++) {
+          int sh = (2 * x) >> scale;
+          int wl = sh < 31 ? 32 >> sh : 0;
+          pv[y * s + x] += (wl * (left - corner)) >> 6;
+        }
+      }
+    } else if (m > 50) {
+      int ia2 = inv_angle(angle);
+      int v = 3 * ia2 - 2, fl = 0;
+      while ((1 << (fl + 1)) <= v) fl++;
+      int scale = log2s - (fl - 8);
+      if (scale > 2) scale = 2;
+      if (scale >= 0) {
+        int xmax = std::min(3 << scale, s);
+        for (int x = 0; x < xmax; x++) {
+          int sh = (2 * x) >> scale;
+          int wl = sh < 31 ? 32 >> sh : 0;
+          if (!wl) continue;
+          int dy = (256 + (x + 1) * ia2) >> 9;
+          for (int y = 0; y < s; y++) {
+            int row = y + dy;
+            if (row >= 2 * s) continue;
+            int ref = cc[2 * s - 1 - row];
+            int p = pv[y * s + x];
+            pv[y * s + x] = p + ((wl * (ref - p) + 32) >> 6);
+          }
+        }
+      }
+    }
+    for (int y = 0; y < s; y++)
+      for (int x = 0; x < s; x++)
+        pred[vertical ? y * s + x : x * s + y] = pv[y * s + x];
   }
 
   if ((mode == PLANAR || mode == DC) && s >= 4) {
@@ -446,6 +482,12 @@ void lfnst_init(const int8_t* w) {
 void predict_mip_c(const int32_t* c, int k, int s, int bit_depth,
                    int32_t* pred) {
   predict_mip(c, k, s, bit_depth, pred);
+}
+
+// direct intra predict (test harness entry)
+void predict_intra_c(const int32_t* c, int mode, int s, int bit_depth,
+                     int32_t* pred) {
+  predict_intra(c, mode, s, bit_depth, pred);
 }
 
 // CCLM support (mirror of vvc/kernels/cclm.py) --------------------------
