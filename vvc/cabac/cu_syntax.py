@@ -115,7 +115,7 @@ class TreeCoder:
                  mstate=None, n_ref=(0, 0), max_merge: int = 6,
                  col=None, cur_poc: int = 0, ref_pocs=((), ()),
                  mip_enabled: bool = False, lfnst_enabled: bool = False,
-                 mtt_enabled: bool = False):
+                 mtt_enabled: bool = False, isp_enabled: bool = False):
         self.ctxs = ctxs
         self.state = state
         self.w = width
@@ -127,6 +127,7 @@ class TreeCoder:
         self.mip_enabled = mip_enabled
         self.lfnst_enabled = lfnst_enabled
         self.mtt_enabled = mtt_enabled
+        self.isp_enabled = isp_enabled
         self.max_depth = (ctu_size.bit_length() - 1) - (min_cu.bit_length() - 1)
         self.slice_type = slice_type          # 0=B, 1=P, 2=I (spec values)
         self.inter_slice = slice_type != 2
@@ -414,6 +415,17 @@ class TreeWriter(TreeCoder):
             # intra_luma_ref_idx (always reference line 0)
             if (y0 % self.ctu) > 0:
                 enc.encode_bin(0, ctxs("INTRA_LUMA_REF_IDX", 0))
+            # intra_subpartitions_mode_flag (+ split direction when both
+            # legal); reference: CABACWriter::intra_luma_pred_modes ISP part
+            if self.isp_enabled:
+                from vvc.kernels.isp import isp_allowed
+                can_h, can_v = isp_allowed(w, h)
+                if can_h or can_v:
+                    enc.encode_bin(1 if leaf.isp else 0, ctxs("ISP_MODE", 0))
+                    if leaf.isp and can_h and can_v:
+                        enc.encode_bin(leaf.isp - 1, ctxs("ISP_MODE", 1))
+            else:
+                assert leaf.isp == 0, "ISP chosen but not signalable"
             left, above = self._neighbor_modes(x0, y0, w, h)
             mpm = mpm_list(left, above)
             if mode in mpm:
@@ -468,6 +480,25 @@ class TreeWriter(TreeCoder):
         cbf_cb, cbf_cr, cbf_y = leaf.cbf_cb, leaf.cbf_cr, leaf.cbf_y
         enc.encode_bin(cbf_cb, ctxs("CBF_CB", 0))
         enc.encode_bin(cbf_cr, ctxs("CBF_CR", cbf_cb))
+        if leaf.isp:
+            # per-sub-TU luma cbf (ctx 2 + prev-cbf, reference cbf_luma ISP
+            # contexts) + per-sub residual; MTS/LFNST are implicit/off
+            from vvc.kernels.isp import isp_partitions
+            if cbf_cb:
+                write_residual(enc, ctxs, leaf.lev_cb, is_luma=False)
+            if cbf_cr:
+                write_residual(enc, ctxs, leaf.lev_cr, is_luma=False)
+            prev = 0
+            for part in isp_partitions(leaf.w, leaf.h, leaf.isp):
+                sub_cbf = leaf.sub_cbf_y(part)
+                enc.encode_bin(sub_cbf, ctxs("CBF_LUMA", 2 + prev))
+                if sub_cbf:
+                    xo, yo, sw, sh = part
+                    write_residual(enc, ctxs,
+                                   leaf.lev_y[yo:yo + sh, xo:xo + sw],
+                                   is_luma=True)
+                prev = sub_cbf
+            return
         enc.encode_bin(cbf_y, ctxs("CBF_LUMA", 0))
         if self._mts_signaled(leaf.w, cbf_y, leaf.h) and leaf.pred == 0:
             # mts_idx: truncated unary, cMax 4, one ctx per bin (reference:
@@ -654,12 +685,21 @@ class TreeReader(TreeCoder):
         is_mip = False
         if self.mip_enabled and w == h and mip_allowed(w):
             is_mip = bool(dec.decode_bin(ctxs("MIP_FLAG", 0)))
+        isp = 0
         if is_mip:
             mode = 67 + _tb_read(dec, K_MIP_MODES)
         else:
             if (y0 % self.ctu) > 0:
                 ref_idx_bin = dec.decode_bin(ctxs("INTRA_LUMA_REF_IDX", 0))
                 assert ref_idx_bin == 0, "multi-ref-line not supported yet"
+            if self.isp_enabled:
+                from vvc.kernels.isp import isp_allowed
+                can_h, can_v = isp_allowed(w, h)
+                if (can_h or can_v) and dec.decode_bin(ctxs("ISP_MODE", 0)):
+                    if can_h and can_v:
+                        isp = 1 + dec.decode_bin(ctxs("ISP_MODE", 1))
+                    else:
+                        isp = 1 if can_h else 2
             left, above = self._neighbor_modes(x0, y0, w, h)
             mpm = mpm_list(left, above)
             if dec.decode_bin(ctxs("INTRA_LUMA_MPM_FLAG", 0)):
@@ -683,7 +723,7 @@ class TreeReader(TreeCoder):
         if not chroma_mode:
             dm = dec.decode_bin(ctxs("INTRA_CHROMA_PRED_MODE", 0))
             assert dm == 1, "non-DM chroma not supported yet"
-        leaf = Leaf(x0, y0, w, h, mode, chroma_mode=chroma_mode)
+        leaf = Leaf(x0, y0, w, h, mode, isp=isp, chroma_mode=chroma_mode)
         self._read_residuals(leaf)
         tr = _trace()
         if tr.enabled:
@@ -703,6 +743,27 @@ class TreeReader(TreeCoder):
         w, h = leaf.w, leaf.h
         cbf_cb = dec.decode_bin(ctxs("CBF_CB", 0))
         cbf_cr = dec.decode_bin(ctxs("CBF_CR", cbf_cb))
+        if leaf.isp:
+            from vvc.kernels.isp import isp_partitions
+            cw, ch = w >> 1, h >> 1
+            if cbf_cb:
+                leaf.lev_cb = read_residual(dec, ctxs, (cw, ch),
+                                            is_luma=False)
+            if cbf_cr:
+                leaf.lev_cr = read_residual(dec, ctxs, (cw, ch),
+                                            is_luma=False)
+            lev_y = np.zeros((h, w), dtype=np.int32)
+            any_y = False
+            prev = 0
+            for (xo, yo, sw, sh) in isp_partitions(w, h, leaf.isp):
+                sub_cbf = dec.decode_bin(ctxs("CBF_LUMA", 2 + prev))
+                if sub_cbf:
+                    lev_y[yo:yo + sh, xo:xo + sw] = read_residual(
+                        dec, ctxs, (sw, sh), is_luma=True)
+                    any_y = True
+                prev = sub_cbf
+            leaf.lev_y = lev_y if any_y else None
+            return
         cbf_y = dec.decode_bin(ctxs("CBF_LUMA", 0))
         if self._mts_signaled(w, cbf_y, h) and leaf.pred == 0:
             while leaf.mts < 4 and dec.decode_bin(ctxs("MTS_IDX", leaf.mts)):

@@ -134,6 +134,7 @@ def build_encoder_config(opts: dict):
         "target_kbps": (as_int(opts.get("TargetBitrate")) / 1000.0
                         if as_bool(opts.get("RateControl")) else 0.0),
         "dep_quant": as_bool(opts.get("DepQuant")),
+        "isp": as_bool(opts.get("ISP")),
         "mtt": (as_int(opts.get("MaxMTTHierarchyDepthISliceL"),
                        as_int(opts.get("MaxMTTHierarchyDepth"), 0)) > 0),
         "mctf": as_bool(opts.get("TemporalFilter")),

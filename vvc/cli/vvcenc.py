@@ -43,6 +43,7 @@ def main(argv=None):
         gop_size=io["gop_size"], intra_period=io["intra_period"],
         target_kbps=io["target_kbps"], fps=io["fps"],
         dep_quant=io["dep_quant"], mctf=io["mctf"], mtt=io["mtt"],
+        isp=io["isp"],
         bdof=io["bdof"], dmvr=io["dmvr"],
         num_tile_cols=io["num_tile_cols"], wpp=io["wpp"],
         lossless=io["lossless"], lmcs=io["lmcs"])

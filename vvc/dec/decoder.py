@@ -108,7 +108,7 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
 
     def _recon(leaves):
         if (wavefront and not inter and not sps.dep_quant
-                and all(l.w == l.h for l in leaves)):
+                and all(l.w == l.h and not l.isp for l in leaves)):
             from vvc.dec.wavefront import reconstruct_leaves_wavefront
             reconstruct_leaves_wavefront(leaves, recon, sh.qp,
                                          sps.bit_depth, sps.lossless)
@@ -140,7 +140,7 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
                                 sps.ctu_size, sps.min_cu_size,
                                 mts_enabled=sps.mts_intra,
                                 cclm_enabled=sps.cclm, mip_enabled=sps.mip,
-                            lfnst_enabled=sps.lfnst,
+                            lfnst_enabled=sps.lfnst, isp_enabled=sps.isp,
                             mtt_enabled=sps.max_mtt_depth_intra > 0,
                                 slice_type=sh.slice_type, mstate=mstate,
                                 n_ref=n_ref, col=col, cur_poc=sh.poc,
@@ -173,7 +173,7 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
                             sps.ctu_size, sps.min_cu_size,
                             mts_enabled=sps.mts_intra,
                             cclm_enabled=sps.cclm, mip_enabled=sps.mip,
-                            lfnst_enabled=sps.lfnst,
+                            lfnst_enabled=sps.lfnst, isp_enabled=sps.isp,
                             mtt_enabled=sps.max_mtt_depth_intra > 0,
                             slice_type=sh.slice_type,
                             mstate=MotionState(sps.width, sps.height),

@@ -151,7 +151,7 @@ class Encoder:
                                 split_map, leaf_map, sps.ctu_size,
                                 sps.min_cu_size, mts_enabled=sps.mts_intra,
                                 cclm_enabled=sps.cclm, mip_enabled=sps.mip,
-                            lfnst_enabled=sps.lfnst,
+                            lfnst_enabled=sps.lfnst, isp_enabled=sps.isp,
                             mtt_enabled=sps.max_mtt_depth_intra > 0,
                                 slice_type=int(slice_type), mstate=mstate,
                                 n_ref=n_ref, col=col_info[0],
@@ -228,7 +228,7 @@ class Encoder:
                             split_map, leaf_map, sps.ctu_size,
                             sps.min_cu_size, mts_enabled=sps.mts_intra,
                             cclm_enabled=sps.cclm, mip_enabled=sps.mip,
-                            lfnst_enabled=sps.lfnst,
+                            lfnst_enabled=sps.lfnst, isp_enabled=sps.isp,
                             mtt_enabled=sps.max_mtt_depth_intra > 0,
                             slice_type=int(slice_type),
                             mstate=MotionState(sps.width, sps.height),
@@ -295,14 +295,14 @@ class Encoder:
                 qp, bd, sps.ctu_size, sps.min_cu_size,
                 lossless=sps.lossless, lfnst=sps.lfnst,
                 chroma_planes=(src.cb, src.cr) if sps.cclm else None,
-                mtt=sps.max_mtt_depth_intra > 0)
+                mtt=sps.max_mtt_depth_intra > 0, isp=sps.isp)
             chroma_on_device = sps.cclm
         else:
             split_map, leaf_map, leaves = rdo_partition(
                 src.y, qp, bd, sps.ctu_size, sps.min_cu_size,
                 lossless=sps.lossless, lfnst=sps.lfnst,
                 chroma_planes=(src.cb, src.cr) if sps.cclm else None,
-                mtt=sps.max_mtt_depth_intra > 0)
+                mtt=sps.max_mtt_depth_intra > 0, isp=sps.isp)
             chroma_on_device = sps.cclm
         if sps.cclm and not chroma_on_device:
             intra_leaves = [l for l in leaves if l.pred == 0]
@@ -382,6 +382,7 @@ class Encoder:
         from vvc.utils.trace import active as _trace
         use_native = (USE_NATIVE_TREE and not inter_slice
                       and sps.max_mtt_depth_intra == 0
+                      and not sps.isp
                       and not _trace().enabled
                       and native_packer.available())
         if use_native:
@@ -449,7 +450,8 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
                     target_kbps: float = 0.0, fps: float = 30.0,
                     dep_quant: bool = False, mctf: bool = False,
                     bdof: bool = False, dmvr: bool = False,
-                    mtt: bool = False, _precomputed_rdo=None):
+                    mtt: bool = False, isp: bool = False,
+                    _precomputed_rdo=None):
     """Encode frames (list of Frame) → (annexb bytes, recons, stats).
 
     mode: "ai" (all-intra), "ldp" (low-delay P), "ra" (random access
@@ -466,6 +468,7 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
               sao=not lossless, alf=not lossless, cclm=not lossless,
               lmcs=lmcs and not lossless, lossless=lossless,
               max_mtt_depth_intra=2 if (mtt and not lossless) else 0,
+              isp=isp and not lossless,
               dep_quant=dep_quant and not lossless,
               bdof=bdof and mode == "ra", dmvr=dmvr and mode == "ra")
     pps = PPS(init_qp=qp, num_tile_cols=num_tile_cols, wpp=wpp)
@@ -494,7 +497,7 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
             f.y, qp, bit_depth, sps.ctu_size, sps.min_cu_size,
             lossless=lossless, lfnst=sps.lfnst,
             chroma_planes=(f.cb, f.cr) if sps.cclm else None,
-            mtt=sps.max_mtt_depth_intra > 0)
+            mtt=sps.max_mtt_depth_intra > 0, isp=sps.isp)
             for f in frames]
 
         def do_frame(poc):
@@ -525,7 +528,7 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
             sps.min_cu_size, lossless=lossless, lfnst=sps.lfnst,
             chroma_planes=(([f.cb for f in frames], [f.cr for f in frames])
                            if sps.cclm else None),
-            mtt=sps.max_mtt_depth_intra > 0)
+            mtt=sps.max_mtt_depth_intra > 0, isp=sps.isp)
     else:
         rdo_results = None
 

@@ -118,6 +118,51 @@ _MIP_BITS = 4.5
 # approximate lfnst_idx signalling cost (truncated unary, cMax 2)
 _LFNST_BITS = (0.0, 2.0, 3.0)
 
+# approximate ISP signalling cost: isp flag + direction + per-sub cbf bins
+_ISP_BITS = 2.5
+_ISP_CBF_BITS = 0.8
+
+
+def eval_isp_dir(plane, xs, ys, w: int, h: int, modes, qp, bit_depth: int,
+                 direction: int):
+    """RD cost [N] of coding each block with ISP in `direction` using its
+    (already decided) intra mode.  Search approximation: every sub-TU is
+    predicted from *original* neighbours at its own position — the batched
+    analog of IntraSearch's ISP loop (the real recon then runs the exact
+    sequential feedback).  Implicit DST7/DCT2 per sub-TU dimension."""
+    from vvc.kernels.isp import isp_partitions, isp_tr_types
+    from vvc.kernels.intra import (predict_modes_batch,
+                                   predict_modes_batch_rect)
+    qp = jnp.asarray(qp, dtype=jnp.int32)
+    lam = 0.57 * jnp.exp2((qp.astype(jnp.float32) - 12.0) / 3.0)
+    parts = isp_partitions(w, h, direction)
+    n = xs.shape[0]
+    cost = jnp.zeros((n,), jnp.float32)
+    ph, pw = plane.shape
+    for (xo, yo, sw, sh) in parts:
+        sxs, sys = xs + xo, ys + yo
+        if sw == sh:
+            refs = build_ref_lines_device(plane, sxs, sys, sw, bit_depth)
+            pred = predict_modes_batch(refs, modes, sw, bit_depth)
+        else:
+            refs = build_ref_lines_device_rect(plane, sxs, sys, sw, sh,
+                                               bit_depth)
+            pred = predict_modes_batch_rect(refs, modes, sw, sh, bit_depth)
+        oy = sys[:, None, None] + jnp.arange(sh)[None, :, None]
+        ox = sxs[:, None, None] + jnp.arange(sw)[None, None, :]
+        orig = plane[oy, ox].astype(jnp.int32)
+        resi = orig - pred
+        th, tv = isp_tr_types(sw, sh)
+        coeff = fwd_transform_batch(resi, bit_depth, th, tv)
+        lev = quant_batch(coeff, qp, bit_depth, intra=True)
+        deq = dequant_batch(lev, qp, bit_depth)
+        rec_resi = inv_transform_batch(deq, bit_depth, th, tv)
+        d = (rec_resi - resi).astype(jnp.float32)
+        sse = jnp.sum(d * d, axis=(1, 2))
+        rate = jnp.sum(level_bits_jnp(jnp.abs(lev)), axis=(1, 2))
+        cost = cost + sse + lam * (rate + _ISP_CBF_BITS)
+    return cost + lam * _ISP_BITS
+
 
 def eval_blocks(orig: jax.Array, refs: jax.Array, size: int, qp: int,
                 bit_depth: int = 8, try_mts: bool = False,
@@ -269,10 +314,12 @@ def eval_chroma_modes(cb, cr, ds, xs, ys, size: int, best_mode, bit_depth):
 def eval_size_plane(plane: jax.Array, size: int, qp: int, bit_depth: int,
                     ny: int, nx: int, mts_enabled: bool = True,
                     lossless: bool = False, lfnst_enabled: bool = True,
-                    chroma=None, h: int | None = None):
+                    chroma=None, h: int | None = None,
+                    isp_enabled: bool = False):
     """Whole-frame single-shape evaluation: plane [H,W] int32 →
     (cost [ny,nx] f32, mode [ny,nx] i32, mts [ny,nx] i32,
-     lfnst [ny,nx] i32, chroma_mode [ny,nx] i32).  Trace-safe.
+     lfnst [ny,nx] i32, chroma_mode [ny,nx] i32, isp [ny,nx] i32).
+    Trace-safe.
     chroma: optional (cb, cr, ds) planes for the device chroma decision.
     h != size → rect MTT shape (MIP/LFNST/CCLM gated off)."""
     s = size
@@ -295,13 +342,33 @@ def eval_size_plane(plane: jax.Array, size: int, qp: int, bit_depth: int,
     cost, mode, mts, lfnst = eval_blocks(blocks, refs, s, qp, bit_depth,
                                          try_mts, lossless, try_mip,
                                          try_lfnst, h=bh)
+    isp = jnp.zeros_like(mode)
+    # ISP stage on the winning mode (reference: estIntraPredLumaQT's ISP
+    # loop over surviving candidates); sizes bounded to keep the compiled
+    # program small — 8..32 is where ISP wins in practice
+    if (isp_enabled and not lossless and 8 <= s <= 32 and 8 <= bh <= 32):
+        qpj = jnp.asarray(qp, dtype=jnp.int32)
+        lam = 0.57 * jnp.exp2((qpj.astype(jnp.float32) - 12.0) / 3.0)
+        mode_ok = mode < 67                       # no ISP with MIP
+        m = jnp.where(mode_ok, mode, 0)
+        mbits = jnp.asarray(_MODE_BITS)[m]
+        for d in (1, 2):
+            c_isp = (eval_isp_dir(plane, xs, ys, s, bh, m, qpj, bit_depth, d)
+                     + lam * mbits)
+            better = mode_ok & (c_isp < cost)
+            cost = jnp.where(better, c_isp, cost)
+            isp = jnp.where(better, d, isp)
+        # implicit transforms with ISP: clear mts/lfnst where ISP won
+        mts = jnp.where(isp > 0, 0, mts)
+        lfnst = jnp.where(isp > 0, 0, lfnst)
     if chroma is not None and square:
         cb, cr, ds = chroma
         cmode = eval_chroma_modes(cb, cr, ds, xs, ys, s, mode, bit_depth)
     else:
         cmode = jnp.zeros_like(mode)
     return (cost.reshape(ny, nx), mode.reshape(ny, nx), mts.reshape(ny, nx),
-            lfnst.reshape(ny, nx), cmode.reshape(ny, nx))
+            lfnst.reshape(ny, nx), cmode.reshape(ny, nx),
+            isp.reshape(ny, nx))
 
 
 def _as_shapes(sizes):
@@ -310,7 +377,7 @@ def _as_shapes(sizes):
 
 
 def _eval_all_sizes_impl(plane, sizes, qp, bit_depth, w, h, lossless=False,
-                         lfnst=True, cb=None, cr=None):
+                         lfnst=True, cb=None, cr=None, isp=False):
     chroma = None
     if cb is not None:
         from vvc.kernels.cclm import luma_ds_plane_jnp
@@ -322,7 +389,8 @@ def _eval_all_sizes_impl(plane, sizes, qp, bit_depth, w, h, lossless=False,
             out[(bw, bh)] = eval_size_plane(plane, bw, qp, bit_depth, ny, nx,
                                             lossless=lossless,
                                             lfnst_enabled=lfnst,
-                                            chroma=chroma, h=bh)
+                                            chroma=chroma, h=bh,
+                                            isp_enabled=isp)
     return out
 
 
@@ -334,15 +402,15 @@ def _pack_results(out, sizes):
     for sh in _as_shapes(sizes):
         if sh not in out:
             continue
-        c, m, t, l, cm = out[sh]
+        c, m, t, l, cm, isp = out[sh]
         parts += [jax.lax.bitcast_convert_type(c, jnp.int32).ravel(),
-                  m.ravel(), t.ravel(), l.ravel(), cm.ravel()]
+                  m.ravel(), t.ravel(), l.ravel(), cm.ravel(), isp.ravel()]
     return jnp.concatenate(parts)
 
 
 def unpack_results(vec: np.ndarray, sizes, w: int, h: int):
     """Host-side inverse of _pack_results → {(bw, bh): (cost, mode, mts,
-    lfnst, chroma_mode)} numpy arrays."""
+    lfnst, chroma_mode, isp)} numpy arrays."""
     out = {}
     off = 0
     for (bw, bh) in _as_shapes(sizes):
@@ -355,7 +423,8 @@ def unpack_results(vec: np.ndarray, sizes, w: int, h: int):
         t = vec[off:off + n].reshape(ny, nx); off += n
         l = vec[off:off + n].reshape(ny, nx); off += n
         cm = vec[off:off + n].reshape(ny, nx); off += n
-        out[(bw, bh)] = (c, m, t, l, cm)
+        isp = vec[off:off + n].reshape(ny, nx); off += n
+        out[(bw, bh)] = (c, m, t, l, cm, isp)
     return out
 
 
@@ -383,25 +452,28 @@ def pack_planes(y, cb=None, cr=None):
 
 
 @partial(jax.jit, static_argnames=("sizes", "bit_depth", "w", "h",
-                                   "lossless", "lfnst", "with_chroma"))
+                                   "lossless", "lfnst", "with_chroma",
+                                   "isp"))
 def eval_all_sizes(planes_vec: jax.Array, sizes: tuple, qp, bit_depth: int,
                    w: int, h: int, lossless: bool = False,
-                   lfnst: bool = True, with_chroma: bool = False):
+                   lfnst: bool = True, with_chroma: bool = False,
+                   isp: bool = False):
     """All candidate sizes in ONE dispatch and ONE packed result transfer
     (the RDO search is transfer-latency-bound on small pictures).
     planes_vec: pack_planes(y[, cb, cr]).  Unpack with unpack_results."""
     y, cb, cr = _split_planes(planes_vec, w, h, with_chroma)
     out = _eval_all_sizes_impl(y, sizes, qp, bit_depth, w, h, lossless,
-                               lfnst, cb, cr)
+                               lfnst, cb, cr, isp)
     return _pack_results(out, sizes)
 
 
 @partial(jax.jit, static_argnames=("sizes", "bit_depth", "w", "h",
-                                   "lossless", "lfnst", "with_chroma", "f"))
+                                   "lossless", "lfnst", "with_chroma", "f",
+                                   "isp"))
 def eval_all_sizes_frames(planes_vec: jax.Array, sizes: tuple, qp,
                           bit_depth: int, w: int, h: int, f: int,
                           lossless: bool = False, lfnst: bool = True,
-                          with_chroma: bool = False):
+                          with_chroma: bool = False, isp: bool = False):
     """[F]-batched variant: one dispatch + one packed transfer for the
     whole GOP (All-Intra frames are independent, SURVEY.md §2.7 P-5).
     Result: [F, per-frame packed length] int32."""
@@ -410,12 +482,12 @@ def eval_all_sizes_frames(planes_vec: jax.Array, sizes: tuple, qp,
         return jax.vmap(
             lambda p, b, r: _pack_results(
                 _eval_all_sizes_impl(p, sizes, qp, bit_depth, w, h,
-                                     lossless, lfnst, b, r), sizes)
+                                     lossless, lfnst, b, r, isp), sizes)
         )(y, cb, cr)
     return jax.vmap(
         lambda p: _pack_results(
             _eval_all_sizes_impl(p, sizes, qp, bit_depth, w, h,
-                                 lossless, lfnst), sizes))(y)
+                                 lossless, lfnst, isp=isp), sizes))(y)
 
 
 SPLIT_BITS = 1.5   # approximate split_cu_flag cost
@@ -441,7 +513,8 @@ def _candidate_shapes(ctu_size: int, min_cu: int, mtt: bool):
 
 def rdo_partition(y_plane: np.ndarray, qp: int, bit_depth: int = 8,
                   ctu_size: int = 64, min_cu: int = 8, lossless: bool = False,
-                  lfnst: bool = True, chroma_planes=None, mtt: bool = False):
+                  lfnst: bool = True, chroma_planes=None, mtt: bool = False,
+                  isp: bool = False):
     """Full-frame partition + mode decision.
 
     chroma_planes: optional (cb, cr) — enables the on-device 4-way chroma
@@ -456,7 +529,7 @@ def rdo_partition(y_plane: np.ndarray, qp: int, bit_depth: int = 8,
     vec = pack_planes(y_plane, *(chroma_planes or (None, None)))
     packed = eval_all_sizes(jax.device_put(vec), shapes,
                             jnp.int32(qp), bit_depth, w, h, lossless, lfnst,
-                            with_chroma)
+                            with_chroma, isp)
     results = unpack_results(np.asarray(packed), shapes, w, h)
     return _dp_backtrack(results, w, h, qp, shapes, ctu_size, min_cu, mtt)
 
@@ -464,7 +537,8 @@ def rdo_partition(y_plane: np.ndarray, qp: int, bit_depth: int = 8,
 def rdo_partition_dispatch(y_plane, qp: int, bit_depth: int = 8,
                            ctu_size: int = 64, min_cu: int = 8,
                            lossless: bool = False, lfnst: bool = True,
-                           chroma_planes=None, mtt: bool = False):
+                           chroma_planes=None, mtt: bool = False,
+                           isp: bool = False):
     """Async half of rdo_partition: queues the device program and returns
     the packed result handle immediately (jax dispatch is async) — the
     host pipeline overlaps with device compute.  Finish with
@@ -475,7 +549,7 @@ def rdo_partition_dispatch(y_plane, qp: int, bit_depth: int = 8,
     vec = pack_planes(y_plane, *(chroma_planes or (None, None)))
     packed = eval_all_sizes(jax.device_put(vec), shapes,
                             jnp.int32(qp), bit_depth, w, h, lossless, lfnst,
-                            with_chroma)
+                            with_chroma, isp)
     return (packed, w, h, qp, shapes, ctu_size, min_cu, mtt)
 
 
@@ -489,7 +563,8 @@ def rdo_partition_finish(handle):
 def rdo_partition_frames(y_planes, qp: int, bit_depth: int = 8,
                          ctu_size: int = 64, min_cu: int = 8,
                          lossless: bool = False, lfnst: bool = True,
-                         chroma_planes=None, mtt: bool = False):
+                         chroma_planes=None, mtt: bool = False,
+                         isp: bool = False):
     """Batched variant: list of [H,W] planes → list of per-frame
     (split_map, leaf_map, leaves).  One device dispatch for the whole GOP."""
     h, w = y_planes[0].shape
@@ -503,7 +578,7 @@ def rdo_partition_frames(y_planes, qp: int, bit_depth: int = 8,
                         else (None, None)))
     packed = eval_all_sizes_frames(jax.device_put(vec), shapes,
                                    jnp.int32(qp), bit_depth, w, h, nf,
-                                   lossless, lfnst, with_chroma)
+                                   lossless, lfnst, with_chroma, isp)
     packed = np.asarray(packed)
     out = []
     for f in range(nf):
@@ -529,7 +604,8 @@ def rdo_partition_tiled(y_plane: np.ndarray, tiles, qp: int,
                         bit_depth: int = 8, ctu_size: int = 64,
                         min_cu: int = 8, lossless: bool = False,
                         lfnst: bool = True, chroma_planes=None,
-                        mtt: bool = False, tile_results=None):
+                        mtt: bool = False, tile_results=None,
+                        isp: bool = False):
     """Per-tile RDO: each tile column is searched on its own sub-plane
     (prediction references clamp at the tile edge, matching the tile
     reconstruction's availability — the frame-wide search crossed edges
@@ -559,7 +635,7 @@ def rdo_partition_tiled(y_plane: np.ndarray, tiles, qp: int,
             vec = pack_planes(ys, cbs, crs)
             packed = np.asarray(eval_all_sizes_frames(
                 jax.device_put(vec), shapes, jnp.int32(qp), bit_depth, wt, h,
-                len(tiles), lossless, lfnst, with_chroma))
+                len(tiles), lossless, lfnst, with_chroma, isp))
             tile_results = [unpack_results(packed[i], shapes, wt, h)
                             for i in range(len(tiles))]
         else:
@@ -571,7 +647,7 @@ def rdo_partition_tiled(y_plane: np.ndarray, tiles, qp: int,
                 vec = pack_planes(y_plane[:, tx0:tx1], *(cp or (None, None)))
                 packed = np.asarray(eval_all_sizes(
                     jax.device_put(vec), shapes, jnp.int32(qp), bit_depth,
-                    tx1 - tx0, h, lossless, lfnst, with_chroma))
+                    tx1 - tx0, h, lossless, lfnst, with_chroma, isp))
                 tile_results.append(
                     unpack_results(packed, shapes, tx1 - tx0, h))
     split_map, leaf_map, leaves = {}, {}, []
@@ -594,6 +670,7 @@ def _dp_backtrack(results, w, h, qp, sizes, ctu_size, min_cu, mtt=False):
     mts = {}
     lfn = {}
     cmode = {}
+    ispd = {}
     szs = [bw for (bw, bh) in _as_shapes(sizes)]
     for s in szs:
         nx, ny = w // s, h // s
@@ -602,6 +679,7 @@ def _dp_backtrack(results, w, h, qp, sizes, ctu_size, min_cu, mtt=False):
         mts[s] = np.zeros((ny, nx), dtype=np.int32)
         lfn[s] = np.zeros((ny, nx), dtype=np.int32)
         cmode[s] = np.zeros((ny, nx), dtype=np.int32)
+        ispd[s] = np.zeros((ny, nx), dtype=np.int32)
         if (s, s) in results:
             r = results[(s, s)]
             cost[s][:] = r[0]
@@ -611,6 +689,8 @@ def _dp_backtrack(results, w, h, qp, sizes, ctu_size, min_cu, mtt=False):
                 lfn[s][:] = r[3]
             if len(r) > 4:
                 cmode[s][:] = r[4]
+            if len(r) > 5:
+                ispd[s][:] = r[5]
 
     # bottom-up DP
     best = {min_cu: cost[min_cu].copy()}
@@ -651,6 +731,7 @@ def _dp_backtrack(results, w, h, qp, sizes, ctu_size, min_cu, mtt=False):
             leaf = Leaf(x0, y0, s, s, int(mode[s][y0 // s, x0 // s]),
                         mts=int(mts[s][y0 // s, x0 // s]),
                         lfnst=int(lfn[s][y0 // s, x0 // s]),
+                        isp=int(ispd[s][y0 // s, x0 // s]),
                         chroma_mode=int(cmode[s][y0 // s, x0 // s]))
             tr = _trace()
             if tr.enabled:
@@ -689,6 +770,7 @@ def _dp_backtrack_mtt(results, w, h, qp, shapes, ctu_size, min_cu):
             data[sh] = tuple(np.asarray(x) for x in r)
         else:
             data[sh] = (np.full((ny, nx), np.inf, np.float64),
+                        np.zeros((ny, nx), np.int32),
                         np.zeros((ny, nx), np.int32),
                         np.zeros((ny, nx), np.int32),
                         np.zeros((ny, nx), np.int32),
@@ -779,7 +861,8 @@ def _dp_backtrack_mtt(results, w, h, qp, shapes, ctu_size, min_cu):
             iy, ix = y0 // bh, x0 // bw
             leaf = Leaf(x0, y0, bw, bh, int(r[1][iy, ix]),
                         mts=int(r[2][iy, ix]), lfnst=int(r[3][iy, ix]),
-                        chroma_mode=int(r[4][iy, ix]))
+                        chroma_mode=int(r[4][iy, ix]),
+                        isp=int(r[5][iy, ix]) if len(r) > 5 else 0)
             leaf_map[(x0, y0, bw, bh)] = leaf
             leaves.append(leaf)
             return

@@ -121,7 +121,9 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
     """
     has_inter = any(l.pred == 1 for l in leaves)
     has_rect = any(l.w != l.h for l in leaves)
-    if use_native and not has_inter and not has_rect and not dep_quant:
+    has_isp = any(l.isp for l in leaves)
+    if (use_native and not has_inter and not has_rect and not dep_quant
+            and not has_isp):
         from vvc.packer import native_recon
         if native_recon.available():
             return native_recon.reconstruct_leaves_native(
@@ -159,14 +161,41 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
                                       inter_cfg)
             pred_cr = inter_pred_leaf(leaf, 2, refs_l0, refs_l1, bit_depth,
                                       inter_cfg)
-        lev = _recon_block(y_pl, o_y, coded_y, x0, y0, lw, leaf.luma_mode,
-                           qp, bit_depth,
-                           None if encode_mode else dec_levels(leaf.lev_y,
-                                                               lw, lh),
-                           th, tv, lossless, pred=pred_y, intra=not is_inter,
-                           dep_quant=dep_quant, lfnst=leaf.lfnst, h=lh)
-        if encode_mode:
-            leaf.lev_y = lev if np.any(lev) else None
+        if leaf.isp and not is_inter:
+            # ISP: K sub-TUs reconstructed in coding order; each one's
+            # prediction sees the previous sub-TUs through the coded map
+            # (reference: IntraSearch::xIntraCodingLumaISP's sequential
+            # recon feedback).  Implicit DST7/DCT2 transform per dim.
+            from vvc.kernels.isp import isp_partitions, isp_tr_types
+            parts = isp_partitions(lw, lh, leaf.isp)
+            dec_lev_full = (None if encode_mode
+                            else dec_levels(leaf.lev_y, lw, lh))
+            enc_lev = np.zeros((lh, lw), dtype=np.int32)
+            for (xo, yo, sw, sh) in parts:
+                sth, stv = isp_tr_types(sw, sh)
+                sub = _recon_block(
+                    y_pl, o_y, coded_y, x0 + xo, y0 + yo, sw, leaf.luma_mode,
+                    qp, bit_depth,
+                    None if encode_mode
+                    else dec_lev_full[yo:yo + sh, xo:xo + sw],
+                    sth, stv, lossless, intra=True, dep_quant=dep_quant,
+                    h=sh)
+                if encode_mode:
+                    enc_lev[yo:yo + sh, xo:xo + sw] = sub
+                coded_y[(y0 + yo) >> 2:(y0 + yo + sh) >> 2,
+                        (x0 + xo) >> 2:(x0 + xo + sw) >> 2] = True
+            if encode_mode:
+                leaf.lev_y = enc_lev if np.any(enc_lev) else None
+        else:
+            lev = _recon_block(y_pl, o_y, coded_y, x0, y0, lw, leaf.luma_mode,
+                               qp, bit_depth,
+                               None if encode_mode else dec_levels(leaf.lev_y,
+                                                                   lw, lh),
+                               th, tv, lossless, pred=pred_y,
+                               intra=not is_inter,
+                               dep_quant=dep_quant, lfnst=leaf.lfnst, h=lh)
+            if encode_mode:
+                leaf.lev_y = lev if np.any(lev) else None
         # chroma (single tree, DM mode = luma mode; MIP maps to planar),
         # half resolution
         dm_mode = 0 if leaf.luma_mode >= 67 else leaf.luma_mode

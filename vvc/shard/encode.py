@@ -29,7 +29,8 @@ def make_encode_mesh(n_frames: int, n_tiles: int, devices=None) -> Mesh:
 
 def eval_cells_sharded(mesh: Mesh, cells: np.ndarray, shapes, qp: int,
                        bit_depth: int, wt: int, h: int, lossless: bool,
-                       lfnst: bool, with_chroma: bool) -> np.ndarray:
+                       lfnst: bool, with_chroma: bool,
+                       isp: bool = False) -> np.ndarray:
     """cells [N, Lin] int32 — one packed (y[,cb,cr]) plane-vector per
     (frame, tile) cell, frame-major — evaluated under shard_map over the
     flattened mesh.  Returns packed per-cell RDO results [N, Lout].
@@ -49,7 +50,7 @@ def eval_cells_sharded(mesh: Mesh, cells: np.ndarray, shapes, qp: int,
         y, cb, cr = _split_planes(vec, wt, h, with_chroma)
         return _pack_results(
             _eval_all_sizes_impl(y, shapes, qp, bit_depth, wt, h, lossless,
-                                 lfnst, cb, cr), shapes)
+                                 lfnst, cb, cr, isp), shapes)
 
     def body(chunk):
         return jax.vmap(one)(chunk)
@@ -64,7 +65,7 @@ def eval_cells_sharded(mesh: Mesh, cells: np.ndarray, shapes, qp: int,
 def encode_sequence_sharded(frames, qp: int = 32, bit_depth: int = 8,
                             num_tile_cols: int = 2, mesh: Mesh | None = None,
                             lossless: bool = False, mtt: bool = False,
-                            parallel_tiles: bool = True):
+                            isp: bool = False, parallel_tiles: bool = True):
     """All-Intra sequence encode with the RDO fan-out over a device mesh.
 
     Byte-identical to encode_sequence(frames, qp, num_tile_cols=...) —
@@ -102,7 +103,8 @@ def encode_sequence_sharded(frames, qp: int = 32, bit_depth: int = 8,
             cells.append(pack_planes(f.y[:, tx0:tx1], *cp))
     cells = np.stack(cells)
     packed = eval_cells_sharded(mesh, cells, shapes, qp, bit_depth, wt, h,
-                                lossless, not lossless, cclm)
+                                lossless, not lossless, cclm,
+                                isp and not lossless)
 
     rdo_list = []
     for i, f in enumerate(frames):
@@ -110,8 +112,9 @@ def encode_sequence_sharded(frames, qp: int = 32, bit_depth: int = 8,
               for t in range(nt)]
         rdo_list.append(rdo_partition_tiled(
             f.y, tiles, qp, bit_depth, ctu, min_cu, lossless=lossless,
-            lfnst=not lossless, mtt=mtt and not lossless, tile_results=tr))
+            lfnst=not lossless, mtt=mtt and not lossless, tile_results=tr,
+            isp=isp and not lossless))
     return encode_sequence(frames, qp=qp, bit_depth=bit_depth,
                            num_tile_cols=num_tile_cols, lossless=lossless,
-                           mtt=mtt, parallel_tiles=parallel_tiles,
+                           mtt=mtt, isp=isp, parallel_tiles=parallel_tiles,
                            _precomputed_rdo=rdo_list)
