@@ -152,3 +152,46 @@ class TestGopStructures:
         assert all(e.l0[0] == e.poc - 1 and len(e.l0) <= 2
                    for e in order[1:])
         assert order[3].l0 == (2, 1)
+
+
+class TestHierarchicalMeAndMerge:
+    def test_large_motion_found(self):
+        # 24-px pan exceeds the old flat range-16 window; hierarchical ME
+        # (top-level 32 + parent-centered children) must lock onto it
+        from vvc.enc.inter_search import rdo_inter_partition
+        rng = np.random.default_rng(5)
+        base = rng.integers(0, 256, size=(64, 192)).astype(np.int32)
+        ref = base[:, 24:24 + 128].copy()
+        cur = base[:, 0:128].copy()      # content moved 24 px right→left
+        _, _, leaves = rdo_inter_partition(cur, [ref], [], qp=32)
+        inter_lv = [l for l in leaves if l.pred == 1]
+        assert inter_lv, "no inter leaf chosen on pure translation"
+        area = sum(l.w * l.h for l in inter_lv)
+        good = sum(l.w * l.h for l in inter_lv
+                   if l.mv[0] == (-4 * 24, 0))
+        assert good >= 0.7 * area, (
+            f"only {good}/{area} px found the 24-px MV")
+
+    def test_small_blocks_get_inter(self):
+        # 8x8 leaves must carry inter candidates (old ME_SIZES_MIN=16
+        # forced them intra)
+        from vvc.enc.inter_search import ME_SIZES_MIN
+        assert ME_SIZES_MIN == 8
+
+    def test_merge_adoption_reduces_bits(self):
+        # coherent global pan: neighbour-adoption makes the MV field
+        # uniform, so most inter CUs ride merge syntax (cheap);
+        # P-frame bits must be a small fraction of the I-frame's
+        from vvc.enc.encoder import encode_sequence
+        from vvc.io.yuv import Frame
+        rng = np.random.default_rng(9)
+        base = rng.integers(0, 256, size=(96, 160)).astype(np.int32)
+        frames = []
+        for t in range(3):
+            y = base[:64, 8 * t:8 * t + 128].copy()
+            cb = np.full((32, 64), 120, np.int32)
+            cr = np.full((32, 64), 100, np.int32)
+            frames.append(Frame(y, cb, cr))
+        data, recons, stats = encode_sequence(frames, qp=32, mode="ldp")
+        assert stats[1]["bits"] < 0.25 * stats[0]["bits"]
+        assert stats[2]["bits"] < 0.25 * stats[0]["bits"]

@@ -41,9 +41,13 @@ from vvc.kernels.quant import quant_batch, dequant_batch
 from vvc.model.frame import Leaf
 from vvc.model.partition import SPLIT_NONE, SPLIT_QT
 
-ME_SIZES_MIN = 16      # integer ME at sizes >= this; smaller blocks get no
-                       # inter candidate and fall back to intra in the DP
+ME_SIZES_MIN = 8       # integer ME at sizes >= this (8×8 searches a small
+                       # window centered on the parent 16×16 MV)
 CHUNK = 1024           # blocks per ME dispatch (bounds window-gather memory)
+CHILD_RADIUS = 8       # refinement radius around the parent-MV center —
+                       # hierarchical ME: effective range ≈ top radius +
+                       # Σ child radii (reference: xTZSearch's predictor-
+                       # centered window, SURVEY §2.3 InterSearch)
 
 
 def _mv_bits(d):
@@ -52,17 +56,21 @@ def _mv_bits(d):
 
 
 @partial(jax.jit, static_argnames=("size", "radius"))
-def _int_me_chunk(blocks, ref, xs, ys, size: int, radius: int, lam_m):
-    """Integer full-search SSE ME for one chunk of same-size blocks.
+def _int_me_chunk(blocks, ref, xs, ys, size: int, radius: int, lam_m,
+                  cx0, cy0):
+    """Integer full-search SSE ME for one chunk of same-size blocks, over
+    a (2R+1)² window centered at per-block predictor (cx0, cy0) int-pel
+    (hierarchical/AMVP-centered search — the TZSearch analog).
 
     blocks [N,S,S] f32, ref [H,W] f32, xs/ys block origins [N].
-    Returns (mv_x [N], mv_y [N]) integer-pel displacements."""
+    Returns (mv_x [N], mv_y [N]) integer-pel displacements (incl. center).
+    """
     n, s, _ = blocks.shape
     r = radius
     h, w = ref.shape
     k = jnp.arange(s + 2 * r)
-    yy = jnp.clip(ys[:, None] - r + k[None, :], 0, h - 1)
-    xx = jnp.clip(xs[:, None] - r + k[None, :], 0, w - 1)
+    yy = jnp.clip(ys[:, None] + cy0[:, None] - r + k[None, :], 0, h - 1)
+    xx = jnp.clip(xs[:, None] + cx0[:, None] - r + k[None, :], 0, w - 1)
     win = ref[yy[:, :, None], xx[:, None, :]]                 # [N, S+2R, S+2R]
     # correlation via grouped conv: each block is its own filter (MXU)
     corr = jax.lax.conv_general_dilated(
@@ -79,10 +87,12 @@ def _int_me_chunk(blocks, ref, xs, ys, size: int, radius: int, lam_m):
              - ii[:, d[:, None], d[None, :] + s]
              + ii[:, d[:, None], d[None, :]])                 # [N, 2R+1, 2R+1]
     sse = e_win - 2.0 * corr                                  # + Σo² (const)
-    bits = _mv_bits(4 * (d - r))
-    cost = sse + lam_m * (bits[None, :, None] + bits[None, None, :])
+    bx = _mv_bits(4 * (cx0[:, None] + d[None, :] - r))        # [N, 2R+1]
+    by = _mv_bits(4 * (cy0[:, None] + d[None, :] - r))
+    cost = sse + lam_m * (by[:, :, None] + bx[:, None, :])
     flat = jnp.argmin(cost.reshape(n, -1), axis=1)
-    return (flat % (2 * r + 1)) - r, (flat // (2 * r + 1)) - r
+    return (cx0 + flat % (2 * r + 1) - r,
+            cy0 + flat // (2 * r + 1) - r)
 
 
 _FRAC_OFF = [(0, 0), (-1, 0), (1, 0), (0, -1), (0, 1),
@@ -152,13 +162,20 @@ def _blocks_grid(plane: np.ndarray, size: int):
     return blocks, xs.astype(np.int32), ys.astype(np.int32), ny, nx
 
 
-def _me_one_ref(y_plane, ref_plane, phase_planes, size, qp, radius):
+def _me_one_ref(y_plane, ref_plane, phase_planes, size, qp, radius,
+                centers=None):
     """Full ME (integer + fractional) of all size×size blocks against one
-    reference.  Returns (mvx, mvy [N] qpel, satd [N])."""
+    reference.  centers: optional (cx, cy) int-pel per-block window centers
+    (parent MVs — hierarchical search).  Returns (mvx, mvy [N] qpel,
+    satd [N])."""
     lam_m = math.sqrt(rd_lambda(qp))
     blocks_np, xs, ys, ny, nx = _blocks_grid(y_plane, size)
     n = len(blocks_np)
     reff = jnp.asarray(ref_plane, dtype=jnp.float32)
+    cx0 = (centers[0] if centers is not None
+           else np.zeros(n, np.int32)).astype(np.int32)
+    cy0 = (centers[1] if centers is not None
+           else np.zeros(n, np.int32)).astype(np.int32)
     mvx = np.zeros(n, dtype=np.int32)
     mvy = np.zeros(n, dtype=np.int32)
     for c0 in range(0, n, CHUNK):
@@ -166,13 +183,17 @@ def _me_one_ref(y_plane, ref_plane, phase_planes, size, qp, radius):
         pad = CHUNK - (c1 - c0) if (c1 - c0) < CHUNK and n > CHUNK else 0
         bl = blocks_np[c0:c1].astype(np.float32)
         cxs, cys = xs[c0:c1], ys[c0:c1]
+        ccx, ccy = cx0[c0:c1], cy0[c0:c1]
         if pad:
             bl = np.concatenate([bl, np.zeros((pad,) + bl.shape[1:],
                                               np.float32)])
             cxs = np.concatenate([cxs, np.zeros(pad, np.int32)])
             cys = np.concatenate([cys, np.zeros(pad, np.int32)])
+            ccx = np.concatenate([ccx, np.zeros(pad, np.int32)])
+            ccy = np.concatenate([ccy, np.zeros(pad, np.int32)])
         ix, iy = _int_me_chunk(jnp.asarray(bl), reff, jnp.asarray(cxs),
-                               jnp.asarray(cys), size, radius, lam_m)
+                               jnp.asarray(cys), size, radius, lam_m,
+                               jnp.asarray(ccx), jnp.asarray(ccy))
         mvx[c0:c1] = np.asarray(ix)[:c1 - c0] * 4
         mvy[c0:c1] = np.asarray(iy)[:c1 - c0] * 4
     fx, fy, cost = _frac_refine(
@@ -183,18 +204,68 @@ def _me_one_ref(y_plane, ref_plane, phase_planes, size, qp, radius):
             blocks_np, xs, ys, ny, nx)
 
 
+MERGE_CAND_BITS = 3.0   # approximate merge-candidate signalling cost
+
+
+def _neighbor_adopt(blocks, refs, phase, best, s, xs, ys, ny, nx, lam_m):
+    """Merge-mode RDO analog: evaluate the left/above neighbours' (MV, ref)
+    as prediction hypotheses at merge-level rate (no MVD) and adopt when
+    cheaper (reference: EncCu::xCheckRDCostMerge2Nx2N — candidates scored
+    as predictions, not just syntax shortcuts).  Adopted MVs then match
+    the writer's real merge list and ride merge syntax."""
+    ob = jnp.asarray(blocks, dtype=jnp.int32)
+
+    def gather_sel(mx, my, rf):
+        out = None
+        for ridx, ref in enumerate(refs):
+            p = gather_pred_planes(phase[id(ref)], jnp.asarray(xs),
+                                   jnp.asarray(ys), jnp.asarray(mx),
+                                   jnp.asarray(my), s)
+            m = jnp.asarray(rf == ridx)[:, None, None]
+            out = p if out is None else jnp.where(m, p, out)
+        return out
+
+    for axis in ("left", "above"):
+        gx = best[0].reshape(ny, nx).copy()
+        gy = best[1].reshape(ny, nx).copy()
+        gr = best[3].reshape(ny, nx).copy()
+        valid = np.ones((ny, nx), bool)
+        if axis == "left":
+            gx[:, 1:], gy[:, 1:], gr[:, 1:] = gx[:, :-1], gy[:, :-1], gr[:, :-1]
+            valid[:, 0] = False
+        else:
+            gx[1:, :], gy[1:, :], gr[1:, :] = gx[:-1, :], gy[:-1, :], gr[:-1, :]
+            valid[0, :] = False
+        cmx, cmy, crf = gx.ravel(), gy.ravel(), gr.ravel()
+        pred_c = gather_sel(cmx, cmy, crf)
+        cost_c = (np.asarray(satd_batch(pred_c, ob)).astype(np.float64)
+                  + lam_m * MERGE_CAND_BITS)
+        upd = valid.ravel() & (cost_c < best[2])
+        best[0] = np.where(upd, cmx, best[0])
+        best[1] = np.where(upd, cmy, best[1])
+        best[2] = np.where(upd, cost_c, best[2])
+        best[3] = np.where(upd, crf, best[3])
+    return best
+
+
 def rdo_inter_partition(y_plane: np.ndarray, refs_l0, refs_l1, qp: int,
                         bit_depth: int = 8, ctu_size: int = 64,
                         min_cu: int = 8, is_b: bool = False,
-                        search_range: int = 16, mts_enabled: bool = True):
+                        search_range: int = 32, mts_enabled: bool = True):
     """Partition + per-CU mode decision for a P/B frame.
 
     refs_l0 / refs_l1: lists of reference luma planes (decode order nearest
     first).  Returns (split_map, leaf_map, leaves) with inter fields set.
+
+    ME is hierarchical: the largest size searches ±search_range around
+    zero; every smaller size searches ±CHILD_RADIUS around its parent
+    block's integer MV (effective range grows with depth — the TZSearch
+    predictor-centering analog, exhaustively batched on the MXU).
     """
     h, w = y_plane.shape
     sizes = _candidate_sizes(ctu_size, min_cu)
     lam = rd_lambda(qp)
+    lam_m = math.sqrt(lam)
 
     # intra costs for all sizes (one dispatch — shared with the AI path)
     from vvc.enc.rdo import pack_planes, unpack_results
@@ -209,16 +280,32 @@ def rdo_inter_partition(y_plane: np.ndarray, refs_l0, refs_l1, qp: int,
         if key not in phase:
             phase[key] = interp_luma_planes(ref, bit_depth)
 
-    me_sizes = [s for s in sizes if s >= ME_SIZES_MIN]
+    me_sizes = sorted([s for s in sizes if s >= ME_SIZES_MIN], reverse=True)
+    # per (list, ref, size): integer-MV grids feeding the children's centers
+    parent_mv = {}
     # per size: best uni MV per list (ref 0 ... n), then bi check, then RD
     inter = {}   # size -> dict of per-block arrays
     for s in me_sizes:
         per_list = []
-        for refs in (refs_l0, refs_l1 if is_b else []):
+        for li, refs in enumerate((refs_l0, refs_l1 if is_b else [])):
             best = None
             for ridx, ref in enumerate(refs):
+                centers = None
+                radius = search_range
+                pk = (li, ridx, 2 * s)
+                if pk in parent_mv:
+                    pmx, pmy, pny, pnx = parent_mv[pk]
+                    cny, cnx = h // s, w // s
+                    iy = np.minimum(np.arange(cny) // 2, pny - 1)
+                    ix = np.minimum(np.arange(cnx) // 2, pnx - 1)
+                    centers = (pmx[np.ix_(iy, ix)].ravel(),
+                               pmy[np.ix_(iy, ix)].ravel())
+                    radius = CHILD_RADIUS
                 fx, fy, cost, blocks_np, xs, ys, ny, nx = _me_one_ref(
-                    y_plane, ref, phase[id(ref)], s, qp, search_range)
+                    y_plane, ref, phase[id(ref)], s, qp, radius, centers)
+                parent_mv[(li, ridx, s)] = ((fx // 4).reshape(ny, nx),
+                                            (fy // 4).reshape(ny, nx),
+                                            ny, nx)
                 if best is None:
                     best = [fx, fy, cost, np.full(len(fx), ridx)]
                 else:
@@ -227,6 +314,9 @@ def rdo_inter_partition(y_plane: np.ndarray, refs_l0, refs_l1, qp: int,
                     best[1] = np.where(upd, fy, best[1])
                     best[2] = np.where(upd, cost, best[2])
                     best[3] = np.where(upd, ridx, best[3])
+            if best is not None:
+                best = _neighbor_adopt(blocks_np, refs, phase, best, s,
+                                       xs, ys, ny, nx, lam_m)
             per_list.append(best)
         blocks_np, xs, ys, ny, nx = _blocks_grid(y_plane, s)
         n = len(blocks_np)
@@ -262,8 +352,15 @@ def rdo_inter_partition(y_plane: np.ndarray, refs_l0, refs_l1, qp: int,
                                            [:, None, None], p1, p0))
         else:
             pred_dev = sel_pred(refs_l0, l0)
-        # rough signalling bits: mvd + flags (merge discount applied at write)
-        mvb = (np.log2(1 + np.abs(l0[0])) + np.log2(1 + np.abs(l0[1]))) + 6.0
+        # signalling bits: MVD vs the left-neighbour predictor (AMVP-rate
+        # analog; merge-adopted MVs get near-zero MVD) + flags
+        pmx = l0[0].reshape(ny, nx).copy()
+        pmy = l0[1].reshape(ny, nx).copy()
+        pmx[:, 1:], pmy[:, 1:] = pmx[:, :-1], pmy[:, :-1]
+        pmx[:, 0] = 0
+        pmy[:, 0] = 0
+        mvb = (np.log2(1 + np.abs(l0[0] - pmx.ravel()))
+               + np.log2(1 + np.abs(l0[1] - pmy.ravel()))) + 6.0
         rd = np.asarray(_inter_rd(jnp.asarray(blocks_np, dtype=jnp.int32),
                                   pred_dev, s, jnp.int32(qp), bit_depth,
                                   jnp.asarray(mvb, dtype=jnp.float32)))
