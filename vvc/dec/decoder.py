@@ -229,7 +229,7 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
                              sps.bit_depth, tiles,
                              comp_scale=0 if comp == 0 else 1)
     if sps.alf and alf_hdr is not None:
-        from vvc.kernels.alf import apply_alf_plane
+        from vvc.kernels.alf import apply_alf_plane, apply_alf_classified
         luma_c, flag_list, chroma_c = alf_hdr
         if luma_c is not None:
             flags = {}
@@ -238,8 +238,8 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
                 for x0 in range(0, sps.width, sps.ctu_size):
                     flags[(x0, y0)] = flag_list[i]
                     i += 1
-            apply_alf_plane(recon[0], luma_c, 3, sps.bit_depth, flags,
-                            sps.ctu_size)
+            apply_alf_classified(recon[0], *luma_c, sps.bit_depth, flags,
+                                 sps.ctu_size)
         if chroma_c is not None:
             apply_alf_plane(recon[1], chroma_c, 2, sps.bit_depth)
             apply_alf_plane(recon[2], chroma_c, 2, sps.bit_depth)

@@ -38,21 +38,198 @@ def derive_alf_coeffs(orig: np.ndarray, rec: np.ndarray, radius: int,
     return ci.astype(np.int32)
 
 
+def _solve(a, b, n):
+    try:
+        c = np.linalg.solve(a + np.eye(n) * 1e-3, b)
+    except np.linalg.LinAlgError:
+        return None
+    return np.clip(np.round(c * (1 << ALF_SHIFT)), -MAX_COEFF,
+                   MAX_COEFF).astype(np.int32)
+
+
+def derive_classified_filters(o: np.ndarray, r: np.ndarray, qp: int,
+                              bit_depth: int):
+    """25-class stats → greedy class merging → (coeffs [nf,12],
+    clips [nf], fmap [25], cls4, tr4) or None.
+
+    Reference: EncAdaptiveLoopFilter::deriveFilterCoeffs — per-class
+    covariances (with the geometric transpose folded into the features),
+    then classes merged while the RD cost (Σ residual err + λ·filter
+    rate) improves.  Clip level per filter chosen by direct SSE test."""
+    from vvc.kernels.alf import (alf_classify, pair_transpose_perms,
+                                 diamond_pairs, pair_features)
+    lam = rd_lambda(qp)
+    cls4, tr4 = alf_classify(r, bit_depth)
+    h, w = o.shape
+    feats = pair_features(r, 3)                       # [12, H, W]
+    npair = feats.shape[0]
+    perms = pair_transpose_perms(3)
+    t = (o - r).astype(np.float64)
+    # per-class normal equations with transpose-permuted features
+    # stats on a 2×2-subsampled pixel grid (the spec subsamples Laplacian
+    # positions similarly [verify]); errors/gains below use all pixels
+    fpx = np.repeat(np.repeat(cls4, 4, 0), 4, 1)[:h, :w][::2, ::2].ravel()
+    tpx = np.repeat(np.repeat(tr4, 4, 0), 4, 1)[:h, :w][::2, ::2].ravel()
+    fm = (feats[:, ::2, ::2].reshape(npair, -1).astype(np.float64))
+    tv = t[::2, ::2].ravel()
+    # per-pixel transpose-permuted features, then per-class reductions as
+    # weighted bincounts (one C-speed pass per (i,j) pair — no masks)
+    npix = fm.shape[1]
+    perm_px = perms[tpx]                              # [N, npair]
+    Fp = fm[perm_px.T, np.arange(npix)[None, :]]      # [npair, N]
+    A = np.zeros((25, npair, npair))
+    B = np.zeros((25, npair))
+    for i in range(npair):
+        B[:, i] = np.bincount(fpx, Fp[i] * tv, minlength=25)
+        for j in range(i, npair):
+            v = np.bincount(fpx, Fp[i] * Fp[j], minlength=25)
+            A[:, i, j] = v
+            A[:, j, i] = v
+    sse0 = np.bincount(fpx, tv * tv, minlength=25)
+    npx = np.bincount(fpx, minlength=25)
+    # rescale to full-plane magnitudes so err and λ·rate stay comparable
+    A *= 4.0
+    B *= 4.0
+    sse0 *= 4.0
+
+    def group_err(a, b, s0):
+        c = _solve(a, b, npair)
+        if c is None:
+            return s0, None
+        cf = c.astype(np.float64) / (1 << ALF_SHIFT)
+        # LS residual with the quantized coefficients
+        return s0 - 2 * cf @ b + cf @ a @ cf, c
+
+    # greedy pair merging over filter groups (reference mergeClasses)
+    groups = [[k] for k in range(25) if npx[k] > 0]
+    if not groups:
+        return None
+    stats = {tuple(g): (A[g[0]].copy(), B[g[0]].copy(), sse0[g[0]])
+             for g in groups}
+    FILT_BITS = npair * 6.0 + 2.0
+
+    def total_cost(gs):
+        err = 0.0
+        cs = []
+        for g in gs:
+            a, b, s0 = stats[tuple(g)]
+            e, c = group_err(a, b, s0)
+            if c is None:
+                c = np.zeros(npair, np.int32)
+                e = s0
+            err += e
+            cs.append(c)
+        return err + lam * (len(gs) * FILT_BITS + 25 * 3.0), cs
+
+    best_cost, best_cs = total_cost(groups)
+    best_groups = [list(g) for g in groups]
+    cur = [list(g) for g in groups]
+    def float_err_batch(As, Bs, S0s):
+        """Batched unquantized LS residuals for merge-pair screening."""
+        n = As.shape[0]
+        eye = np.eye(npair) * 1e-3
+        try:
+            cs = np.linalg.solve(As + eye[None], Bs[:, :, None])[:, :, 0]
+        except np.linalg.LinAlgError:
+            return np.full(n, np.inf)
+        return S0s - np.einsum("ki,ki->k", cs, Bs)
+
+    while len(cur) > 1:
+        # merge the cheapest pair (merged-group error increase, batched
+        # float solves for screening; quantized solve only on adoption)
+        m = len(cur)
+        errs = float_err_batch(
+            np.stack([stats[tuple(g)][0] for g in cur]),
+            np.stack([stats[tuple(g)][1] for g in cur]),
+            np.array([stats[tuple(g)][2] for g in cur]))
+        ii, jj = np.triu_indices(m, 1)
+        Ap = np.stack([stats[tuple(cur[i])][0] + stats[tuple(cur[j])][0]
+                       for i, j in zip(ii, jj)])
+        Bp = np.stack([stats[tuple(cur[i])][1] + stats[tuple(cur[j])][1]
+                       for i, j in zip(ii, jj)])
+        Sp = np.array([stats[tuple(cur[i])][2] + stats[tuple(cur[j])][2]
+                       for i, j in zip(ii, jj)])
+        inc = float_err_batch(Ap, Bp, Sp) - errs[ii] - errs[jj]
+        k = int(np.argmin(inc))
+        i, j = int(ii[k]), int(jj[k])
+        g = sorted(cur[i] + cur[j])
+        stats[tuple(g)] = (Ap[k], Bp[k], Sp[k])
+        cur = [g0 for k0, g0 in enumerate(cur) if k0 not in (i, j)] + [g]
+        c, cs = total_cost(cur)
+        if c < best_cost:
+            best_cost, best_cs = c, cs
+            best_groups = [list(g0) for g0 in cur]
+
+    nf = len(best_groups)
+    coeffs = np.stack(best_cs) if best_cs else None
+    if coeffs is None or not np.any(coeffs):
+        return None
+    fmap = np.zeros(25, np.int32)
+    for fi, g in enumerate(best_groups):
+        for k in g:
+            fmap[k] = fi
+    # clip level per filter: direct SSE test over {off, 3 strengths} —
+    # all candidates evaluated in ONE pass over the taps (shared gathers)
+    from vvc.kernels.alf import (diamond_pairs as _dp,
+                                 pair_transpose_perms as _ptp)
+    cand = np.array([0, 1 << max(0, bit_depth - 3),
+                     1 << max(0, bit_depth - 5),
+                     1 << max(0, bit_depth - 7)], np.int32)
+    maxv = (1 << bit_depth) - 1
+    # selection on the same 2×2-subsampled grid as the stats (full-res
+    # neighbours — only the evaluated output positions are strided)
+    fpx2 = fmap[np.repeat(np.repeat(cls4, 4, 0), 4, 1)[:h, :w]][::2, ::2]
+    tpx2 = np.repeat(np.repeat(tr4, 4, 0), 4, 1)[:h, :w][::2, ::2]
+    perms2 = _ptp(3)
+    p3 = np.pad(r.astype(np.int32), 3, mode="edge")
+    r32 = r.astype(np.int32)[::2, ::2]
+    hs, ws = r32.shape
+    accs = [np.full((hs, ws), 1 << (ALF_SHIFT - 1), np.int64)
+            for _ in range(4)]
+    bounds = [np.int32(1 << 17), cand[1], cand[2], cand[3]]
+    for i, ((ady, adx), (bdy, bdx)) in enumerate(_dp(3)):
+        na = p3[3 + ady:3 + ady + h:2, 3 + adx:3 + adx + w:2]
+        nb = p3[3 + bdy:3 + bdy + h:2, 3 + bdx:3 + bdx + w:2]
+        da = na - r32
+        db = nb - r32
+        ci = coeffs[fpx2, perms2[tpx2, i]]
+        for c in range(4):
+            b = bounds[c]
+            accs[c] += ci * (np.clip(da, -b, b)
+                             + np.clip(db, -b, b)).astype(np.int64)
+    clips = np.zeros(nf, np.int32)
+    err_now = None
+    o64 = o.astype(np.int64)[::2, ::2]
+    for c in range(4):
+        d = (accs[c] >> ALF_SHIFT).astype(np.int32)
+        e2 = (o64 - np.clip(r32 + d, 0, maxv)) ** 2
+        per_f = np.bincount(fpx2.ravel(), e2.ravel(), minlength=nf)[:nf]
+        if err_now is None:
+            err_now = per_f
+        else:
+            upd = per_f < err_now
+            err_now = np.where(upd, per_f, err_now)
+            clips = np.where(upd, cand[c], clips).astype(np.int32)
+    return coeffs, clips, fmap, cls4, tr4
+
+
 def decide_alf_frame(orig_planes, recon_planes, qp: int, bit_depth: int,
                      ctu_size: int):
-    """Returns (luma_coeffs|None, ctu_flags, chroma_coeffs|None) where
-    ctu_flags {(x0,y0): bool}.  Chroma: one 5×5 filter shared by cb/cr,
-    frame-level on/off."""
+    """Returns (luma|None, ctu_flags, chroma_coeffs|None) where luma =
+    (coeffs [nf,12], clips [nf], fmap [25]) and ctu_flags {(x0,y0): bool}.
+    Chroma: one 5×5 filter shared by cb/cr, frame-level on/off."""
     lam = rd_lambda(qp)
     o, r = orig_planes[0], recon_planes[0]
     h, w = o.shape
-    feats = pair_features(r, 3)
-    coeffs = derive_alf_coeffs(o, r, 3, feats)
     flags = {}
     luma = None
-    if coeffs is not None:
-        delta = alf_delta(r, coeffs, 3, feats)
-        filtered_err = (o.astype(np.int64) - np.clip(r + delta, 0, (1 << bit_depth) - 1)) ** 2
+    res = derive_classified_filters(o, r, qp, bit_depth)
+    if res is not None:
+        coeffs, clips, fmap, cls4, tr4 = res
+        from vvc.kernels.alf import alf_delta_classified
+        delta = alf_delta_classified(r, coeffs, clips, fmap, cls4, tr4)
+        filtered_err = (o.astype(np.int64)
+                        - np.clip(r + delta, 0, (1 << bit_depth) - 1)) ** 2
         plain_err = (o.astype(np.int64) - r) ** 2
         total_gain = 0.0
         for y0 in range(0, h, ctu_size):
@@ -63,8 +240,9 @@ def decide_alf_frame(orig_planes, recon_planes, qp: int, bit_depth: int,
                 flags[(x0, y0)] = on
                 if on:
                     total_gain += d - lam
-        if total_gain > lam * 12 * 8:  # coefficients cost ~12 se(v) codes
-            luma = coeffs
+        nf = coeffs.shape[0]
+        if total_gain > lam * nf * 12 * 6:
+            luma = (coeffs, clips, fmap)
         else:
             flags = {k: False for k in flags}
     else:

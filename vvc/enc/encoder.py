@@ -359,14 +359,15 @@ class Encoder:
         alf_hdr = None
         if sps.alf and not sps.lossless:
             from vvc.enc.alf_enc import decide_alf_frame
-            from vvc.kernels.alf import apply_alf_plane
+            from vvc.kernels.alf import apply_alf_plane, apply_alf_classified
             luma_c, flags, chroma_c = decide_alf_frame(
                 (frame.y, frame.cb, frame.cr), recon, qp, bd, sps.ctu_size)
             flag_list = [flags[(x0, y0)]
                          for y0 in range(0, sps.height, sps.ctu_size)
                          for x0 in range(0, sps.width, sps.ctu_size)]
             if luma_c is not None:
-                apply_alf_plane(recon[0], luma_c, 3, bd, flags, sps.ctu_size)
+                apply_alf_classified(recon[0], *luma_c, bd, flags,
+                                     sps.ctu_size)
             if chroma_c is not None:
                 apply_alf_plane(recon[1], chroma_c, 2, bd)
                 apply_alf_plane(recon[2], chroma_c, 2, bd)

@@ -59,9 +59,17 @@ def parse_slice_header(rbsp: bytes, init_qp: int, num_tiles: int = 1,
             lmcs_cw = [br.read_ue() for _ in range(16)]
     alf = None
     if alf_enabled:
+        import numpy as np
         luma = flags = chroma = None
         if br.read_flag():
-            luma = [br.read_se() for _ in range(12)]
+            nf = br.read_ue() + 1
+            fmap = np.array([br.read_ue() for _ in range(25)], np.int32)
+            coeffs = np.empty((nf, 12), np.int32)
+            clips = np.empty(nf, np.int32)
+            for fi in range(nf):
+                coeffs[fi] = [br.read_se() for _ in range(12)]
+                clips[fi] = br.read_ue()
+            luma = (coeffs, clips, fmap)
             flags = [bool(br.read_flag()) for _ in range(n_ctus)]
         if br.read_flag():
             chroma = [br.read_se() for _ in range(6)]

@@ -77,11 +77,20 @@ def write_slice_header(sh: SliceHeader, init_qp: int,
             for c in lmcs_cw:
                 bw.write_ue(int(c))
     if alf is not None:
+        # luma = (coeffs [nf,12], clips [nf], fmap [25]) — classified ALF
+        # ([verify]: the reference carries this in APS NALs, 7.3.2.5)
         luma, flags, chroma = alf
         bw.write_flag(luma is not None)
         if luma is not None:
-            for c in luma:
-                bw.write_se(int(c))
+            coeffs, clips, fmap = luma
+            nf = len(coeffs)
+            bw.write_ue(nf - 1)
+            for k in fmap:
+                bw.write_ue(int(k))
+            for fi in range(nf):
+                for c in coeffs[fi]:
+                    bw.write_se(int(c))
+                bw.write_ue(int(clips[fi]))
             for f in flags:
                 bw.write_flag(f)
         bw.write_flag(chroma is not None)

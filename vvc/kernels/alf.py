@@ -13,9 +13,19 @@ is a stack of shifted adds — pure VPU work, vectorized whole-plane.
 7-bit-scaled integers solved by least squares on (orig − rec)
 (vvc.enc.alf_enc).
 
-Round-1 simplifications [verify]: single class (no 4×4 gradient
-classification / 25 classes), no clipping (VVC nonlinear ALF), coefficients
-carried in the slice header (APS lands later), edge-replicate padding.
+Classified ALF (reference: AdaptiveLoopFilter::deriveClassification +
+filterBlk): per-4×4 Laplacian gradient classification into 25 classes
+(5 direction × 5 activity) with a per-block geometric transpose (4
+transforms acting as static permutations of the symmetric tap pairs),
+per-class filters with class→filter merging, and nonlinear clipping of
+the neighbour differences (uniform per-filter clip level — the spec's
+per-tap clip indices are simplified [verify]).  Everything is
+whole-plane vectorized: Laplacians are shifted adds, the 8×8 window sums
+ride an integral image, per-pixel filter/transpose selection is a gather.
+
+Remaining simplifications [verify]: coefficients ride the slice header
+(APS NAL transport later), dense Laplacian positions (the spec
+subsamples 2×), edge-replicate padding.
 """
 from __future__ import annotations
 
@@ -75,6 +85,148 @@ def alf_delta(rec: np.ndarray, coeffs, radius: int,
     acc = np.tensordot(c, feats.astype(np.int64), axes=1)
     acc += 1 << (ALF_SHIFT - 1)
     return (acc >> ALF_SHIFT).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# 25-class gradient classification (reference: deriveClassificationBlk)
+# ---------------------------------------------------------------------------
+
+# activity → Â table (reference: AdaptiveLoopFilter th[] shape)
+_ACT_TAB = np.array([0, 1, 2, 2, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3, 3, 4],
+                    dtype=np.int32)
+# (mainDir*2 + (secondaryDir>>1)) → transposeIdx (reference transposeTable)
+_TRANSPOSE_TAB = np.array([0, 1, 0, 2, 2, 3, 1, 3], dtype=np.int32)
+
+
+def _box4(lap: np.ndarray, h4: int, w4: int) -> np.ndarray:
+    """8×8 window sums at 4×4 stride (window centered on each 4×4 block,
+    ±2 sample margin) via integral image.  lap covers samples −1..H
+    (one-sample halo); one more edge-replicated ring extends it to ±2."""
+    p = np.pad(lap, 1, mode="edge")
+    ii = np.pad(np.cumsum(np.cumsum(p, 0), 1), ((1, 0), (1, 0)))
+    ys = np.arange(h4) * 4
+    xs = np.arange(w4) * 4
+    y1 = ys + 8
+    x1 = xs + 8
+    return (ii[y1[:, None], x1[None, :]] - ii[y1[:, None], xs[None, :]]
+            - ii[ys[:, None], x1[None, :]] + ii[ys[:, None], xs[None, :]])
+
+
+def alf_classify(rec: np.ndarray, bit_depth: int = 8):
+    """Per-4×4 (class_idx [H/4,W/4] 0..24, transpose_idx [H/4,W/4] 0..3).
+
+    Laplacian gradients in 4 directions over an 8×8 window per block;
+    direction from the HV/diagonal dominance ratios (thresholds 2 and
+    4.5, reference shape), activity from (sumV+sumH) quantized to 5
+    levels.  [verify] exact spec subsampling/shift once the mount has
+    the reference."""
+    r = rec.astype(np.int64)
+    h, w = r.shape
+    h4, w4 = h // 4, w // 4
+    p = np.pad(r, 2, mode="edge")
+    c = p[1:-1, 1:-1]
+    lv = np.abs(2 * c - p[:-2, 1:-1] - p[2:, 1:-1])
+    lh = np.abs(2 * c - p[1:-1, :-2] - p[1:-1, 2:])
+    ld0 = np.abs(2 * c - p[:-2, :-2] - p[2:, 2:])
+    ld1 = np.abs(2 * c - p[:-2, 2:] - p[2:, :-2])
+    sv = _box4(lv, h4, w4)
+    sh = _box4(lh, h4, w4)
+    s0 = _box4(ld0, h4, w4)
+    s1 = _box4(ld1, h4, w4)
+    hv1 = np.maximum(sv, sh)
+    hv0 = np.minimum(sv, sh)
+    dir_hv = np.where(sv > sh, 1, 3)
+    d1 = np.maximum(s0, s1)
+    d0 = np.minimum(s0, s1)
+    dir_d = np.where(s0 > s1, 0, 2)
+    hv_stronger = hv1 * d0 > d1 * hv0
+    hvd1 = np.where(hv_stronger, hv1, d1)
+    hvd0 = np.where(hv_stronger, hv0, d0)
+    main_dir = np.where(hv_stronger, dir_hv, dir_d)
+    sec_dir = np.where(hv_stronger, dir_d, dir_hv)
+    strength = np.where(2 * hvd1 > 9 * hvd0, 2,
+                        np.where(hvd1 > 2 * hvd0, 1, 0))
+    act = np.clip(((sv + sh) * 64) >> (4 + bit_depth), 0, 15)
+    cls = _ACT_TAB[act]
+    cls = cls + np.where(strength > 0,
+                         (((main_dir & 1) << 1) + strength) * 5, 0)
+    tr = _TRANSPOSE_TAB[main_dir * 2 + (sec_dir >> 1)]
+    return cls.astype(np.int32), tr.astype(np.int32)
+
+
+@lru_cache(maxsize=None)
+def pair_transpose_perms(radius: int) -> np.ndarray:
+    """[4, n_pairs] permutation: perm[t, i] = canonical pair index of the
+    t-transformed offset of pair i (transforms: none, diagonal flip,
+    vertical flip, rotation — the reference's geometric transforms acting
+    on the point-symmetric pair set)."""
+    pairs = diamond_pairs(radius)
+    rep = {p[0]: i for i, p in enumerate(pairs)}
+
+    def canon(dy, dx):
+        return rep[(dy, dx)] if (dy, dx) in rep else rep[(-dy, -dx)]
+
+    tf = (lambda dy, dx: (dy, dx), lambda dy, dx: (dx, dy),
+          lambda dy, dx: (-dy, dx), lambda dy, dx: (dx, -dy))
+    out = np.empty((4, len(pairs)), dtype=np.int32)
+    for t, f in enumerate(tf):
+        for i, ((dy, dx), _) in enumerate(pairs):
+            out[t, i] = canon(*f(dy, dx))
+    return out
+
+
+def alf_delta_classified(rec: np.ndarray, coeffs: np.ndarray,
+                         clips: np.ndarray, fmap: np.ndarray,
+                         cls4: np.ndarray, tr4: np.ndarray,
+                         radius: int = 3) -> np.ndarray:
+    """Classified, clipped filter delta for the whole plane.
+
+    coeffs [nf, n_pairs] int32 (1<<7 scale); clips [nf] int32 clip bound
+    per filter (0 = no clipping); fmap [25] class→filter; cls4/tr4 from
+    alf_classify.  Per-pixel coefficient/clip selection is a gather;
+    features are clip(n_a−curr)+clip(n_b−curr)."""
+    h, w = rec.shape
+    r32 = rec.astype(np.int32)
+    p = np.pad(r32, radius, mode="edge")
+    fidx = fmap[cls4]                                   # [h4, w4]
+    fpx = np.repeat(np.repeat(fidx, 4, 0), 4, 1)[:h, :w]
+    tpx = np.repeat(np.repeat(tr4, 4, 0), 4, 1)[:h, :w]
+    perms = pair_transpose_perms(radius)                # [4, np]
+    # clip 0 = off → sentinel bound that never clips (uniform fast path)
+    big = np.int32(1 << 17)
+    bpx = np.where(clips[fpx] > 0, clips[fpx], big)     # [H, W]
+    acc = np.full((h, w), 1 << (ALF_SHIFT - 1), dtype=np.int64)
+    pairs = diamond_pairs(radius)
+    # per-pixel coefficient for tap i = coeffs[fpx, perms[tpx, i]]
+    for i, ((ady, adx), (bdy, bdx)) in enumerate(pairs):
+        na = p[radius + ady:radius + ady + h, radius + adx:radius + adx + w]
+        nb = p[radius + bdy:radius + bdy + h, radius + bdx:radius + bdx + w]
+        da = np.clip(na - r32, -bpx, bpx)
+        db = np.clip(nb - r32, -bpx, bpx)
+        ci = coeffs[fpx, perms[tpx, i]]
+        acc += ci * (da + db).astype(np.int64)
+    return (acc >> ALF_SHIFT).astype(np.int32)
+
+
+def apply_alf_classified(plane: np.ndarray, coeffs, clips, fmap, bit_depth,
+                         ctu_flags=None, ctu_size: int = 0, cls4=None,
+                         tr4=None):
+    """Apply classified luma ALF in place with per-CTU gating."""
+    if cls4 is None:
+        cls4, tr4 = alf_classify(plane, bit_depth)
+    delta = alf_delta_classified(plane, np.asarray(coeffs, np.int32),
+                                 np.asarray(clips, np.int32),
+                                 np.asarray(fmap, np.int32), cls4, tr4)
+    maxv = (1 << bit_depth) - 1
+    if ctu_flags is None:
+        plane[:] = np.clip(plane + delta, 0, maxv)
+        return
+    h, w = plane.shape
+    for (x0, y0), on in ctu_flags.items():
+        if not on or x0 >= w or y0 >= h:
+            continue
+        sl = np.s_[y0:min(y0 + ctu_size, h), x0:min(x0 + ctu_size, w)]
+        plane[sl] = np.clip(plane[sl] + delta[sl], 0, maxv)
 
 
 def apply_alf_plane(plane: np.ndarray, coeffs, radius: int, bit_depth: int,
