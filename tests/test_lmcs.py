@@ -44,3 +44,25 @@ def test_lmcs_off_unaffected():
     bs_a, rec_a, _ = encode_sequence(frames, qp=32, lmcs=False)
     bs_b, rec_b, _ = encode_sequence(frames, qp=32, lmcs=True)
     assert len(bs_b) > 0  # both paths produce decodable streams
+
+
+class TestChromaResidualScaling:
+    def test_scale_factors_identity_at_uniform(self):
+        from vvc.kernels.lmcs import chroma_scale_factors, CSCALE_SHIFT
+        # uniform codewords (identity mapping) → scale 1.0 both ways
+        seg = 1 << (8 - 4)
+        fwd, inv = chroma_scale_factors([seg] * 16, 8)
+        assert (fwd == (1 << CSCALE_SHIFT)).all()
+        assert (inv == (1 << CSCALE_SHIFT)).all()
+
+    def test_lmcs_roundtrip_with_chroma_scaling(self):
+        from vvc.enc.encoder import encode_sequence
+        from vvc.dec.decoder import decode_stream
+        from vvc.io.synth import synth_frame
+        frames = [synth_frame(128, 64, t) for t in range(2)]
+        data, recons, stats = encode_sequence(frames, qp=30, lmcs=True)
+        out, info = decode_stream(data)
+        assert all(info["hash_ok"])
+        for f, r in zip(out, recons):
+            assert (f.y == r.y).all()
+            assert (f.cb == r.cb).all() and (f.cr == r.cr).all()

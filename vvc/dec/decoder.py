@@ -108,6 +108,7 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
 
     def _recon(leaves):
         if (wavefront and not inter and not sps.dep_quant
+                and lmcs_cw is None
                 and all(l.w == l.h and not l.isp for l in leaves)):
             from vvc.dec.wavefront import reconstruct_leaves_wavefront
             reconstruct_leaves_wavefront(leaves, recon, sh.qp,
@@ -121,7 +122,8 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
                                lossless=sps.lossless,
                                refs=refs if inter else None,
                                dep_quant=sps.dep_quant,
-                               inter_cfg=inter_cfg)
+                               inter_cfg=inter_cfg,
+                               lmcs_chroma=lmcs_cw)
 
     def do_wpp_rows():
         from vvc.cabac.sao_syntax import read_sao_params

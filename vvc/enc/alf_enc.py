@@ -72,19 +72,27 @@ def derive_classified_filters(o: np.ndarray, r: np.ndarray, qp: int,
     tpx = np.repeat(np.repeat(tr4, 4, 0), 4, 1)[:h, :w][::2, ::2].ravel()
     fm = (feats[:, ::2, ::2].reshape(npair, -1).astype(np.float64))
     tv = t[::2, ::2].ravel()
-    # per-pixel transpose-permuted features, then per-class reductions as
-    # weighted bincounts (one C-speed pass per (i,j) pair — no masks)
-    npix = fm.shape[1]
-    perm_px = perms[tpx]                              # [N, npair]
-    Fp = fm[perm_px.T, np.arange(npix)[None, :]]      # [npair, N]
+    # per-(class, transpose) segments via one sort, then tiny per-segment
+    # matmuls; the geometric transpose becomes a 12×12 index permutation
+    # applied to each segment's raw covariance (A'[i,j] = a[P[i],P[j]])
+    key = fpx * 4 + tpx
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    Fs = fm[:, order]
+    ts = tv[order]
+    bounds = np.searchsorted(ks, np.arange(101))
     A = np.zeros((25, npair, npair))
     B = np.zeros((25, npair))
-    for i in range(npair):
-        B[:, i] = np.bincount(fpx, Fp[i] * tv, minlength=25)
-        for j in range(i, npair):
-            v = np.bincount(fpx, Fp[i] * Fp[j], minlength=25)
-            A[:, i, j] = v
-            A[:, j, i] = v
+    for b in range(100):
+        s0v, s1v = bounds[b], bounds[b + 1]
+        if s0v == s1v:
+            continue
+        F = Fs[:, s0v:s1v]
+        a = F @ F.T
+        bb = F @ ts[s0v:s1v]
+        P = perms[b & 3]
+        A[b >> 2] += a[np.ix_(P, P)]
+        B[b >> 2] += bb[P]
     sse0 = np.bincount(fpx, tv * tv, minlength=25)
     npx = np.bincount(fpx, minlength=25)
     # rescale to full-plane magnitudes so err and λ·rate stay comparable
@@ -215,14 +223,17 @@ def derive_classified_filters(o: np.ndarray, r: np.ndarray, qp: int,
 
 def decide_alf_frame(orig_planes, recon_planes, qp: int, bit_depth: int,
                      ctu_size: int):
-    """Returns (luma|None, ctu_flags, chroma_coeffs|None) where luma =
-    (coeffs [nf,12], clips [nf], fmap [25]) and ctu_flags {(x0,y0): bool}.
-    Chroma: one 5×5 filter shared by cb/cr, frame-level on/off."""
+    """Returns (luma|None, ctu_flags, chroma_coeffs|None, luma_delta)
+    where luma = (coeffs [nf,12], clips [nf], fmap [25]) and ctu_flags
+    {(x0,y0): bool}; luma_delta is the precomputed whole-plane filter
+    delta (reused by the caller's apply — it was already computed for the
+    CTU gain map).  Chroma: one 5×5 filter shared by cb/cr."""
     lam = rd_lambda(qp)
     o, r = orig_planes[0], recon_planes[0]
     h, w = o.shape
     flags = {}
     luma = None
+    luma_delta = None
     res = derive_classified_filters(o, r, qp, bit_depth)
     if res is not None:
         coeffs, clips, fmap, cls4, tr4 = res
@@ -243,6 +254,7 @@ def decide_alf_frame(orig_planes, recon_planes, qp: int, bit_depth: int,
         nf = coeffs.shape[0]
         if total_gain > lam * nf * 12 * 6:
             luma = (coeffs, clips, fmap)
+            luma_delta = delta
         else:
             flags = {k: False for k in flags}
     else:
@@ -260,4 +272,4 @@ def decide_alf_frame(orig_planes, recon_planes, qp: int, bit_depth: int,
                       - ((oc - np.clip(rc + d, 0, (1 << bit_depth) - 1)) ** 2).sum()))
         if gain > lam * 6 * 8:
             chroma = cc
-    return luma, flags, chroma
+    return luma, flags, chroma, luma_delta

@@ -118,12 +118,13 @@ class Encoder:
         self.parallel_tiles = parallel_tiles
 
     def _recon_tile(self, frame, recon, leaves_t, qp, refs=None,
-                    inter_cfg=None):
+                    inter_cfg=None, lmcs_chroma=None):
         sps = self.sps
         reconstruct_leaves(leaves_t, recon, qp, sps.bit_depth,
                            orig_planes=(frame.y, frame.cb, frame.cr),
                            lossless=sps.lossless, refs=refs,
-                           dep_quant=sps.dep_quant, inter_cfg=inter_cfg)
+                           dep_quant=sps.dep_quant, inter_cfg=inter_cfg,
+                           lmcs_chroma=lmcs_chroma)
 
     def _entropy_rows_wpp(self, split_map, leaf_map, qp, sao_params,
                           slice_type=SliceType.I, n_ref=(0, 0),
@@ -326,7 +327,7 @@ class Encoder:
         def recon_tile(i):
             self._recon_tile(src, recon, leaves_per_tile[i], qp,
                              refs=ref_planes if inter_slice else None,
-                             inter_cfg=inter_cfg)
+                             inter_cfg=inter_cfg, lmcs_chroma=lmcs_cw)
 
         if self.parallel_tiles and len(tiles) > 1:
             with concurrent.futures.ThreadPoolExecutor(len(tiles)) as ex:
@@ -359,15 +360,15 @@ class Encoder:
         alf_hdr = None
         if sps.alf and not sps.lossless:
             from vvc.enc.alf_enc import decide_alf_frame
-            from vvc.kernels.alf import apply_alf_plane, apply_alf_classified
-            luma_c, flags, chroma_c = decide_alf_frame(
+            from vvc.kernels.alf import apply_alf_plane, apply_delta_gated
+            luma_c, flags, chroma_c, luma_delta = decide_alf_frame(
                 (frame.y, frame.cb, frame.cr), recon, qp, bd, sps.ctu_size)
             flag_list = [flags[(x0, y0)]
                          for y0 in range(0, sps.height, sps.ctu_size)
                          for x0 in range(0, sps.width, sps.ctu_size)]
             if luma_c is not None:
-                apply_alf_classified(recon[0], *luma_c, bd, flags,
-                                     sps.ctu_size)
+                apply_delta_gated(recon[0], luma_delta, bd, flags,
+                                  sps.ctu_size)
             if chroma_c is not None:
                 apply_alf_plane(recon[1], chroma_c, 2, bd)
                 apply_alf_plane(recon[2], chroma_c, 2, bd)

@@ -120,7 +120,7 @@ def alf_classify(rec: np.ndarray, bit_depth: int = 8):
     4.5, reference shape), activity from (sumV+sumH) quantized to 5
     levels.  [verify] exact spec subsampling/shift once the mount has
     the reference."""
-    r = rec.astype(np.int64)
+    r = rec.astype(np.int32)
     h, w = r.shape
     h4, w4 = h // 4, w // 4
     p = np.pad(r, 2, mode="edge")
@@ -193,9 +193,12 @@ def alf_delta_classified(rec: np.ndarray, coeffs: np.ndarray,
     tpx = np.repeat(np.repeat(tr4, 4, 0), 4, 1)[:h, :w]
     perms = pair_transpose_perms(radius)                # [4, np]
     # clip 0 = off → sentinel bound that never clips (uniform fast path)
-    big = np.int32(1 << 17)
+    big = np.int32(1 << 12)   # > any |sample diff| at <=10-bit; keeps
+                              # the int32 accumulator far from overflow
     bpx = np.where(clips[fpx] > 0, clips[fpx], big)     # [H, W]
-    acc = np.full((h, w), 1 << (ALF_SHIFT - 1), dtype=np.int64)
+    # int32 accumulator: |c| <= 127, |clipped diff sum| <= 2^(bd+1),
+    # 12 taps -> < 2^23 at 10-bit — no overflow
+    acc = np.full((h, w), 1 << (ALF_SHIFT - 1), dtype=np.int32)
     pairs = diamond_pairs(radius)
     # per-pixel coefficient for tap i = coeffs[fpx, perms[tpx, i]]
     for i, ((ady, adx), (bdy, bdx)) in enumerate(pairs):
@@ -204,8 +207,24 @@ def alf_delta_classified(rec: np.ndarray, coeffs: np.ndarray,
         da = np.clip(na - r32, -bpx, bpx)
         db = np.clip(nb - r32, -bpx, bpx)
         ci = coeffs[fpx, perms[tpx, i]]
-        acc += ci * (da + db).astype(np.int64)
-    return (acc >> ALF_SHIFT).astype(np.int32)
+        acc += ci * (da + db)
+    return acc >> ALF_SHIFT
+
+
+def apply_delta_gated(plane: np.ndarray, delta: np.ndarray, bit_depth: int,
+                      ctu_flags=None, ctu_size: int = 0):
+    """Apply a precomputed filter delta in place with per-CTU gating
+    (the encoder reuses the delta its decision pass already computed)."""
+    maxv = (1 << bit_depth) - 1
+    if ctu_flags is None:
+        plane[:] = np.clip(plane + delta, 0, maxv)
+        return
+    h, w = plane.shape
+    for (x0, y0), on in ctu_flags.items():
+        if not on or x0 >= w or y0 >= h:
+            continue
+        sl = np.s_[y0:min(y0 + ctu_size, h), x0:min(x0 + ctu_size, w)]
+        plane[sl] = np.clip(plane[sl] + delta[sl], 0, maxv)
 
 
 def apply_alf_classified(plane: np.ndarray, coeffs, clips, fmap, bit_depth,

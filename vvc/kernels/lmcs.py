@@ -74,3 +74,30 @@ def derive_codewords(y_plane: np.ndarray, bit_depth: int):
 
 def map_plane(plane: np.ndarray, lut: np.ndarray) -> np.ndarray:
     return lut[np.clip(plane, 0, len(lut) - 1)]
+
+
+CSCALE_SHIFT = 11
+
+
+def chroma_scale_factors(codewords, bit_depth: int):
+    """Per-piece (fwd_scale, inv_scale) fixed-point (1<<11) chroma residual
+    scales (reference: Reshape::calcChromaScale / spec 8.7.5.3 cScaleInv).
+    fwd multiplies the residual on the encoder side, inv on the decoder
+    side; pieces with zero codewords scale by 1."""
+    seg = 1 << (bit_depth - 4)
+    cw = np.asarray(codewords, dtype=np.int64)
+    one = 1 << CSCALE_SHIFT
+    fwd = np.where(cw > 0, (cw << CSCALE_SHIFT) // seg, one)
+    inv = np.where(cw > 0,
+                   ((seg << CSCALE_SHIFT) + cw // 2) // np.maximum(cw, 1),
+                   one)
+    return fwd.astype(np.int64), inv.astype(np.int64)
+
+
+def piece_of_mapped(avg_mapped: int, codewords, bit_depth: int) -> int:
+    """Piece index of a mapped-domain luma average (searchsorted over the
+    cumulative mapped starts)."""
+    starts = np.concatenate([[0], np.cumsum(np.asarray(codewords,
+                                                       np.int64))])
+    i = int(np.searchsorted(starts, avg_mapped, side="right")) - 1
+    return max(0, min(N_PIECES - 1, i))

@@ -40,7 +40,8 @@ def chroma_qp(qp: int) -> int:
 
 def _recon_block(plane, orig, coded, x0, y0, size, mode, qp, bit_depth, levels,
                  tr_h=0, tr_v=0, lossless=False, cclm_ds=None, pred=None,
-                 intra=True, dep_quant=False, lfnst=0, h=None):
+                 intra=True, dep_quant=False, lfnst=0, h=None,
+                 chroma_scale=None):
     """Predict + (inverse-)transform one block in `plane`.
 
     If `levels` is None (encode), derives them from `orig`; returns levels.
@@ -48,6 +49,10 @@ def _recon_block(plane, orig, coded, x0, y0, size, mode, qp, bit_depth, levels,
     cclm_ds: downsampled-luma plane → CCLM prediction instead of `mode`.
     pred: externally computed prediction (inter MC) — skips intra predict.
     h: block height when rectangular (MTT leaves); default square.
+    chroma_scale: optional (fwd_s, inv_s) LMCS chroma residual scales
+    (1<<11 fixed point, reference Reshape chroma scaling): fwd multiplies
+    the residual before the forward transform (encode), inv after the
+    inverse transform (both sides — shared recon keeps them bit-equal).
     """
     w = size
     h = w if h is None else h
@@ -71,6 +76,8 @@ def _recon_block(plane, orig, coded, x0, y0, size, mode, qp, bit_depth, levels,
         if lossless:
             levels = resi.copy()
         else:
+            if chroma_scale is not None:
+                resi = (resi * chroma_scale[0] + (1 << 10)) >> 11
             coeff = fwd_transform_np(resi, bit_depth, tr_h, tr_v)
             if lfnst:
                 from vvc.kernels.lfnst import fwd_lfnst_np
@@ -93,6 +100,9 @@ def _recon_block(plane, orig, coded, x0, y0, size, mode, qp, bit_depth, levels,
                 from vvc.kernels.lfnst import inv_lfnst_np
                 deq = inv_lfnst_np(deq, mode, lfnst)
             rec_resi = inv_transform_np(deq, bit_depth, tr_h, tr_v)
+            if chroma_scale is not None:
+                rec_resi = ((rec_resi.astype(np.int64) * chroma_scale[1]
+                             + (1 << 10)) >> 11).astype(np.int32)
         rec = np.clip(pred + rec_resi, 0, (1 << bit_depth) - 1)
     else:
         rec = pred
@@ -103,7 +113,8 @@ def _recon_block(plane, orig, coded, x0, y0, size, mode, qp, bit_depth, levels,
 def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
                        orig_planes=None, use_native: bool = True,
                        lossless: bool = False, refs=None,
-                       dep_quant: bool = False, inter_cfg=None):
+                       dep_quant: bool = False, inter_cfg=None,
+                       lmcs_chroma=None):
     """Reconstruct all leaves in z-order into recon_planes (y, cb, cr).
 
     Encoder mode: orig_planes given, leaf.lev_* are None → derives and
@@ -123,7 +134,7 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
     has_rect = any(l.w != l.h for l in leaves)
     has_isp = any(l.isp for l in leaves)
     if (use_native and not has_inter and not has_rect and not dep_quant
-            and not has_isp):
+            and not has_isp and lmcs_chroma is None):
         from vvc.packer import native_recon
         if native_recon.available():
             return native_recon.reconstruct_leaves_native(
@@ -144,6 +155,12 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
     from vvc.kernels.transform import MTS_TR
     from vvc.kernels.cclm import luma_ds_region
     from vvc.kernels.mc import inter_pred_leaf
+    cs_fwd = cs_inv = None
+    if lmcs_chroma is not None:
+        from vvc.kernels.lmcs import chroma_scale_factors
+        cs_fwd, cs_inv = chroma_scale_factors(lmcs_chroma, bit_depth)
+        cs_starts = np.concatenate(
+            [[0], np.cumsum(np.asarray(lmcs_chroma, np.int64))])
     # incrementally-refreshed downsampled-luma plane for CCLM leaves:
     # only the leaf's neighbourhood is recomputed (region-local; the old
     # whole-plane downsample per leaf was O(leaves x frame))
@@ -201,6 +218,15 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
         dm_mode = 0 if leaf.luma_mode >= 67 else leaf.luma_mode
         cw, ch = lw >> 1, lh >> 1
         cx, cy = x0 >> 1, y0 >> 1
+        cscale = None
+        if cs_fwd is not None and not lossless:
+            # piece of the mapped-domain luma average of this leaf (the
+            # leaf's luma recon just completed — both sides see the same
+            # samples); reference: Reshape chroma scaling, spec 8.7.5.3
+            avg = int(y_pl[y0:y0 + lh, x0:x0 + lw].mean())
+            pi = max(0, min(15, int(np.searchsorted(cs_starts, avg,
+                                                    side="right")) - 1))
+            cscale = (int(cs_fwd[pi]), int(cs_inv[pi]))
         ds = None
         if leaf.chroma_mode and not is_inter:
             # refresh the leaf's DS neighbourhood (luma of this leaf was
@@ -214,7 +240,8 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
                            None if encode_mode else dec_levels(leaf.lev_cb,
                                                                cw, ch),
                            lossless=lossless, cclm_ds=ds, pred=pred_cb,
-                           intra=not is_inter, dep_quant=dep_quant, h=ch)
+                           intra=not is_inter, dep_quant=dep_quant, h=ch,
+                           chroma_scale=cscale)
         if encode_mode:
             leaf.lev_cb = lev if np.any(lev) else None
         lev = _recon_block(cr_pl, o_cr, coded_c, cx, cy, cw, dm_mode,
@@ -222,7 +249,8 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
                            None if encode_mode else dec_levels(leaf.lev_cr,
                                                                cw, ch),
                            lossless=lossless, cclm_ds=ds, pred=pred_cr,
-                           intra=not is_inter, dep_quant=dep_quant, h=ch)
+                           intra=not is_inter, dep_quant=dep_quant, h=ch,
+                           chroma_scale=cscale)
         if encode_mode:
             leaf.lev_cr = lev if np.any(lev) else None
         # mark availability
