@@ -116,3 +116,25 @@ class TestClassifiedAlf:
         assert all(info["hash_ok"])
         for f, r in zip(out, recons):
             assert (f.y == r.y).all()
+
+
+def test_native_alf_matches_numpy():
+    from vvc.kernels.alf import (alf_classify, alf_classify_np,
+                                 alf_delta_classified,
+                                 alf_delta_classified_np, _native_lib)
+    if _native_lib() is None:
+        import pytest
+        pytest.skip("native core not built")
+    rng = np.random.default_rng(7)
+    for h, w in ((64, 64), (96, 160)):
+        o = rng.integers(0, 256, (h, w)).astype(np.int32)
+        r = ((o + np.roll(o, 1, 1) + np.roll(o, -1, 0)) // 3).astype(np.int32)
+        c1, t1 = alf_classify(r, 8)
+        c2, t2 = alf_classify_np(r, 8)
+        assert (c1 == c2).all() and (t1 == t2).all()
+        coeffs = rng.integers(-90, 90, (4, 12)).astype(np.int32)
+        clips = np.array([0, 32, 8, 2], np.int32)
+        fmap = rng.integers(0, 4, 25).astype(np.int32)
+        d1 = alf_delta_classified(r, coeffs, clips, fmap, c1, t1)
+        d2 = alf_delta_classified_np(r, coeffs, clips, fmap, c1, t1)
+        assert (d1 == d2).all()

@@ -112,7 +112,33 @@ def _box4(lap: np.ndarray, h4: int, w4: int) -> np.ndarray:
             - ii[ys[:, None], x1[None, :]] + ii[ys[:, None], xs[None, :]])
 
 
+def _native_lib():
+    try:
+        from vvc.packer import recon_lib
+        return recon_lib()
+    except Exception:
+        return None
+
+
 def alf_classify(rec: np.ndarray, bit_depth: int = 8):
+    """Dispatch: native C++ classification when built (bit-exact mirror,
+    test-enforced), numpy otherwise."""
+    lib = _native_lib()
+    if lib is not None:
+        import ctypes
+        h, w = rec.shape
+        h4, w4 = h // 4, w // 4
+        cls = np.empty((h4, w4), np.int32)
+        tr = np.empty((h4, w4), np.int32)
+        r = np.ascontiguousarray(rec, dtype=np.int32)
+        lib.alf_classify_c(r.ctypes.data_as(ctypes.c_void_p), h, w,
+                           bit_depth, cls.ctypes.data_as(ctypes.c_void_p),
+                           tr.ctypes.data_as(ctypes.c_void_p))
+        return cls, tr
+    return alf_classify_np(rec, bit_depth)
+
+
+def alf_classify_np(rec: np.ndarray, bit_depth: int = 8):
     """Per-4×4 (class_idx [H/4,W/4] 0..24, transpose_idx [H/4,W/4] 0..3).
 
     Laplacian gradients in 4 directions over an 8×8 window per block;
@@ -175,11 +201,40 @@ def pair_transpose_perms(radius: int) -> np.ndarray:
     return out
 
 
-def alf_delta_classified(rec: np.ndarray, coeffs: np.ndarray,
-                         clips: np.ndarray, fmap: np.ndarray,
-                         cls4: np.ndarray, tr4: np.ndarray,
+def alf_delta_classified(rec, coeffs, clips, fmap, cls4, tr4,
                          radius: int = 3) -> np.ndarray:
-    """Classified, clipped filter delta for the whole plane.
+    """Dispatch: native C++ classified delta when built, numpy otherwise."""
+    lib = _native_lib()
+    if lib is not None and radius == 3:
+        import ctypes
+        h, w = rec.shape
+        pairs = np.asarray([(a[0], a[1], b[0], b[1])
+                            for a, b in diamond_pairs(radius)], np.int32)
+        perms = np.ascontiguousarray(pair_transpose_perms(radius), np.int32)
+        r = np.ascontiguousarray(rec, np.int32)
+        cf = np.ascontiguousarray(coeffs, np.int32)
+        cl = np.ascontiguousarray(clips, np.int32)
+        fm = np.ascontiguousarray(fmap, np.int32)
+        c4 = np.ascontiguousarray(cls4, np.int32)
+        t4 = np.ascontiguousarray(tr4, np.int32)
+        out = np.empty((h, w), np.int32)
+        p = ctypes.c_void_p
+        lib.alf_delta_classified_c(
+            r.ctypes.data_as(p), h, w, cf.ctypes.data_as(p),
+            cl.ctypes.data_as(p), cf.shape[0], fm.ctypes.data_as(p),
+            c4.ctypes.data_as(p), t4.ctypes.data_as(p),
+            pairs.ctypes.data_as(p), perms.ctypes.data_as(p),
+            pairs.shape[0], out.ctypes.data_as(p))
+        return out
+    return alf_delta_classified_np(rec, coeffs, clips, fmap, cls4, tr4,
+                                   radius)
+
+
+def alf_delta_classified_np(rec: np.ndarray, coeffs: np.ndarray,
+                            clips: np.ndarray, fmap: np.ndarray,
+                            cls4: np.ndarray, tr4: np.ndarray,
+                            radius: int = 3) -> np.ndarray:
+    """Classified, clipped filter delta for the whole plane (numpy).
 
     coeffs [nf, n_pairs] int32 (1<<7 scale); clips [nf] int32 clip bound
     per filter (0 = no clipping); fmap [25] class→filter; cls4/tr4 from

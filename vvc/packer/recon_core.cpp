@@ -701,4 +701,121 @@ void recon_leaves(int32_t* plane, int h, int w, uint8_t* coded, int cw4,
   }
 }
 
+// ---- ALF (mirror of vvc/kernels/alf.py alf_classify /
+// alf_delta_classified — bit-exact, test-enforced) ---------------------
+
+static const int32_t ALF_ACT_TAB[16] = {0, 1, 2, 2, 2, 2, 2, 3,
+                                        3, 3, 3, 3, 3, 3, 3, 4};
+static const int32_t ALF_TR_TAB[8] = {0, 1, 0, 2, 2, 3, 1, 3};
+
+void alf_classify_c(const int32_t* rec, int h, int w, int bit_depth,
+                    int32_t* cls /*h4*w4*/, int32_t* tr /*h4*w4*/) {
+  int h4 = h / 4, w4 = w / 4;
+  auto at = [&](int y, int x) {
+    y = y < 0 ? 0 : (y >= h ? h - 1 : y);
+    x = x < 0 ? 0 : (x >= w ? w - 1 : x);
+    return (int64_t)rec[y * w + x];
+  };
+  // laplacians at sample positions -1..h (edge-clamped neighbours), then
+  // the 8x8 window reads them with one more clamp ring (the numpy twin's
+  // pad-by-1 of the lap plane)
+  auto iabs = [](int64_t v) { return v < 0 ? -v : v; };
+  auto lap = [&](int kind, int y, int x) {
+    int64_t c = at(y, x);
+    switch (kind) {
+      case 0: return iabs(2 * c - at(y - 1, x) - at(y + 1, x));
+      case 1: return iabs(2 * c - at(y, x - 1) - at(y, x + 1));
+      case 2: return iabs(2 * c - at(y - 1, x - 1) - at(y + 1, x + 1));
+      default: return iabs(2 * c - at(y - 1, x + 1) - at(y + 1, x - 1));
+    }
+  };
+  for (int by = 0; by < h4; by++)
+    for (int bx = 0; bx < w4; bx++) {
+      int64_t sv = 0, sh2 = 0, s0 = 0, s1 = 0;
+      for (int wy = 0; wy < 8; wy++) {
+        int ly = 4 * by - 2 + wy;           // sample row (window -2..+5)
+        ly = ly < -1 ? -1 : (ly > h ? h : ly);  // lap exists for -1..h
+        for (int wx = 0; wx < 8; wx++) {
+          int lx = 4 * bx - 2 + wx;
+          lx = lx < -1 ? -1 : (lx > w ? w : lx);
+          sv += lap(0, ly, lx);
+          sh2 += lap(1, ly, lx);
+          s0 += lap(2, ly, lx);
+          s1 += lap(3, ly, lx);
+        }
+      }
+      int64_t hv1 = sv > sh2 ? sv : sh2, hv0 = sv > sh2 ? sh2 : sv;
+      int dir_hv = sv > sh2 ? 1 : 3;
+      int64_t d1 = s0 > s1 ? s0 : s1, d0 = s0 > s1 ? s1 : s0;
+      int dir_d = s0 > s1 ? 0 : 2;
+      bool hv_stronger = hv1 * d0 > d1 * hv0;
+      int64_t hvd1 = hv_stronger ? hv1 : d1, hvd0 = hv_stronger ? hv0 : d0;
+      int main_dir = hv_stronger ? dir_hv : dir_d;
+      int sec_dir = hv_stronger ? dir_d : dir_hv;
+      int strength = 2 * hvd1 > 9 * hvd0 ? 2 : (hvd1 > 2 * hvd0 ? 1 : 0);
+      int64_t act = ((sv + sh2) * 64) >> (4 + bit_depth);
+      if (act > 15) act = 15;
+      int c = ALF_ACT_TAB[act];
+      if (strength > 0) c += (((main_dir & 1) << 1) + strength) * 5;
+      cls[by * w4 + bx] = c;
+      tr[by * w4 + bx] = ALF_TR_TAB[main_dir * 2 + (sec_dir >> 1)];
+    }
+}
+
+// pairs: [np][4] = (ady, adx, bdy, bdx); perms: [4][np]
+void alf_delta_classified_c(const int32_t* rec, int h, int w,
+                            const int32_t* coeffs, const int32_t* clips,
+                            int nf, const int32_t* fmap, const int32_t* cls,
+                            const int32_t* tr, const int32_t* pairs,
+                            const int32_t* perms, int npair,
+                            int32_t* delta) {
+  (void)nf;
+  int w4 = w / 4;
+  auto at = [&](int y, int x) {
+    y = y < 0 ? 0 : (y >= h ? h - 1 : y);
+    x = x < 0 ? 0 : (x >= w ? w - 1 : x);
+    return rec[y * w + x];
+  };
+  // per-(filter, transpose) permuted coefficient rows + precomputed pair
+  // strides for the interior fast path (no clamping)
+  std::vector<int32_t> offa(npair), offb(npair);
+  for (int i = 0; i < npair; i++) {
+    offa[i] = pairs[4 * i] * w + pairs[4 * i + 1];
+    offb[i] = pairs[4 * i + 2] * w + pairs[4 * i + 3];
+  }
+  for (int y = 0; y < h; y++) {
+    bool yin = y >= 3 && y < h - 3;
+    for (int x = 0; x < w; x++) {
+      int blk = (y >> 2) * w4 + (x >> 2);
+      int f = fmap[cls[blk]];
+      int t = tr[blk];
+      int32_t b = clips[f] > 0 ? clips[f] : (1 << 12);
+      const int32_t* base = rec + y * w + x;
+      int32_t cur = *base;
+      int32_t acc = 1 << (7 - 1);
+      const int32_t* cf = coeffs + f * npair;
+      const int32_t* pm = perms + t * npair;
+      if (yin && x >= 3 && x < w - 3) {
+        for (int i = 0; i < npair; i++) {
+          int32_t da = base[offa[i]] - cur;
+          int32_t db = base[offb[i]] - cur;
+          da = da < -b ? -b : (da > b ? b : da);
+          db = db < -b ? -b : (db > b ? b : db);
+          acc += cf[pm[i]] * (da + db);
+        }
+      } else {
+        for (int i = 0; i < npair; i++) {
+          const int32_t* pr = pairs + 4 * i;
+          int32_t da = at(y + pr[0], x + pr[1]) - cur;
+          int32_t db = at(y + pr[2], x + pr[3]) - cur;
+          da = da < -b ? -b : (da > b ? b : da);
+          db = db < -b ? -b : (db > b ? b : db);
+          acc += cf[pm[i]] * (da + db);
+        }
+      }
+      delta[y * w + x] = acc >> 7;
+    }
+  }
+}
+
 }  // extern "C"
