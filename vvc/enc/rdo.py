@@ -376,6 +376,65 @@ def _as_shapes(sizes):
     return tuple((s, s) if isinstance(s, int) else tuple(s) for s in sizes)
 
 
+def _tt_descriptors(sizes):
+    """TT middle-child cost planes needed beyond the aligned shape grids.
+
+    TT outer children land on the aligned (w, h/4) grids; only the middle
+    child (w, h/2) sits at the +h/4 half-offset, so each TT-capable parent
+    shape adds ONE offset plane: ('TH', w) = (w,16) blocks at y ≡ 8 mod 32
+    (stride 32), ('TV', h) mirrored.  Derived deterministically from the
+    shape list so pack/unpack order always agrees."""
+    from vvc.model.partition import allowed_splits
+    shapes = _as_shapes(sizes)
+    out = []
+    for (bw, bh) in shapes:
+        if allowed_splits(bw, bh, False, True)[3]:       # can_tt_h
+            out.append(("TH", bw))
+        if allowed_splits(bw, bh, False, True)[4]:       # can_tt_v
+            out.append(("TV", bh))
+    return tuple(out)
+
+
+def eval_mid_plane(plane, desc, qp, bit_depth: int, lossless: bool,
+                   lfnst_enabled: bool):
+    """Leaf-cost plane for TT middle children: desc ('TH', w) → (w, 16)
+    blocks at (x = k·w, y = 8 + 32·r); ('TV', h) mirrored.  Returns the
+    same 6-tuple as eval_size_plane (chroma decision off — TT mid leaves
+    code chroma as DM)."""
+    H, W = plane.shape
+    kind, s = desc
+    if kind == "TH":
+        bw, bh = s, 16
+        ny, nx = H // 32, W // bw
+        ys = jnp.repeat(jnp.arange(ny) * 32 + 8, nx)
+        xs = jnp.tile(jnp.arange(nx) * bw, ny)
+    else:
+        bw, bh = 16, s
+        ny, nx = H // s, W // 32
+        ys = jnp.repeat(jnp.arange(ny) * s, nx)
+        xs = jnp.tile(jnp.arange(nx) * 32 + 8, ny)
+    oy = ys[:, None, None] + jnp.arange(bh)[None, :, None]
+    ox = xs[:, None, None] + jnp.arange(bw)[None, None, :]
+    blocks = plane[oy, ox].astype(jnp.int32)
+    square = bw == bh
+    if square:
+        refs = build_ref_lines_device(plane, xs, ys, bw, bit_depth)
+    else:
+        refs = build_ref_lines_device_rect(plane, xs, ys, bw, bh, bit_depth)
+    from vvc.kernels.mip import mip_allowed
+    from vvc.kernels.lfnst import lfnst_allowed
+    try_mts = (not lossless) and 8 <= bw <= 32 and 8 <= bh <= 32
+    try_mip = (not lossless) and square and mip_allowed(bw)
+    try_lfnst = ((not lossless) and square and lfnst_enabled
+                 and lfnst_allowed(bw))
+    cost, mode, mts, lfnst = eval_blocks(blocks, refs, bw, qp, bit_depth,
+                                         try_mts, lossless, try_mip,
+                                         try_lfnst, h=bh)
+    z = jnp.zeros_like(mode)
+    return (cost.reshape(ny, nx), mode.reshape(ny, nx), mts.reshape(ny, nx),
+            lfnst.reshape(ny, nx), z.reshape(ny, nx), z.reshape(ny, nx))
+
+
 def _eval_all_sizes_impl(plane, sizes, qp, bit_depth, w, h, lossless=False,
                          lfnst=True, cb=None, cr=None, isp=False):
     chroma = None
@@ -391,6 +450,13 @@ def _eval_all_sizes_impl(plane, sizes, qp, bit_depth, w, h, lossless=False,
                                             lfnst_enabled=lfnst,
                                             chroma=chroma, h=bh,
                                             isp_enabled=isp)
+    for desc in _tt_descriptors(sizes):
+        kind, s = desc
+        ny = (h // 32, h // s)[kind == "TV"]
+        nx = (w // s, w // 32)[kind == "TV"]
+        if ny and nx:
+            out[desc] = eval_mid_plane(plane, desc, qp, bit_depth, lossless,
+                                       lfnst)
     return out
 
 
@@ -399,7 +465,7 @@ def _pack_results(out, sizes):
     bitcast) — device→host transfers over the TPU tunnel cost ~6–30 ms
     EACH regardless of size, so everything rides one transfer."""
     parts = []
-    for sh in _as_shapes(sizes):
+    for sh in _as_shapes(sizes) + _tt_descriptors(sizes):
         if sh not in out:
             continue
         c, m, t, l, cm, isp = out[sh]
@@ -413,8 +479,14 @@ def unpack_results(vec: np.ndarray, sizes, w: int, h: int):
     lfnst, chroma_mode, isp)} numpy arrays."""
     out = {}
     off = 0
+    keys = []
     for (bw, bh) in _as_shapes(sizes):
-        ny, nx = h // bh, w // bw
+        keys.append(((bw, bh), h // bh, w // bw))
+    for desc in _tt_descriptors(sizes):
+        kind, s = desc
+        keys.append((desc, (h // 32, h // s)[kind == "TV"],
+                     (w // s, w // 32)[kind == "TV"]))
+    for key, ny, nx in keys:
         if not (ny and nx):
             continue
         n = ny * nx
@@ -424,7 +496,7 @@ def unpack_results(vec: np.ndarray, sizes, w: int, h: int):
         l = vec[off:off + n].reshape(ny, nx); off += n
         cm = vec[off:off + n].reshape(ny, nx); off += n
         isp = vec[off:off + n].reshape(ny, nx); off += n
-        out[(bw, bh)] = (c, m, t, l, cm, isp)
+        out[key] = (c, m, t, l, cm, isp)
     return out
 
 
@@ -493,6 +565,7 @@ def eval_all_sizes_frames(planes_vec: jax.Array, sizes: tuple, qp,
 SPLIT_BITS = 1.5   # approximate split_cu_flag cost
 QT_FLAG_BITS = 1.0  # approximate split_qt_flag cost (only when MTT competes)
 MTT_DIR_BITS = 1.0  # approximate mtt_split_cu_vertical_flag cost
+TT_FLAG_BITS = 1.0  # approximate mtt_split_cu_binary_flag cost
 
 
 def _candidate_sizes(ctu_size: int, min_cu: int):
@@ -748,15 +821,18 @@ def _dp_backtrack(results, w, h, qp, sizes, ctu_size, min_cu, mtt=False):
 
 
 def _dp_backtrack_mtt(results, w, h, qp, shapes, ctu_size, min_cu):
-    """Shape-lattice DP over QT + BT (TT decode-side only for now): two
-    tables per shape — best_q (QT still allowed) and best_m (inside MTT,
-    the spec's no-QT-below-MTT rule) — then a z-order backtrack emitting
-    split codes (reference: EncCu::xCheckModeSplit over canSplit results).
+    """Shape-lattice DP over QT + BT + TT: two tables per shape — best_q
+    (QT still allowed) and best_m (inside MTT, the spec's no-QT-below-MTT
+    rule) — then a z-order backtrack emitting split codes (reference:
+    EncCu::xCheckModeSplit over canSplit results).
 
-    Child grids align because BT children of an aligned (w,h) grid land on
-    the (w',h') grid (TT middles would not — they need half-offset cost
-    planes, which is why TT is not searched yet)."""
-    from vvc.model.partition import allowed_splits
+    BT children of an aligned (w,h) grid land on the (w',h') grid.  TT
+    outer children also align (offsets 0 and 3h/4 on the (w,h/4) grid and
+    recurse through best_m); only the middle child sits at the +h/4
+    half-offset, for which eval_mid_plane supplies LEAF-only cost planes
+    (the middle child is not split further in the search — a bounded
+    approximation; syntax/decode support arbitrary TT subtrees)."""
+    from vvc.model.partition import allowed_splits, SPLIT_TT_H, SPLIT_TT_V
     lam = rd_lambda(qp)
     shapes = _as_shapes(shapes)
     data = {}
@@ -794,21 +870,56 @@ def _dp_backtrack_mtt(results, w, h, qp, shapes, ctu_size, min_cu):
                    ch_v[:, 0::2][:ny, :nx] + ch_v[:, 1::2][:ny, :nx])
         return out
 
+    def tt_costs(tbl, sh):
+        """(tt_h, tt_v) child-sum planes: outer children from the aligned
+        quarter-shape best_m table, middle child from the leaf-only
+        half-offset plane (results[('TH'|'TV', dim)])."""
+        bw, bh = sh
+        ny, nx = h // bh, w // bw
+        out = []
+        # the mid leaf pays its own split_cu_flag like every best_m leaf
+        q_h = tbl.get((bw, bh >> 2))
+        mid_h = results.get(("TH", bw)) if bh == 32 else None
+        if q_h is None or mid_h is None:
+            out.append(None)
+        else:
+            out.append(q_h[0::4, :][:ny, :nx] + q_h[3::4, :][:ny, :nx]
+                       + mid_h[0][:ny, :nx] + lam * SPLIT_BITS)
+        q_v = tbl.get((bw >> 2, bh))
+        mid_v = results.get(("TV", bh)) if bw == 32 else None
+        if q_v is None or mid_v is None:
+            out.append(None)
+        else:
+            out.append(q_v[:, 0::4][:ny, :nx] + q_v[:, 3::4][:ny, :nx]
+                       + mid_v[0][:ny, :nx] + lam * SPLIT_BITS)
+        return out
+
     for sh in order:
         bw, bh = sh
         ny, nx = h // bh, w // bw
         leaf = data[sh][0].astype(np.float64)
         # ---- MTT-context table (QT barred) ----
-        _, mbth, mbtv, _, _ = allowed_splits(bw, bh, False, True)
+        _, mbth, mbtv, mtth, mttv = allowed_splits(bw, bh, False, True)
         cands = [leaf + lam * SPLIT_BITS]       # choice 0 = leaf
         codes = [SPLIT_NONE]
         sums = bt_costs(best_m, sh)
+        tsums = tt_costs(best_m, sh)
         if mbth and sums[0] is not None:
-            cands.append(sums[0] + lam * (SPLIT_BITS + MTT_DIR_BITS))
+            cands.append(sums[0] + lam * (SPLIT_BITS + MTT_DIR_BITS
+                                          + (TT_FLAG_BITS if mtth else 0)))
             codes.append(SPLIT_BT_H)
         if mbtv and sums[1] is not None:
-            cands.append(sums[1] + lam * (SPLIT_BITS + MTT_DIR_BITS))
+            cands.append(sums[1] + lam * (SPLIT_BITS + MTT_DIR_BITS
+                                          + (TT_FLAG_BITS if mttv else 0)))
             codes.append(SPLIT_BT_V)
+        if mtth and tsums[0] is not None:
+            cands.append(tsums[0] + lam * (SPLIT_BITS + MTT_DIR_BITS
+                                           + TT_FLAG_BITS))
+            codes.append(SPLIT_TT_H)
+        if mttv and tsums[1] is not None:
+            cands.append(tsums[1] + lam * (SPLIT_BITS + MTT_DIR_BITS
+                                           + TT_FLAG_BITS))
+            codes.append(SPLIT_TT_V)
         stack = np.stack(cands)
         pick = np.argmin(stack, axis=0)
         best_m[sh] = np.take_along_axis(stack, pick[None], axis=0)[0]
@@ -825,14 +936,30 @@ def _dp_backtrack_mtt(results, w, h, qp, shapes, ctu_size, min_cu):
                 cands.append(qsum + lam * (SPLIT_BITS + QT_FLAG_BITS))
                 codes.append(SPLIT_QT)
             sums = bt_costs(best_m, sh)
+            tsums = tt_costs(best_m, sh)
+            _, _, _, qtth, qttv = allowed_splits(bw, bh, True, True)
             if qbth and sums[0] is not None:
                 cands.append(sums[0] + lam * (SPLIT_BITS + QT_FLAG_BITS
-                                              + MTT_DIR_BITS))
+                                              + MTT_DIR_BITS
+                                              + (TT_FLAG_BITS if qtth
+                                                 else 0)))
                 codes.append(SPLIT_BT_H)
             if qbtv and sums[1] is not None:
                 cands.append(sums[1] + lam * (SPLIT_BITS + QT_FLAG_BITS
-                                              + MTT_DIR_BITS))
+                                              + MTT_DIR_BITS
+                                              + (TT_FLAG_BITS if qttv
+                                                 else 0)))
                 codes.append(SPLIT_BT_V)
+            if qtth and tsums[0] is not None:
+                cands.append(tsums[0] + lam * (SPLIT_BITS + QT_FLAG_BITS
+                                               + MTT_DIR_BITS
+                                               + TT_FLAG_BITS))
+                codes.append(SPLIT_TT_H)
+            if qttv and tsums[1] is not None:
+                cands.append(tsums[1] + lam * (SPLIT_BITS + QT_FLAG_BITS
+                                               + MTT_DIR_BITS
+                                               + TT_FLAG_BITS))
+                codes.append(SPLIT_TT_V)
             stack = np.stack(cands)
             pick = np.argmin(stack, axis=0)
             best_q[sh] = np.take_along_axis(stack, pick[None], axis=0)[0]
@@ -866,7 +993,24 @@ def _dp_backtrack_mtt(results, w, h, qp, shapes, ctu_size, min_cu):
             leaf_map[(x0, y0, bw, bh)] = leaf
             leaves.append(leaf)
             return
-        for (cx, cy, cw, ch) in child_blocks(x0, y0, bw, bh, code):
+        kids = child_blocks(x0, y0, bw, bh, code)
+        if code in (SPLIT_TT_H, SPLIT_TT_V):
+            # middle child: leaf directly from the half-offset plane (its
+            # position is off the aligned grids)
+            cx, cy, cw, ch = kids[1]
+            r = results[("TH", bw) if code == SPLIT_TT_H else ("TV", bh)]
+            iy = cy // 32 if code == SPLIT_TT_H else cy // ch
+            ix = cx // cw if code == SPLIT_TT_H else cx // 32
+            leaf = Leaf(cx, cy, cw, ch, int(r[1][iy, ix]),
+                        mts=int(r[2][iy, ix]), lfnst=int(r[3][iy, ix]))
+            walk(*kids[0], False)
+            if any(allowed_splits(cw, ch, False, True)):
+                split_map[(cx, cy, cw, ch)] = SPLIT_NONE
+            leaf_map[(cx, cy, cw, ch)] = leaf
+            leaves.append(leaf)
+            walk(*kids[2], False)
+            return
+        for (cx, cy, cw, ch) in kids:
             walk(cx, cy, cw, ch, code == SPLIT_QT and qt_allowed)
 
     for cy in range(0, h, ctu_size):
