@@ -243,3 +243,44 @@ def test_trace_enc_dec_syntax_identical(tmp_path):
     enc_recs = [json.loads(l) for l in open(tmp_path / "enc.jsonl")]
     dec_recs = [json.loads(l) for l in open(tmp_path / "dec.jsonl")]
     assert enc_recs and enc_recs == dec_recs
+
+
+def test_tt_search_win_on_tt_friendly_content():
+    """TT in the RDO search must not lose BD-rate vs BT-only search on
+    content shaped for TT: 16-high bands at y ≡ 8 (mod 32) — exactly the
+    TT_H middle-child geometry (VERDICT r2 task 2)."""
+    import vvc.enc.rdo as rdo
+    from vvc.io.yuv import Frame
+    from vvc.enc.encoder import encode_sequence
+    from vvc.utils.bdrate import bd_rate
+    rng = np.random.default_rng(11)
+    H, W = 128, 128
+    y = np.full((H, W), 90, np.int32)
+    # aperiodic (a flat 64x64 leaf must not win outright): per-32x32 tile
+    # a flat surround with a textured 16-high band at y%32 in [8,24) — the
+    # TT_H middle child
+    for by in range(0, H, 32):
+        for bx in range(0, W, 32):
+            y[by:by + 32, bx:bx + 32] = rng.integers(60, 120)
+            y[by + 8:by + 24, bx:bx + 32] = rng.integers(140, 220, (16, 32))
+    y = y.clip(0, 255).astype(np.int32)
+    cb = np.full((H // 2, W // 2), 128, np.int32)
+    cr = np.full((H // 2, W // 2), 128, np.int32)
+    frames = [Frame(y, cb, cr, 8)]
+    curves = {}
+    old = rdo.TT_IN_SEARCH
+    try:
+        for tt in (False, True):
+            rdo.TT_IN_SEARCH = tt
+            rs, ps = [], []
+            for qp in (22, 27, 32, 37):
+                bs, recons, stats = encode_sequence(frames, qp=qp, mode="ai",
+                                                    mtt=True)
+                rs.append(sum(s["bits"] for s in stats))
+                ps.append(np.mean([s["psnr_y"] for s in stats]))
+            curves[tt] = (rs, ps)
+    finally:
+        rdo.TT_IN_SEARCH = old
+    bd = bd_rate(*curves[False], *curves[True])
+    print("TT on-vs-off BD-rate:", bd)
+    assert bd <= 0.0, f"TT search must not hurt ({bd:+.2f}%)"

@@ -54,3 +54,33 @@ def level_bits_scalar(l: int) -> float:
         return float(LEVEL_BITS_TABLE[l])
     return float(LEVEL_BITS_TABLE[-1]
                  + _EG_SLOPE * np.log2(1.0 + l - (len(LEVEL_BITS_TABLE) - 1)))
+
+
+# ---------------------------------------------------------------------------
+# Measured syntax-bin rates (estFracBits analog for non-level syntax).
+#
+# Average -log2(p(bin)) per (context family, bin value) measured over real
+# encodes of this repo's own CABAC (adapting contexts) by
+# tools/measure_syntax_rates.py — structured-bars + synthetic content,
+# QP {22,32,37}, MTT+ISP on.  The reference prices these bins from live
+# per-node context state (Contexts.cpp → BinProbModel_Std::estFracBits);
+# our partition DP is global, so the adapted *average* is the consistent
+# estimator (same methodology as LEVEL_BITS_TABLE above).
+SYNTAX_BITS = {
+    "SPLIT_CU_FLAG": {0: 1.543, 1: 0.465},
+    "SPLIT_QT_FLAG": {0: 1.109, 1: 0.800},
+    "MTT_SPLIT_VERT": {0: 1.127, 1: 0.908},
+    "MTT_SPLIT_BINARY": {0: 2.165, 1: 0.585},   # 0 = TT, 1 = BT
+    "INTRA_LUMA_MPM_FLAG": {0: 1.021, 1: 0.930},
+    "INTRA_LUMA_NOT_PLANAR": {0: 1.442, 1: 0.488},
+    "MIP_FLAG": {0: 0.479, 1: 1.893},
+    "ISP_MODE": {0: 0.511, 1: 1.269},
+    "CCLM_FLAG": {0: 0.162, 1: 2.368},
+    "CBF_LUMA": {0: 1.633, 1: 0.278},
+    "MTS_IDX": {0: 0.940, 1: 0.944},
+    "LFNST_IDX": {0: 0.399, 1: 3.213},
+}
+
+
+def syntax_bits(family: str, bin_val: int) -> float:
+    return SYNTAX_BITS[family][bin_val]

@@ -562,10 +562,30 @@ def eval_all_sizes_frames(planes_vec: jax.Array, sizes: tuple, qp,
                                  lossless, lfnst, isp=isp), sizes))(y)
 
 
-SPLIT_BITS = 1.5   # approximate split_cu_flag cost
-QT_FLAG_BITS = 1.0  # approximate split_qt_flag cost (only when MTT competes)
-MTT_DIR_BITS = 1.0  # approximate mtt_split_cu_vertical_flag cost
-TT_FLAG_BITS = 1.0  # approximate mtt_split_cu_binary_flag cost
+# Split-signalling rates from the measured per-context table
+# (vvc/cabac/rates.py SYNTAX_BITS, tools/measure_syntax_rates.py — the
+# estFracBits analog; replaces the r2 hand-waved flat constants).
+from vvc.cabac.rates import SYNTAX_BITS as _SB
+
+# test hook: disable TT candidates in the DP (decode support unaffected)
+# for TT-on-vs-off A/B quality checks
+TT_IN_SEARCH = True
+
+# conservative margin (bits) on TT candidates: the DP's luma-only cost
+# cannot see that TT mid leaves forfeit the 4-way chroma decision (rect
+# CCLM not yet supported), ISP, and further splitting.  Calibrated by
+# sweep on TT-friendly content (margin 0/2 -> +0.06% BD-rate overuse,
+# 4 -> -0.03%, 8 -> -0.07%); shrink when rect CCLM + mid-subtree search
+# land and the realization gap closes.
+TT_MARGIN_BITS = 4.0
+
+SPLIT_LEAF_BITS = _SB["SPLIT_CU_FLAG"][0]  # leaf codes split_cu_flag = 0
+SPLIT_BITS = _SB["SPLIT_CU_FLAG"][1]       # any split codes flag = 1
+QT_FLAG_BITS = _SB["SPLIT_QT_FLAG"][1]     # QT chosen while MTT competes
+MTT_FLAG_BITS = _SB["SPLIT_QT_FLAG"][0]    # MTT chosen while QT competes
+MTT_DIR_BITS = (_SB["MTT_SPLIT_VERT"][0] + _SB["MTT_SPLIT_VERT"][1]) / 2
+BT_FLAG_BITS = _SB["MTT_SPLIT_BINARY"][1]  # binary flag = 1 (BT)
+TT_FLAG_BITS = _SB["MTT_SPLIT_BINARY"][0]  # binary flag = 0 (TT)
 
 
 def _candidate_sizes(ctu_size: int, min_cu: int):
@@ -775,7 +795,7 @@ def _dp_backtrack(results, w, h, qp, sizes, ctu_size, min_cu, mtt=False):
         child_sum = (ch[0::2, 0::2][:ny, :nx] + ch[0::2, 1::2][:ny, :nx]
                      + ch[1::2, 0::2][:ny, :nx] + ch[1::2, 1::2][:ny, :nx])
         split_cost = child_sum + lam * SPLIT_BITS
-        leaf_cost = cost[s][:ny, :nx] + lam * SPLIT_BITS  # leaf also signals flag
+        leaf_cost = cost[s][:ny, :nx] + lam * SPLIT_LEAF_BITS  # flag = 0
         use_split[s] = split_cost < leaf_cost
         best[s] = np.where(use_split[s], split_cost, leaf_cost)
 
@@ -874,6 +894,8 @@ def _dp_backtrack_mtt(results, w, h, qp, shapes, ctu_size, min_cu):
         """(tt_h, tt_v) child-sum planes: outer children from the aligned
         quarter-shape best_m table, middle child from the leaf-only
         half-offset plane (results[('TH'|'TV', dim)])."""
+        if not TT_IN_SEARCH:
+            return [None, None]
         bw, bh = sh
         ny, nx = h // bh, w // bw
         out = []
@@ -884,14 +906,14 @@ def _dp_backtrack_mtt(results, w, h, qp, shapes, ctu_size, min_cu):
             out.append(None)
         else:
             out.append(q_h[0::4, :][:ny, :nx] + q_h[3::4, :][:ny, :nx]
-                       + mid_h[0][:ny, :nx] + lam * SPLIT_BITS)
+                       + mid_h[0][:ny, :nx] + lam * SPLIT_LEAF_BITS)
         q_v = tbl.get((bw >> 2, bh))
         mid_v = results.get(("TV", bh)) if bw == 32 else None
         if q_v is None or mid_v is None:
             out.append(None)
         else:
             out.append(q_v[:, 0::4][:ny, :nx] + q_v[:, 3::4][:ny, :nx]
-                       + mid_v[0][:ny, :nx] + lam * SPLIT_BITS)
+                       + mid_v[0][:ny, :nx] + lam * SPLIT_LEAF_BITS)
         return out
 
     for sh in order:
@@ -900,25 +922,30 @@ def _dp_backtrack_mtt(results, w, h, qp, shapes, ctu_size, min_cu):
         leaf = data[sh][0].astype(np.float64)
         # ---- MTT-context table (QT barred) ----
         _, mbth, mbtv, mtth, mttv = allowed_splits(bw, bh, False, True)
-        cands = [leaf + lam * SPLIT_BITS]       # choice 0 = leaf
+        cands = [leaf + lam * SPLIT_LEAF_BITS]  # choice 0 = leaf (flag=0)
         codes = [SPLIT_NONE]
         sums = bt_costs(best_m, sh)
         tsums = tt_costs(best_m, sh)
+        # direction flag coded only when both directions are available;
+        # binary (BT-vs-TT) flag only when both compete in that direction
+        dir_b = MTT_DIR_BITS if (mbth or mtth) and (mbtv or mttv) else 0.0
         if mbth and sums[0] is not None:
-            cands.append(sums[0] + lam * (SPLIT_BITS + MTT_DIR_BITS
-                                          + (TT_FLAG_BITS if mtth else 0)))
+            cands.append(sums[0] + lam * (SPLIT_BITS + dir_b
+                                          + (BT_FLAG_BITS if mtth else 0)))
             codes.append(SPLIT_BT_H)
         if mbtv and sums[1] is not None:
-            cands.append(sums[1] + lam * (SPLIT_BITS + MTT_DIR_BITS
-                                          + (TT_FLAG_BITS if mttv else 0)))
+            cands.append(sums[1] + lam * (SPLIT_BITS + dir_b
+                                          + (BT_FLAG_BITS if mttv else 0)))
             codes.append(SPLIT_BT_V)
         if mtth and tsums[0] is not None:
-            cands.append(tsums[0] + lam * (SPLIT_BITS + MTT_DIR_BITS
-                                           + TT_FLAG_BITS))
+            cands.append(tsums[0] + lam * (SPLIT_BITS + dir_b
+                                           + TT_MARGIN_BITS
+                                           + (TT_FLAG_BITS if mbth else 0)))
             codes.append(SPLIT_TT_H)
         if mttv and tsums[1] is not None:
-            cands.append(tsums[1] + lam * (SPLIT_BITS + MTT_DIR_BITS
-                                           + TT_FLAG_BITS))
+            cands.append(tsums[1] + lam * (SPLIT_BITS + dir_b
+                                           + TT_MARGIN_BITS
+                                           + (TT_FLAG_BITS if mbtv else 0)))
             codes.append(SPLIT_TT_V)
         stack = np.stack(cands)
         pick = np.argmin(stack, axis=0)
@@ -926,39 +953,44 @@ def _dp_backtrack_mtt(results, w, h, qp, shapes, ctu_size, min_cu):
         choice_m[sh] = np.asarray(codes, np.int32)[pick]
         # ---- QT-allowed table (square shapes only) ----
         if bw == bh:
-            qt_ok, qbth, qbtv, _, _ = allowed_splits(bw, bh, True, True)
-            cands = [leaf + lam * SPLIT_BITS]
+            qt_ok, qbth, qbtv, qtth, qttv = allowed_splits(bw, bh, True, True)
+            any_mtt = qbth or qbtv or qtth or qttv
+            # split_qt_flag coded only when QT and MTT both compete
+            qt_b = QT_FLAG_BITS if (qt_ok and any_mtt) else 0.0
+            mtt_b = MTT_FLAG_BITS if qt_ok else 0.0
+            qdir_b = (MTT_DIR_BITS
+                      if (qbth or qtth) and (qbtv or qttv) else 0.0)
+            cands = [leaf + lam * SPLIT_LEAF_BITS]
             codes = [SPLIT_NONE]
             if qt_ok and (bw >> 1, bh >> 1) in best_q:
                 cq = best_q[(bw >> 1, bh >> 1)]
                 qsum = (cq[0::2, 0::2][:ny, :nx] + cq[0::2, 1::2][:ny, :nx]
                         + cq[1::2, 0::2][:ny, :nx] + cq[1::2, 1::2][:ny, :nx])
-                cands.append(qsum + lam * (SPLIT_BITS + QT_FLAG_BITS))
+                cands.append(qsum + lam * (SPLIT_BITS + qt_b))
                 codes.append(SPLIT_QT)
             sums = bt_costs(best_m, sh)
             tsums = tt_costs(best_m, sh)
-            _, _, _, qtth, qttv = allowed_splits(bw, bh, True, True)
             if qbth and sums[0] is not None:
-                cands.append(sums[0] + lam * (SPLIT_BITS + QT_FLAG_BITS
-                                              + MTT_DIR_BITS
-                                              + (TT_FLAG_BITS if qtth
+                cands.append(sums[0] + lam * (SPLIT_BITS + mtt_b + qdir_b
+                                              + (BT_FLAG_BITS if qtth
                                                  else 0)))
                 codes.append(SPLIT_BT_H)
             if qbtv and sums[1] is not None:
-                cands.append(sums[1] + lam * (SPLIT_BITS + QT_FLAG_BITS
-                                              + MTT_DIR_BITS
-                                              + (TT_FLAG_BITS if qttv
+                cands.append(sums[1] + lam * (SPLIT_BITS + mtt_b + qdir_b
+                                              + (BT_FLAG_BITS if qttv
                                                  else 0)))
                 codes.append(SPLIT_BT_V)
             if qtth and tsums[0] is not None:
-                cands.append(tsums[0] + lam * (SPLIT_BITS + QT_FLAG_BITS
-                                               + MTT_DIR_BITS
-                                               + TT_FLAG_BITS))
+                cands.append(tsums[0] + lam * (SPLIT_BITS + mtt_b + qdir_b
+                                               + TT_MARGIN_BITS
+                                               + (TT_FLAG_BITS if qbth
+                                                  else 0)))
                 codes.append(SPLIT_TT_H)
             if qttv and tsums[1] is not None:
-                cands.append(tsums[1] + lam * (SPLIT_BITS + QT_FLAG_BITS
-                                               + MTT_DIR_BITS
-                                               + TT_FLAG_BITS))
+                cands.append(tsums[1] + lam * (SPLIT_BITS + mtt_b + qdir_b
+                                               + TT_MARGIN_BITS
+                                               + (TT_FLAG_BITS if qbtv
+                                                  else 0)))
                 codes.append(SPLIT_TT_V)
             stack = np.stack(cands)
             pick = np.argmin(stack, axis=0)

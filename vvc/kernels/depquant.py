@@ -28,7 +28,7 @@ import numpy as np
 from vvc.kernels.quant import transform_shift, _log2
 from vvc.rom.transform_mats import (QUANT_SCALES, INV_QUANT_SCALES,
                                     QUANT_SHIFT, IQUANT_SHIFT)
-from vvc.cabac.residual import full_scan
+from vvc.cabac.residual import full_scan_rect
 
 # QStateTransTable[state][parity]
 NEXT_STATE = ((0, 2), (2, 0), (1, 3), (3, 1))
@@ -56,7 +56,7 @@ def dequant_depquant_np(levels: np.ndarray, qp: int,
     shift = IQUANT_SHIFT - tshift + 1          # +1: half-step granularity
     scale = int(INV_QUANT_SCALES[qp % 6])
     sh6 = qp // 6
-    scan = full_scan(_log2(w))                  # forward scan (DC first)
+    scan = full_scan_rect(_log2(w), _log2(h))   # forward scan (DC first)
     out = np.zeros_like(levels)
     state = 0
     for x, y in reversed(scan):                 # coding order: high→DC
@@ -87,7 +87,7 @@ def quant_depquant_np(coeff: np.ndarray, qp: int, bit_depth: int = 8,
     tshift = transform_shift(_log2(w), _log2(h), bit_depth)
     qbits = QUANT_SHIFT + qp // 6 + tshift
     scale = int(QUANT_SCALES[qp % 6])
-    scan = full_scan(_log2(w))
+    scan = full_scan_rect(_log2(w), _log2(h))
     n = len(scan)
     # normalized magnitudes in half-step units
     t_mag = np.empty(n)
