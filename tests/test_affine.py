@@ -1,0 +1,168 @@
+"""Affine motion (VERDICT r2 task 4): kernel math, normative prediction,
+ME convergence, end-to-end roundtrip, BD-rate on warp content.
+
+Reference anchors: InterPrediction::xPredAffineBlk (subblock MVs + PROF),
+InterSearch::xAffineMotionEstimation (gradient CPMV search)."""
+import numpy as np
+import pytest
+
+from vvc.kernels.affine import (affine_mv_grid, affine_mv_grid_batch,
+                                affine_pred_np, affine_pred_batch_np,
+                                prof_worth_it, affine_me_batch)
+from vvc.kernels.mc import mc_block_np
+from vvc.io.yuv import Frame
+
+
+def _plane(h, w, seed=0, smooth=3):
+    rng = np.random.default_rng(seed)
+    p = rng.integers(0, 256, (h, w)).astype(np.float64)
+    # separable box blur (keeps gradients meaningful for ME)
+    for _ in range(smooth):
+        p = (np.roll(p, 1, 0) + p + np.roll(p, -1, 0)) / 3.0
+        p = (np.roll(p, 1, 1) + p + np.roll(p, -1, 1)) / 3.0
+    return p.round().astype(np.int32)
+
+
+def test_translation_degenerates_to_mc():
+    plane = _plane(128, 160)
+    for mv in [(5, -7), (13, 9), (-2, 3), (21, 14)]:
+        cp = (mv, mv)
+        g = affine_mv_grid(32, 16, cp, 4)
+        assert (g[..., 0] == mv[0]).all() and (g[..., 1] == mv[1]).all()
+        p = affine_pred_np(plane, 40, 24, 32, 16, cp, 4, 8)
+        q = mc_block_np(plane, 40, 24, 32, 16, mv[0], mv[1], 8)
+        assert (p == q).all()
+        assert not prof_worth_it(cp, 4)
+
+
+def test_grid_batch_matches_scalar():
+    rng = np.random.default_rng(1)
+    cps = rng.integers(-64, 64, (5, 3, 2)).astype(np.int32)
+    for n_params in (4, 6):
+        gb = affine_mv_grid_batch(32, cps, n_params)
+        for i in range(5):
+            cp = tuple(tuple(int(v) for v in row) for row in cps[i])
+            gs = affine_mv_grid(32, 32, cp, n_params)
+            assert (gb[i] == gs).all()
+
+
+def test_pred_batch_matches_scalar():
+    plane = _plane(96, 128, 2)
+    rng = np.random.default_rng(4)
+    cps = rng.integers(-32, 32, (4, 3, 2)).astype(np.int32)
+    xs = np.array([16, 48, 64, 32], np.int32)
+    ys = np.array([8, 40, 16, 48], np.int32)
+    pb = affine_pred_batch_np(plane, xs, ys, 16, cps, 4, 8)
+    for i in range(4):
+        cp = tuple(tuple(int(v) for v in row) for row in cps[i])
+        ps = affine_pred_np(plane, int(xs[i]), int(ys[i]), 16, 16, cp, 4, 8)
+        assert (pb[i] == ps).all()
+
+
+def test_prof_improves_warp_fit():
+    """On a zooming reference, PROF must reduce the subblock-MC error
+    (it models the within-subblock MV variation MC cannot)."""
+    base = _plane(256, 256, 5)
+    # reference = base; current = base zoomed by 3% about block center
+    yy, xx = np.mgrid[0:32, 0:32].astype(np.float64)
+    sx = np.clip(((xx - 16) / 1.03 + 16 + 64), 0, 255)
+    sy = np.clip(((yy - 16) / 1.03 + 16 + 64), 0, 255)
+    cur = base[sy.astype(int), sx.astype(int)]
+    # affine model of the zoom: cpmv TL/TR for 4-param (zoom s maps to
+    # dx = (1/s - 1) * w in qpel at the TR corner)
+    d = (1 / 1.03 - 1) * 32 * 4
+    cp = ((0, 0), (int(round(d)), 0))
+    p_no = affine_pred_np(base[64:128, 64:128], 0, 0, 32, 32, cp, 4, 8,
+                          prof=False)
+    p_yes = affine_pred_np(base[64:128, 64:128], 0, 0, 32, 32, cp, 4, 8,
+                           prof=True)
+    e_no = np.abs(p_no.astype(int) - cur).mean()
+    e_yes = np.abs(p_yes.astype(int) - cur).mean()
+    assert e_yes < e_no
+
+
+def test_affine_me_recovers_rotation():
+    """Batched Gauss-Newton ME must recover a small synthetic rotation:
+    its prediction error must come in well under the best translational
+    fit."""
+    base = _plane(200, 200, 7)
+    th = 0.03
+    yy, xx = np.mgrid[0:64, 0:64].astype(np.float64)
+    cx = cy = 32.0
+    sx = np.cos(th) * (xx - cx) - np.sin(th) * (yy - cy) + cx + 64
+    sy = np.sin(th) * (xx - cx) + np.cos(th) * (yy - cy) + cy + 64
+    cur = base[np.clip(sy, 0, 199).astype(int),
+               np.clip(sx, 0, 199).astype(int)].astype(np.float32)
+    cp = affine_me_batch(cur[None], base.astype(np.float32),
+                         np.array([64]), np.array([64]),
+                         np.array([0]), np.array([0]), 64, 8)
+    pred = affine_pred_batch_np(base, np.array([64]), np.array([64]), 64,
+                                cp, 4, 8)[0]
+    err_aff = np.abs(pred - cur).mean()
+    best_tr = min(
+        np.abs(mc_block_np(base, 64, 64, 64, 64, dx, dy, 8) - cur).mean()
+        for dx in range(-8, 9, 2) for dy in range(-8, 9, 2))
+    assert err_aff < 0.7 * best_tr, (err_aff, best_tr)
+
+
+def _warp_frames(n, H=96, W=128, zoom=0.015, seed=3):
+    base = _plane(H * 2, W * 2, seed)
+    frames = []
+    for t in range(n):
+        s = 1.0 + zoom * t
+        yy, xx = np.mgrid[0:H, 0:W]
+        sx = np.clip(((xx - W / 2) / s + W / 2 + W / 2), 0, 2 * W - 1)
+        sy = np.clip(((yy - H / 2) / s + H / 2 + H / 2), 0, 2 * H - 1)
+        y = base[sy.astype(int), sx.astype(int)].astype(np.int32)
+        frames.append(Frame(y, np.full((H // 2, W // 2), 128, np.int32),
+                            np.full((H // 2, W // 2), 128, np.int32), 8))
+    return frames
+
+
+def test_affine_roundtrip_bit_exact():
+    from vvc.enc.encoder import encode_sequence
+    from vvc.dec.decoder import decode_stream
+    frames = _warp_frames(3)
+    bs, recons, stats = encode_sequence(frames, qp=32, mode="ldp",
+                                        affine=True)
+    decs, info = decode_stream(bs)
+    assert all(info["hash_ok"])
+    for d, r in zip(decs, recons):
+        assert (d.y == r.y).all()
+        assert (d.cb == r.cb).all() and (d.cr == r.cr).all()
+
+
+def test_affine_ra_roundtrip_bit_exact():
+    from vvc.enc.encoder import encode_sequence
+    from vvc.dec.decoder import decode_stream
+    frames = _warp_frames(5)
+    bs, recons, stats = encode_sequence(frames, qp=32, mode="ra",
+                                        gop_size=4, affine=True,
+                                        bdof=True, dmvr=True)
+    decs, info = decode_stream(bs)
+    assert all(info["hash_ok"])
+    for d, r in zip(decs, recons):
+        assert (d.y == r.y).all()
+
+
+def test_affine_used_and_rd_not_worse_on_zoom():
+    """On zoom content the search must actually pick affine CUs, and the
+    affine-on encode must not lose RD vs affine-off (same QP: bits must
+    not grow while PSNR drops)."""
+    from vvc.enc.encoder import encode_sequence
+    frames = _warp_frames(3, zoom=0.02)
+    r = {}
+    for aff in (False, True):
+        bs, recons, stats = encode_sequence(frames, qp=32, mode="ldp",
+                                            affine=aff)
+        r[aff] = (sum(s["bits"] for s in stats),
+                  np.mean([s["psnr_y"] for s in stats]))
+    bits_off, psnr_off = r[False]
+    bits_on, psnr_on = r[True]
+    # RD sanity: not strictly better on every clip, but never BOTH worse
+    assert bits_on <= bits_off * 1.02 or psnr_on >= psnr_off - 0.02, r
+    from vvc.enc.inter_search import rdo_inter_partition
+    sm, lm, leaves = rdo_inter_partition(
+        frames[1].y, [frames[0].y], [], 32, affine=True)
+    n_aff = sum(1 for l in leaves if l.affine)
+    assert n_aff > 0, "no affine CU chosen on zoom content"

@@ -68,6 +68,10 @@ CTX_SETS = [
     ("MTT_SPLIT_BINARY", 2),
     # ISP (appended)
     ("ISP_MODE", 2),
+    # affine (appended; reference: Contexts.cpp AffineFlag/AffineType/
+    # SubblockMergeFlag)
+    ("AFFINE_FLAG", 3),
+    ("AFFINE_TYPE", 1),
 ]
 
 _OFFSETS = {}

@@ -115,7 +115,8 @@ class TreeCoder:
                  mstate=None, n_ref=(0, 0), max_merge: int = 6,
                  col=None, cur_poc: int = 0, ref_pocs=((), ()),
                  mip_enabled: bool = False, lfnst_enabled: bool = False,
-                 mtt_enabled: bool = False, isp_enabled: bool = False):
+                 mtt_enabled: bool = False, isp_enabled: bool = False,
+                 affine_enabled: bool = False):
         self.ctxs = ctxs
         self.state = state
         self.w = width
@@ -128,6 +129,7 @@ class TreeCoder:
         self.lfnst_enabled = lfnst_enabled
         self.mtt_enabled = mtt_enabled
         self.isp_enabled = isp_enabled
+        self.affine_enabled = affine_enabled
         self.max_depth = (ctu_size.bit_length() - 1) - (min_cu.bit_length() - 1)
         self.slice_type = slice_type          # 0=B, 1=P, 2=I (spec values)
         self.inter_slice = slice_type != 2
@@ -166,9 +168,19 @@ class TreeCoder:
                 return 1
         return 0
 
+    def _affine_signaled(self, size: int) -> bool:
+        # spec 7.4.11.5: inter_affine_flag gated on sps_affine + w,h >= 16
+        return self.affine_enabled and size >= 16
+
     def _mark_inter(self, leaf: Leaf, skip: bool):
-        self.mstate.set_inter(leaf.x0, leaf.y0, leaf.size, leaf.inter_dir,
-                              leaf.mv, leaf.ref_idx, skip)
+        if leaf.affine:
+            self.mstate.set_inter_affine(leaf.x0, leaf.y0, leaf.w, leaf.h,
+                                         leaf.inter_dir, leaf.cpmv,
+                                         leaf.ref_idx, leaf.affine)
+        else:
+            self.mstate.set_inter(leaf.x0, leaf.y0, leaf.size,
+                                  leaf.inter_dir, leaf.mv, leaf.ref_idx,
+                                  skip)
         d = node_depth(self.ctu, leaf.w, leaf.h)
         # intra-mode plane sees inter CUs as planar (spec MPM rule)
         self.state.set_cu(leaf.x0, leaf.y0, leaf.size, PLANAR_IDX, d)
@@ -285,7 +297,7 @@ class TreeWriter(TreeCoder):
             is_inter = leaf.pred == 1
             cbf_any = bool(leaf.cbf_y or leaf.cbf_cb or leaf.cbf_cr)
             midx = None
-            if is_inter:
+            if is_inter and not leaf.affine:
                 cands = self._merge_list(x0, y0, size)
                 midx = self._match_merge(leaf, cands)
             skip = is_inter and midx is not None and not cbf_any
@@ -305,6 +317,15 @@ class TreeWriter(TreeCoder):
                     self._write_merge_idx(midx)
                     leaf.merge, leaf.merge_idx = True, midx
                 else:
+                    # inter_affine_flag + cu_affine_type_flag (reference:
+                    # CABACWriter::affine_flag; spec gates on w,h >= 16
+                    # for AMVP affine)
+                    if self._affine_signaled(size):
+                        enc.encode_bin(1 if leaf.affine else 0,
+                                       ctxs("AFFINE_FLAG", 0))
+                        if leaf.affine:
+                            enc.encode_bin(1 if leaf.affine == 6 else 0,
+                                           ctxs("AFFINE_TYPE", 0))
                     if self.is_b:
                         bi = leaf.inter_dir == 3
                         enc.encode_bin(
@@ -319,6 +340,22 @@ class TreeWriter(TreeCoder):
                             self._write_ref_idx(l, leaf.ref_idx[l])
                             mvp = amvp_candidates(self.mstate, x0, y0, size,
                                                   l, leaf.ref_idx[l])
+                            if leaf.affine:
+                                # CPMV MVDs vs one shared translational
+                                # predictor (simplified affine AMVP —
+                                # reference: PU::fillAffineMvpCand)
+                                cp = leaf.cpmv[l]
+                                ncp = 2 if leaf.affine == 4 else 3
+                                costs = [sum(abs(cp[c][0] - p[0])
+                                             + abs(cp[c][1] - p[1])
+                                             for c in range(ncp))
+                                         for p in mvp]
+                                pi = int(np.argmin(costs))
+                                for c in range(ncp):
+                                    self._write_mvd(cp[c][0] - mvp[pi][0],
+                                                    cp[c][1] - mvp[pi][1])
+                                enc.encode_bin(pi, ctxs("MVP_FLAG", 0))
+                                continue
                             # pick the predictor minimizing |mvd| bits
                             mv = leaf.mv[l]
                             costs = [abs(mv[0] - p[0]) + abs(mv[1] - p[1])
@@ -604,6 +641,11 @@ class TreeReader(TreeCoder):
                     leaf = self._leaf_from_cand(x0, y0, size, cands[midx],
                                                 midx, skip=False)
                 else:
+                    affine = 0
+                    if self._affine_signaled(size):
+                        if dec.decode_bin(ctxs("AFFINE_FLAG", 0)):
+                            affine = 6 if dec.decode_bin(
+                                ctxs("AFFINE_TYPE", 0)) else 4
                     d = 1
                     if self.is_b:
                         if dec.decode_bin(ctxs("INTER_DIR",
@@ -612,17 +654,30 @@ class TreeReader(TreeCoder):
                         elif dec.decode_bin(ctxs("INTER_DIR", 5)):
                             d = 2
                     mv = [(0, 0), (0, 0)]
+                    cpmv = [None, None]
                     ref = [0, 0]
                     for l in (0, 1):
                         if (d >> l) & 1:
                             ref[l] = self._read_ref_idx(l)
+                            if affine:
+                                ncp = 2 if affine == 4 else 3
+                                dxys = [self._read_mvd()
+                                        for _ in range(ncp)]
+                                pi = dec.decode_bin(ctxs("MVP_FLAG", 0))
+                                mvp = amvp_candidates(self.mstate, x0, y0,
+                                                      size, l, ref[l])
+                                cpmv[l] = tuple(
+                                    (mvp[pi][0] + dx, mvp[pi][1] + dy)
+                                    for dx, dy in dxys)
+                                continue
                             dxy = self._read_mvd()
                             pi = dec.decode_bin(ctxs("MVP_FLAG", 0))
                             mvp = amvp_candidates(self.mstate, x0, y0, size,
                                                   l, ref[l])
                             mv[l] = (mvp[pi][0] + dxy[0], mvp[pi][1] + dxy[1])
                     leaf = Leaf(x0, y0, size, size, pred=1, inter_dir=d,
-                                mv=tuple(mv), ref_idx=tuple(ref))
+                                mv=tuple(mv), ref_idx=tuple(ref),
+                                affine=affine, cpmv=tuple(cpmv))
                 if dec.decode_bin(ctxs("ROOT_CBF", 0)):
                     self._read_residuals(leaf)
                 self._mark_inter(leaf, skip=False)

@@ -144,6 +144,7 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
                                 cclm_enabled=sps.cclm, mip_enabled=sps.mip,
                             lfnst_enabled=sps.lfnst, isp_enabled=sps.isp,
                             mtt_enabled=sps.max_mtt_depth_intra > 0,
+                            affine_enabled=sps.affine,
                                 slice_type=sh.slice_type, mstate=mstate,
                                 n_ref=n_ref, col=col, cur_poc=sh.poc,
                                 ref_pocs=ref_pocs)
@@ -177,6 +178,7 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
                             cclm_enabled=sps.cclm, mip_enabled=sps.mip,
                             lfnst_enabled=sps.lfnst, isp_enabled=sps.isp,
                             mtt_enabled=sps.max_mtt_depth_intra > 0,
+                            affine_enabled=sps.affine,
                             slice_type=sh.slice_type,
                             mstate=MotionState(sps.width, sps.height),
                             n_ref=n_ref, col=col, cur_poc=sh.poc,

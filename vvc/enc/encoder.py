@@ -154,6 +154,7 @@ class Encoder:
                                 cclm_enabled=sps.cclm, mip_enabled=sps.mip,
                             lfnst_enabled=sps.lfnst, isp_enabled=sps.isp,
                             mtt_enabled=sps.max_mtt_depth_intra > 0,
+                            affine_enabled=sps.affine,
                                 slice_type=int(slice_type), mstate=mstate,
                                 n_ref=n_ref, col=col_info[0],
                                 cur_poc=col_info[1], ref_pocs=col_info[2])
@@ -231,6 +232,7 @@ class Encoder:
                             cclm_enabled=sps.cclm, mip_enabled=sps.mip,
                             lfnst_enabled=sps.lfnst, isp_enabled=sps.isp,
                             mtt_enabled=sps.max_mtt_depth_intra > 0,
+                            affine_enabled=sps.affine,
                             slice_type=int(slice_type),
                             mstate=MotionState(sps.width, sps.height),
                             n_ref=n_ref, col=col_info[0],
@@ -285,7 +287,7 @@ class Encoder:
             split_map, leaf_map, leaves = rdo_inter_partition(
                 src.y, [f.y for _, f in refs_l0], [f.y for _, f in refs_l1],
                 qp, bd, sps.ctu_size, sps.min_cu_size,
-                is_b=slice_type == SliceType.B)
+                is_b=slice_type == SliceType.B, affine=sps.affine)
         elif pps.num_tile_cols > 1:
             # per-tile search: the same unit the sharded multi-device
             # encode distributes (vvc.shard.encode) — 1-dev == N-dev
@@ -453,7 +455,7 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
                     dep_quant: bool = False, mctf: bool = False,
                     bdof: bool = False, dmvr: bool = False,
                     mtt: bool = False, isp: bool = False,
-                    _precomputed_rdo=None):
+                    affine: bool = False, _precomputed_rdo=None):
     """Encode frames (list of Frame) → (annexb bytes, recons, stats).
 
     mode: "ai" (all-intra), "ldp" (low-delay P), "ra" (random access
@@ -472,7 +474,8 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
               max_mtt_depth_intra=2 if (mtt and not lossless) else 0,
               isp=isp and not lossless,
               dep_quant=dep_quant and not lossless,
-              bdof=bdof and mode == "ra", dmvr=dmvr and mode == "ra")
+              bdof=bdof and mode == "ra", dmvr=dmvr and mode == "ra",
+              affine=affine and mode != "ai" and not lossless)
     pps = PPS(init_qp=qp, num_tile_cols=num_tile_cols, wpp=wpp)
     enc = Encoder(sps, pps, parallel_tiles)
     nals = [NalUnit(NalUnitType.SPS, write_sps(sps)),

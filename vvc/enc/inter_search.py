@@ -248,10 +248,55 @@ def _neighbor_adopt(blocks, refs, phase, best, s, xs, ys, ny, nx, lam_m):
     return best
 
 
+AFFINE_ME_SIZES = (16, 32, 64)   # spec: AMVP affine needs w,h >= 16
+AFFINE_BITS = 18.0               # flag + type + extra CPMV MVD overhead
+
+
+def _affine_candidates(blocks_np, xs, ys, s, per_list, refs_l0, refs_l1,
+                       phase, is_b, qp, bit_depth):
+    """Affine CPMV search per block against ref 0 of each used list,
+    seeded with the list's best translational MV; candidates are scored
+    with the NORMATIVE batched subblock predictor so RD sees exactly what
+    the decoder will reconstruct (reference: InterSearch::
+    xPredAffineInterSearch seeded from the AMVP/translational result).
+
+    Returns (pred [N,S,S] device, cp0, cp1 [N,3,2], adir [N], bits [N])."""
+    from vvc.kernels.affine import affine_me_batch, affine_pred_batch_np
+    ob = jnp.asarray(blocks_np, dtype=jnp.int32)
+    n = len(blocks_np)
+    preds, costs, cps = [], [], []
+    lists = [(0, refs_l0)] + ([(1, refs_l1)] if is_b and refs_l1 else [])
+    lam_m = math.sqrt(rd_lambda(qp))
+    for li, refs in lists:
+        best = per_list[li]
+        seed_ok = best[3] == 0
+        sx = np.where(seed_ok, best[0], 0).astype(np.int32)
+        sy = np.where(seed_ok, best[1], 0).astype(np.int32)
+        cp = affine_me_batch(blocks_np.astype(np.float32), refs[0],
+                             xs, ys, sx, sy, s, bit_depth)
+        pred = affine_pred_batch_np(refs[0], xs, ys, s, cp, 4, bit_depth)
+        mvb = np.log2(1.0 + np.abs(cp[:, :2]).sum(axis=(1, 2)))
+        c = (np.asarray(satd_batch(jnp.asarray(pred), ob)).astype(np.float64)
+             + lam_m * (AFFINE_BITS + 2.0 * mvb))
+        preds.append(pred)
+        costs.append(c)
+        cps.append(cp)
+    if len(lists) == 2:
+        adir = np.where(costs[1] < costs[0], 2, 1).astype(np.int32)
+        pred = np.where((adir == 2)[:, None, None], preds[1], preds[0])
+        cp1 = cps[1]
+    else:
+        adir = np.ones(n, np.int32)
+        pred = preds[0]
+        cp1 = np.zeros_like(cps[0])
+    return pred, cps[0], cp1, adir
+
+
 def rdo_inter_partition(y_plane: np.ndarray, refs_l0, refs_l1, qp: int,
                         bit_depth: int = 8, ctu_size: int = 64,
                         min_cu: int = 8, is_b: bool = False,
-                        search_range: int = 32, mts_enabled: bool = True):
+                        search_range: int = 32, mts_enabled: bool = True,
+                        affine: bool = False):
     """Partition + per-CU mode decision for a P/B frame.
 
     refs_l0 / refs_l1: lists of reference luma planes (decode order nearest
@@ -364,10 +409,30 @@ def rdo_inter_partition(y_plane: np.ndarray, refs_l0, refs_l1, qp: int,
         rd = np.asarray(_inter_rd(jnp.asarray(blocks_np, dtype=jnp.int32),
                                   pred_dev, s, jnp.int32(qp), bit_depth,
                                   jnp.asarray(mvb, dtype=jnp.float32)))
+        aff = np.zeros(n, np.int32)
+        acp0 = acp1 = None
+        if affine and s in AFFINE_ME_SIZES:
+            apred, acp0, acp1, adir = _affine_candidates(
+                blocks_np, xs, ys, s, per_list, refs_l0, refs_l1, phase,
+                is_b, qp, bit_depth)
+            acpb = (np.log2(1.0 + np.abs(acp0[:, :2]).sum(axis=(1, 2)))
+                    + AFFINE_BITS)
+            ard = np.asarray(_inter_rd(
+                jnp.asarray(blocks_np, dtype=jnp.int32),
+                jnp.asarray(apred), s, jnp.int32(qp), bit_depth,
+                jnp.asarray(acpb, dtype=jnp.float32)))
+            upd = ard < rd
+            aff = np.where(upd, 4, 0).astype(np.int32)
+            rd = np.where(upd, ard, rd)
+            dirs = np.where(upd, adir, dirs)
         ent = {"cost": rd.reshape(ny, nx),
                "dir": dirs.reshape(ny, nx),
                "mvx0": l0[0].reshape(ny, nx), "mvy0": l0[1].reshape(ny, nx),
-               "ref0": l0[3].reshape(ny, nx)}
+               "ref0": l0[3].reshape(ny, nx),
+               "aff": aff.reshape(ny, nx)}
+        if acp0 is not None:
+            ent["cp0"] = acp0.reshape(ny, nx, 3, 2)
+            ent["cp1"] = acp1.reshape(ny, nx, 3, 2)
         if is_b and per_list[1] is not None:
             ent.update({"mvx1": l1[0].reshape(ny, nx),
                         "mvy1": l1[1].reshape(ny, nx),
@@ -414,6 +479,14 @@ def _dp_backtrack_inter(intra_res, inter, w, h, qp, sizes, ctu_size, min_cu):
         if choose_inter[s][by, bx]:
             e = inter[s]
             d = int(e["dir"][by, bx])
+            if "aff" in e and int(e["aff"][by, bx]):
+                cp = e["cp0"] if d == 1 else e["cp1"]
+                cpmv = tuple((int(cp[by, bx, c, 0]), int(cp[by, bx, c, 1]))
+                             for c in range(2))
+                cps = [None, None]
+                cps[d - 1] = cpmv
+                return Leaf(x0, y0, s, s, pred=1, inter_dir=d,
+                            ref_idx=(0, 0), affine=4, cpmv=tuple(cps))
             mv = [(int(e["mvx0"][by, bx]), int(e["mvy0"][by, bx])), (0, 0)]
             ref = [int(e["ref0"][by, bx]), 0]
             if d >= 2:

@@ -604,6 +604,26 @@ def _candidate_shapes(ctu_size: int, min_cu: int, mtt: bool):
     return tuple((s, s) for s in _candidate_sizes(ctu_size, min_cu))
 
 
+def _shape_groups(shapes):
+    """Partition the candidate shape list into per-dispatch groups.
+
+    One mega-program minimizes device→host transfers, but on the real TPU
+    the 14-shape MTT program's compile/runtime footprint crashes the
+    remote worker (r3 finding: every shape passes alone, the combined
+    program kills the worker).  Groups of a few shapes compile as
+    independent (persistently cacheable) programs, queued back-to-back so
+    dispatch stays async.  VVC_RDO_SHAPE_GROUPS=<n> sets shapes/program;
+    0 = single mega program (the CPU-backend default)."""
+    import os
+    g = os.environ.get("VVC_RDO_SHAPE_GROUPS")
+    if g is None:
+        g = 0 if jax.default_backend() == "cpu" else 4
+    g = int(g)
+    if g <= 0 or len(shapes) <= g:
+        return [tuple(shapes)]
+    return [tuple(shapes[i:i + g]) for i in range(0, len(shapes), g)]
+
+
 def rdo_partition(y_plane: np.ndarray, qp: int, bit_depth: int = 8,
                   ctu_size: int = 64, min_cu: int = 8, lossless: bool = False,
                   lfnst: bool = True, chroma_planes=None, mtt: bool = False,
@@ -615,16 +635,9 @@ def rdo_partition(y_plane: np.ndarray, qp: int, bit_depth: int = 8,
     Returns (split_map, leaf_map, leaves_zorder) consumed by the syntax
     writer and the reconstruction pass.
     """
-    h, w = y_plane.shape
-    assert w % min_cu == 0 and h % min_cu == 0, "pad input to min-CU multiple"
-    shapes = _candidate_shapes(ctu_size, min_cu, mtt)
-    with_chroma = chroma_planes is not None
-    vec = pack_planes(y_plane, *(chroma_planes or (None, None)))
-    packed = eval_all_sizes(jax.device_put(vec), shapes,
-                            jnp.int32(qp), bit_depth, w, h, lossless, lfnst,
-                            with_chroma, isp)
-    results = unpack_results(np.asarray(packed), shapes, w, h)
-    return _dp_backtrack(results, w, h, qp, shapes, ctu_size, min_cu, mtt)
+    return rdo_partition_finish(rdo_partition_dispatch(
+        y_plane, qp, bit_depth, ctu_size, min_cu, lossless, lfnst,
+        chroma_planes, mtt, isp))
 
 
 def rdo_partition_dispatch(y_plane, qp: int, bit_depth: int = 8,
@@ -632,24 +645,28 @@ def rdo_partition_dispatch(y_plane, qp: int, bit_depth: int = 8,
                            lossless: bool = False, lfnst: bool = True,
                            chroma_planes=None, mtt: bool = False,
                            isp: bool = False):
-    """Async half of rdo_partition: queues the device program and returns
-    the packed result handle immediately (jax dispatch is async) — the
-    host pipeline overlaps with device compute.  Finish with
+    """Async half of rdo_partition: queues the device program(s) and
+    returns the packed result handles immediately (jax dispatch is async)
+    — the host pipeline overlaps with device compute.  Finish with
     rdo_partition_finish."""
     h, w = y_plane.shape
+    assert w % min_cu == 0 and h % min_cu == 0, "pad input to min-CU multiple"
     shapes = _candidate_shapes(ctu_size, min_cu, mtt)
     with_chroma = chroma_planes is not None
     vec = pack_planes(y_plane, *(chroma_planes or (None, None)))
-    packed = eval_all_sizes(jax.device_put(vec), shapes,
-                            jnp.int32(qp), bit_depth, w, h, lossless, lfnst,
-                            with_chroma, isp)
+    vec_dev = jax.device_put(vec)
+    packed = [(grp, eval_all_sizes(vec_dev, grp, jnp.int32(qp), bit_depth,
+                                   w, h, lossless, lfnst, with_chroma, isp))
+              for grp in _shape_groups(shapes)]
     return (packed, w, h, qp, shapes, ctu_size, min_cu, mtt)
 
 
 def rdo_partition_finish(handle):
     """Blocking half: transfer + DP backtrack."""
     packed, w, h, qp, shapes, ctu_size, min_cu, mtt = handle
-    results = unpack_results(np.asarray(packed), shapes, w, h)
+    results = {}
+    for grp, pk in packed:
+        results.update(unpack_results(np.asarray(pk), grp, w, h))
     return _dp_backtrack(results, w, h, qp, shapes, ctu_size, min_cu, mtt)
 
 
@@ -669,13 +686,17 @@ def rdo_partition_frames(y_planes, qp: int, bit_depth: int = 8,
                       *((np.stack(chroma_planes[0]),
                          np.stack(chroma_planes[1])) if with_chroma
                         else (None, None)))
-    packed = eval_all_sizes_frames(jax.device_put(vec), shapes,
-                                   jnp.int32(qp), bit_depth, w, h, nf,
-                                   lossless, lfnst, with_chroma, isp)
-    packed = np.asarray(packed)
+    vec_dev = jax.device_put(vec)
+    packed = [(grp, eval_all_sizes_frames(vec_dev, grp, jnp.int32(qp),
+                                          bit_depth, w, h, nf, lossless,
+                                          lfnst, with_chroma, isp))
+              for grp in _shape_groups(shapes)]
+    packed = [(grp, np.asarray(pk)) for grp, pk in packed]
     out = []
     for f in range(nf):
-        per = unpack_results(packed[f], shapes, w, h)
+        per = {}
+        for grp, pk in packed:
+            per.update(unpack_results(pk[f], grp, w, h))
         out.append(_dp_backtrack(per, w, h, qp, shapes, ctu_size, min_cu,
                                  mtt))
     return out
@@ -726,11 +747,17 @@ def rdo_partition_tiled(y_plane: np.ndarray, tiles, qp: int,
                 cbs = np.stack([cb[:, tx0 >> 1:tx1 >> 1] for tx0, tx1 in tiles])
                 crs = np.stack([cr[:, tx0 >> 1:tx1 >> 1] for tx0, tx1 in tiles])
             vec = pack_planes(ys, cbs, crs)
-            packed = np.asarray(eval_all_sizes_frames(
-                jax.device_put(vec), shapes, jnp.int32(qp), bit_depth, wt, h,
-                len(tiles), lossless, lfnst, with_chroma, isp))
-            tile_results = [unpack_results(packed[i], shapes, wt, h)
-                            for i in range(len(tiles))]
+            vec_dev = jax.device_put(vec)
+            packed = [(grp, np.asarray(eval_all_sizes_frames(
+                vec_dev, grp, jnp.int32(qp), bit_depth, wt, h,
+                len(tiles), lossless, lfnst, with_chroma, isp)))
+                for grp in _shape_groups(shapes)]
+            tile_results = []
+            for i in range(len(tiles)):
+                per = {}
+                for grp, pk in packed:
+                    per.update(unpack_results(pk[i], grp, wt, h))
+                tile_results.append(per)
         else:
             for tx0, tx1 in tiles:
                 cp = None
@@ -738,11 +765,15 @@ def rdo_partition_tiled(y_plane: np.ndarray, tiles, qp: int,
                     cb, cr = chroma_planes
                     cp = (cb[:, tx0 >> 1:tx1 >> 1], cr[:, tx0 >> 1:tx1 >> 1])
                 vec = pack_planes(y_plane[:, tx0:tx1], *(cp or (None, None)))
-                packed = np.asarray(eval_all_sizes(
-                    jax.device_put(vec), shapes, jnp.int32(qp), bit_depth,
-                    tx1 - tx0, h, lossless, lfnst, with_chroma, isp))
-                tile_results.append(
-                    unpack_results(packed, shapes, tx1 - tx0, h))
+                vec_dev = jax.device_put(vec)
+                per = {}
+                for grp in _shape_groups(shapes):
+                    per.update(unpack_results(
+                        np.asarray(eval_all_sizes(
+                            vec_dev, grp, jnp.int32(qp), bit_depth,
+                            tx1 - tx0, h, lossless, lfnst, with_chroma,
+                            isp)), grp, tx1 - tx0, h))
+                tile_results.append(per)
     split_map, leaf_map, leaves = {}, {}, []
     for (tx0, tx1), res in zip(tiles, tile_results):
         sm, lm, lv = _offset_rdo_result(

@@ -41,6 +41,7 @@ class SPS:
     lossless: bool = False  # transquant bypass (config-5 gate, SURVEY §7.2 S6)
     bdof: bool = False      # bi-directional optical flow
     dmvr: bool = False      # decoder-side MV refinement
+    affine: bool = False    # affine motion (4/6-param) + PROF
 
 
 @dataclasses.dataclass(frozen=True)

@@ -24,7 +24,8 @@ def write_sps(sps: SPS) -> bytes:
     bw.write_ue(sps.max_mtt_depth_intra)
     for flag in (sps.mip, sps.isp, sps.mrl, sps.cclm, sps.mts_intra,
                  sps.lfnst, sps.dep_quant, sps.sao, sps.alf, sps.lmcs,
-                 sps.deblocking, sps.lossless, sps.bdof, sps.dmvr):
+                 sps.deblocking, sps.lossless, sps.bdof, sps.dmvr,
+                 sps.affine):
         bw.write_flag(flag)
     bw.byte_align()
     return bw.get_bytes()

@@ -132,6 +132,33 @@ def mc_pred_np(planes, x0: int, y0: int, size: int, leaf, bit_depth: int,
     return (p0 + p1 + 1) >> 1
 
 
+def _affine_pred_leaf(leaf, comp: int, refs_l0, refs_l1,
+                      bit_depth: int) -> np.ndarray:
+    """Affine leaf prediction (reference: InterPrediction::xPredAffineBlk
+    called per list from motionCompensation).  PROF applies to luma; DMVR/
+    BDOF never apply to affine CUs (spec 8.5.1 eligibility)."""
+    from vvc.kernels.affine import affine_pred_np, prof_worth_it
+    x0, y0, w, h = leaf.x0, leaf.y0, leaf.w, leaf.h
+
+    def one(refs, ridx, cp):
+        ref = refs[ridx][comp]
+        if comp == 0:
+            return affine_pred_np(ref, x0, y0, w, h, cp, leaf.affine,
+                                  bit_depth,
+                                  prof=prof_worth_it(cp, leaf.affine))
+        return affine_pred_np(ref, x0 >> 1, y0 >> 1, w >> 1, h >> 1, cp,
+                              leaf.affine, bit_depth, chroma=True)
+
+    d = leaf.inter_dir
+    if d == 1:
+        return one(refs_l0, leaf.ref_idx[0], leaf.cpmv[0])
+    if d == 2:
+        return one(refs_l1, leaf.ref_idx[1], leaf.cpmv[1])
+    p0 = one(refs_l0, leaf.ref_idx[0], leaf.cpmv[0])
+    p1 = one(refs_l1, leaf.ref_idx[1], leaf.cpmv[1])
+    return (p0 + p1 + 1) >> 1
+
+
 def _bi_eligible(leaf, cfg) -> bool:
     """DMVR/BDOF eligibility: true bi with one past + one future ref at
     equal POC distance, CU >= 16 (reference: InterPrediction.cpp
@@ -222,6 +249,8 @@ def inter_pred_leaf(leaf, comp: int, refs_l0, refs_l1, bit_depth: int,
     """Leaf prediction with optional DMVR/BDOF (cfg keys: 'dmvr', 'bdof',
     'cur_poc', 'ref_pocs').  Shared encoder-recon/decoder path — this is
     where decoder-side refinement stays bit-exact by construction."""
+    if leaf.affine:
+        return _affine_pred_leaf(leaf, comp, refs_l0, refs_l1, bit_depth)
     x0, y0, size = leaf.x0, leaf.y0, leaf.size
     if not _bi_eligible(leaf, cfg) or not (cfg.get("dmvr") or
                                            cfg.get("bdof")):

@@ -43,6 +43,11 @@ class Leaf:
     mv: tuple = ((0, 0), (0, 0))  # per-list (mvx, mvy)
     ref_idx: tuple = (0, 0)
     mvp_idx: tuple = (0, 0)
+    # affine (reference: CodingUnit::affine/affineType + PU mvAffi):
+    # 0 = translational, 4/6 = parameter count; cpmv per list =
+    # ((TLx,TLy),(TRx,TRy),(BLx,BLy)) in luma 1/4-pel, or None
+    affine: int = 0
+    cpmv: tuple = (None, None)
     # quantized levels; None until reconstruction (encoder) / parse (decoder)
     lev_y: np.ndarray | None = None
     lev_cb: np.ndarray | None = None

@@ -44,6 +44,27 @@ class MotionState:
             self.mv[sl + (l,)] = np.asarray(mv[l] if use else (0, 0))
             self.ref[sl + (l,)] = ref_idx[l] if use else -1
 
+    def set_inter_affine(self, x0, y0, w, h, inter_dir, cpmv, ref_idx,
+                         affine_type: int):
+        """Store an affine CU's SUBBLOCK motion field (reference: the spec
+        stores the derived 4×4 subblock MVs in the motion buffer, so
+        translational neighbours/TMVP inherit subblock motion)."""
+        from vvc.kernels.affine import affine_mv_grid
+        ys, xs = y0 >> 2, x0 >> 2
+        sl = (slice(ys, ys + (h >> 2)), slice(xs, xs + (w >> 2)))
+        self.inter[sl] = True
+        self.coded[sl] = True
+        self.skip[sl] = False
+        for l in range(2):
+            use = (inter_dir >> l) & 1
+            if use:
+                self.mv[sl + (l,)] = affine_mv_grid(w, h, cpmv[l],
+                                                    affine_type)
+                self.ref[sl + (l,)] = ref_idx[l]
+            else:
+                self.mv[sl + (l,)] = 0
+                self.ref[sl + (l,)] = -1
+
     def set_intra(self, x0, y0, size):
         s4 = size >> 2
         ys, xs = y0 >> 2, x0 >> 2
@@ -81,7 +102,12 @@ def motion_field_from_leaves(leaves, width: int, height: int, poc: int,
     ms = MotionState(width, height)
     for l in leaves:
         if l.pred == 1:
-            ms.set_inter(l.x0, l.y0, l.size, l.inter_dir, l.mv, l.ref_idx)
+            if l.affine:
+                ms.set_inter_affine(l.x0, l.y0, l.w, l.h, l.inter_dir,
+                                    l.cpmv, l.ref_idx, l.affine)
+            else:
+                ms.set_inter(l.x0, l.y0, l.size, l.inter_dir, l.mv,
+                             l.ref_idx)
     return ColMotion(ms.mv, ms.ref, ms.inter, poc, ref_pocs)
 
 
