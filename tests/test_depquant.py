@@ -105,3 +105,35 @@ class TestDepQuantEndToEnd:
                                         dep_quant=True)
         decoded, info = decode_stream(bs)
         assert all(info["hash_ok"])
+
+
+def test_native_trellis_bit_identical_to_python():
+    """librecon's dep-quant pair (recon_core.cpp quant_depquant /
+    dequant_depquant) must match the numpy oracle EXACTLY — same scan,
+    same double-precision cost recursion, same rate LUT."""
+    import vvc.kernels.depquant as dq
+    l = dq._native()
+    if l is None:
+        import pytest
+        pytest.skip("native recon core unavailable")
+    rng = np.random.default_rng(11)
+    real = dq._native
+    try:
+        for _ in range(60):
+            w = int(rng.choice([2, 4, 8, 16, 32]))
+            h = int(rng.choice([2, 4, 8, 16, 32]))
+            qp = int(rng.integers(10, 51))
+            mag = int(rng.choice([10, 300, 5000, 30000]))
+            coeff = rng.integers(-mag, mag + 1, (h, w)).astype(np.int32)
+            nat_q = dq._quant_native(l, coeff, w, h, qp, 8, dq.LAMBDA_T)
+            dq._native = lambda: None
+            py_q = dq.quant_depquant_np(coeff, qp, 8)
+            dq._native = real
+            assert (nat_q == py_q).all()
+            nat_d = dq._dequant_native(l, py_q, w, h, qp, 8)
+            dq._native = lambda: None
+            py_d = dq.dequant_depquant_np(py_q, qp, 8)
+            dq._native = real
+            assert (nat_d == py_d).all()
+    finally:
+        dq._native = real

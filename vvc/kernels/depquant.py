@@ -46,12 +46,45 @@ from vvc.cabac.rates import level_bits_scalar as _level_bits
 _RATE_LUT = [_level_bits(l) for l in range(64)]
 
 
+def _dequant_native(l, levels, w, h, qp, bit_depth):
+    import ctypes
+    lv = np.ascontiguousarray(levels, dtype=np.int32)
+    out = np.empty_like(lv)
+    l.dequant_depquant_c(lv.ctypes.data_as(ctypes.c_void_p), w, h,
+                         qp, bit_depth, out.ctypes.data_as(ctypes.c_void_p))
+    return out
+
+
+def _quant_native(l, coeff, w, h, qp, bit_depth, lam_t):
+    import ctypes
+    cf = np.ascontiguousarray(coeff, dtype=np.int32)
+    out = np.empty_like(cf)
+    l.quant_depquant_c(cf.ctypes.data_as(ctypes.c_void_p), w, h,
+                       qp, bit_depth, float(lam_t),
+                       out.ctypes.data_as(ctypes.c_void_p))
+    return out
+
+
+def _native():
+    """librecon's dep-quant pair, or None.  Bit-identical to the numpy
+    oracles below (same double-precision op order in the trellis, same
+    uploaded rate LUT) — enforced by tests/test_depquant.py."""
+    from vvc.packer import native_recon
+    from vvc.packer import recon_lib
+    if not native_recon.available():
+        return None
+    return recon_lib()
+
+
 def dequant_depquant_np(levels: np.ndarray, qp: int,
                         bit_depth: int = 8) -> np.ndarray:
     """State-tracking dequantization (decoder + encoder recon shared).
 
     levels: int32 [S,S] quantized levels → int32 coefficients."""
     h, w = levels.shape
+    l = _native()
+    if l is not None:
+        return _dequant_native(l, levels, w, h, qp, bit_depth)
     tshift = transform_shift(_log2(w), _log2(h), bit_depth)
     shift = IQUANT_SHIFT - tshift + 1          # +1: half-step granularity
     scale = int(INV_QUANT_SCALES[qp % 6])
@@ -84,6 +117,9 @@ def quant_depquant_np(coeff: np.ndarray, qp: int, bit_depth: int = 8,
     if lam_t is None:
         lam_t = LAMBDA_T
     h, w = coeff.shape
+    l = _native()
+    if l is not None:
+        return _quant_native(l, coeff, w, h, qp, bit_depth, lam_t)
     tshift = transform_shift(_log2(w), _log2(h), bit_depth)
     qbits = QUANT_SHIFT + qp // 6 + tshift
     scale = int(QUANT_SCALES[qp % 6])

@@ -41,6 +41,12 @@ def available() -> bool:
         fg = np.ascontiguousarray(fg_filters())
         l.intra_filt_init(fc.ctypes.data_as(ctypes.c_void_p),
                           fg.ctypes.data_as(ctypes.c_void_p))
+        from vvc.cabac.rates import (level_bits_scalar, LEVEL_BITS_TABLE,
+                                     _EG_SLOPE)
+        lut = np.ascontiguousarray(
+            [level_bits_scalar(v) for v in range(4096)], dtype=np.float64)
+        l.depquant_init(lut.ctypes.data_as(ctypes.c_void_p), len(lut),
+                        len(LEVEL_BITS_TABLE), float(_EG_SLOPE))
         _initialized = True
     return True
 

@@ -12,8 +12,10 @@
 //
 // Build: g++ -O2 -shared -fPIC -std=c++17 -o librecon.so recon_core.cpp
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <vector>
 
 namespace {
@@ -437,6 +439,141 @@ void dequant(const int32_t* lev, int s, int qp, int bit_depth, int32_t* coeff) {
   }
 }
 
+// ---- dependent quantization (mirror of vvc/kernels/depquant.py) ----
+//
+// 4-state trellis quantizer (reference: DepQuant.cpp → DQIntern::DepQuant
+// Viterbi over scan positions) + state-walk dequant.  Bit-identical to the
+// Python oracle: same double-precision op order in the cost recursion, the
+// same measured level-rate LUT (uploaded at init), the same forward-diag
+// scan walked in coding order.
+
+static const int DQ_NEXT[4][2] = {{0, 2}, {2, 0}, {1, 3}, {3, 1}};
+static std::vector<double> g_dq_rate;  // measured level-rate LUT
+static double g_dq_last = 0.0, g_dq_slope = 0.0;
+static int g_dq_tab_len = 0;           // len(LEVEL_BITS_TABLE) in Python
+
+static inline double dq_rate(int64_t l) {
+  if (l < (int64_t)g_dq_rate.size()) return g_dq_rate[(size_t)l];
+  return g_dq_last + g_dq_slope * std::log2(1.0 + (double)l -
+                                            (double)(g_dq_tab_len - 1));
+}
+
+// full_scan_rect (vvc/cabac/residual.py): CGs in up-right diagonal order,
+// 4x4 diagonal inside; plain diagonal when a side is < 4.  Emitted in
+// FORWARD order (DC first); callers walk it backwards for coding order.
+static void dq_scan(int w, int h, std::vector<int>& xs, std::vector<int>& ys) {
+  xs.clear(); ys.clear();
+  auto diag = [](int dw, int dh, std::vector<int>& ox, std::vector<int>& oy) {
+    for (int d = 0; d < dw + dh - 1; d++) {
+      int y = d < dh - 1 ? d : dh - 1;
+      while (y >= 0 && (d - y) < dw) { ox.push_back(d - y); oy.push_back(y); y--; }
+    }
+  };
+  if (w < 4 || h < 4) { diag(w, h, xs, ys); return; }
+  std::vector<int> cgx, cgy, ix, iy;
+  diag(w >> 2, h >> 2, cgx, cgy);
+  diag(4, 4, ix, iy);
+  for (size_t g = 0; g < cgx.size(); g++)
+    for (size_t i = 0; i < 16; i++) {
+      xs.push_back(cgx[g] * 4 + ix[i]);
+      ys.push_back(cgy[g] * 4 + iy[i]);
+    }
+}
+
+void dequant_depquant(const int32_t* levels, int w, int h, int qp,
+                      int bit_depth, int32_t* out) {
+  int lw = 0, lh = 0;
+  while ((1 << lw) < w) lw++;
+  while ((1 << lh) < h) lh++;
+  int tshift = 15 - bit_depth - ((lw + lh) >> 1);
+  int shift = 6 - tshift + 1;            // +1: half-step granularity
+  int64_t scale = INV_QUANT_SCALES[qp % 6];
+  int sh6 = qp / 6;
+  std::vector<int> xs, ys;
+  dq_scan(w, h, xs, ys);
+  std::memset(out, 0, sizeof(int32_t) * w * h);
+  int state = 0;
+  for (int i = (int)xs.size() - 1; i >= 0; i--) {
+    int x = xs[i], y = ys[i];
+    int64_t l = levels[y * w + x];
+    if (l != 0) {
+      int64_t a = l < 0 ? -l : l;
+      int64_t t = 2 * a - (state > 1 ? 1 : 0);
+      int64_t v = (t * scale) << sh6;
+      int64_t c = shift > 0 ? ((v + (1 << (shift - 1))) >> shift)
+                            : (v << (-shift));
+      int64_t sv = l > 0 ? c : -c;
+      if (sv > 32767) sv = 32767;
+      if (sv < -32768) sv = -32768;
+      out[y * w + x] = (int32_t)sv;
+    }
+    state = DQ_NEXT[state][(int)((l < 0 ? -l : l) & 1)];
+  }
+}
+
+int quant_depquant(const int32_t* coeff, int w, int h, int qp, int bit_depth,
+                   double lam_t, int32_t* out) {
+  int lw = 0, lh = 0;
+  while ((1 << lw) < w) lw++;
+  while ((1 << lh) < h) lh++;
+  int tshift = 15 - bit_depth - ((lw + lh) >> 1);
+  int qbits = 14 + qp / 6 + tshift;
+  double scale = (double)QUANT_SCALES[qp % 6];
+  std::vector<int> xs, ys;
+  dq_scan(w, h, xs, ys);
+  int n = (int)xs.size();
+  double denom = (double)((int64_t)1 << (qbits - 1));
+  const double INF = std::numeric_limits<double>::infinity();
+  double cost[4] = {0.0, INF, INF, INF};
+  std::vector<int32_t> ch_l(n * 4), ch_s(n * 4);
+  // walk in coding order (reversed forward scan)
+  for (int i = 0; i < n; i++) {
+    int x = xs[n - 1 - i], y = ys[n - 1 - i];
+    int32_t c0 = coeff[y * w + x];
+    double t = (double)(c0 < 0 ? -(int64_t)c0 : (int64_t)c0) * scale / denom;
+    double ncost[4] = {INF, INF, INF, INF};
+    int nl[4] = {0, 0, 0, 0}, nps[4] = {0, 0, 0, 0};
+    for (int s = 0; s < 4; s++) {
+      if (cost[s] == INF) continue;
+      int64_t base = s < 2 ? (int64_t)(t / 2) : (int64_t)((t + 1) / 2);
+      if (base < 0) base = 0;
+      int64_t cands[3] = {0, base, base + 1};
+      for (int k = 0; k < 3; k++) {
+        int64_t l = cands[k];
+        if (k == 1 && l == 0) continue;  // python set {0, base, base+1}
+        double rec = l == 0 ? 0.0 : 2.0 * (double)l - (s > 1 ? 1.0 : 0.0);
+        double d = (t - rec) * (t - rec);
+        double c = cost[s] + d + lam_t * dq_rate(l);
+        int ns = DQ_NEXT[s][(int)(l & 1)];
+        if (c < ncost[ns]) {
+          ncost[ns] = c;
+          nl[ns] = (int)l;
+          nps[ns] = s;
+        }
+      }
+    }
+    for (int s = 0; s < 4; s++) {
+      cost[s] = ncost[s];
+      ch_l[i * 4 + s] = nl[s];
+      ch_s[i * 4 + s] = nps[s];
+    }
+  }
+  int s = 0;
+  for (int k = 1; k < 4; k++)
+    if (cost[k] < cost[s]) s = k;
+  std::memset(out, 0, sizeof(int32_t) * w * h);
+  int cbf = 0;
+  for (int i = n - 1; i >= 0; i--) {
+    int x = xs[n - 1 - i], y = ys[n - 1 - i];
+    int l = ch_l[i * 4 + s];
+    int ps = ch_s[i * 4 + s];
+    out[y * w + x] = coeff[y * w + x] < 0 ? -l : l;
+    cbf |= l != 0;
+    s = ps;
+  }
+  return cbf;
+}
+
 }  // namespace
 
 extern "C" {
@@ -460,6 +597,25 @@ void recon_init(const int32_t* t4, const int32_t* t8, const int32_t* t16,
       store[ty][l].assign(src[ty][l], src[ty][l] + s * s);
       g_mats_t[ty][l] = store[ty][l].data();
     }
+}
+
+// dep-quant rate model upload: measured level-rate LUT (level_bits_scalar
+// values for 0..n-1) + the tail formula parameters
+void depquant_init(const double* lut, int n, int tab_len, double slope) {
+  g_dq_rate.assign(lut, lut + n);
+  g_dq_last = lut[tab_len - 1];
+  g_dq_tab_len = tab_len;
+  g_dq_slope = slope;
+}
+
+void quant_depquant_c(const int32_t* coeff, int w, int h, int qp,
+                      int bit_depth, double lam_t, int32_t* out) {
+  quant_depquant(coeff, w, h, qp, bit_depth, lam_t, out);
+}
+
+void dequant_depquant_c(const int32_t* levels, int w, int h, int qp,
+                        int bit_depth, int32_t* out) {
+  dequant_depquant(levels, w, h, qp, bit_depth, out);
 }
 
 // MIP weight upload: [K_MIP_MODES, 64, 8] int8 (vvc/rom/mip_mats.py)
