@@ -47,16 +47,23 @@ def decode_stream(data: bytes, verify_hash: bool = True,
     dpb = {}             # poc -> Frame (reference: DecLib m_cListPic)
     col_dpb = {}         # poc -> ColMotion (TMVP)
     hash_status = []
+    aps_store = {}       # (params_type, id) -> payload (APS pool,
+                         # reference: ParameterSetManager)
     for nal in read_annexb(data):
         if nal.nal_type == NalUnitType.SPS:
             sps = parse_sps(nal.payload)
         elif nal.nal_type == NalUnitType.PPS:
             pps = parse_pps(nal.payload)
+        elif nal.nal_type in (NalUnitType.PREFIX_APS,
+                              NalUnitType.SUFFIX_APS):
+            from vvc.hls.aps import parse_aps
+            t, aps_id, payload = parse_aps(nal.payload)
+            aps_store[(t, aps_id)] = payload
         elif nal.nal_type in (NalUnitType.IDR_N_LP, NalUnitType.IDR_W_RADL,
                               NalUnitType.TRAIL, NalUnitType.CRA):
             assert sps is not None and pps is not None, "slice before SPS/PPS"
             frame, poc = _decode_slice(nal.payload, sps, pps, wavefront, dpb,
-                                       col_dpb)
+                                       col_dpb, aps_store)
             frames.append(frame)
             pocs.append(poc)
             dpb[poc] = frame
@@ -72,7 +79,8 @@ def decode_stream(data: bytes, verify_hash: bool = True,
 
 
 def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
-                  dpb: dict | None = None, col_dpb: dict | None = None):
+                  dpb: dict | None = None, col_dpb: dict | None = None,
+                  aps_store: dict | None = None):
     from vvc.enc.encoder import tile_columns  # shared tile geometry
     from vvc.model.motion import MotionState, motion_field_from_leaves
 
@@ -83,6 +91,18 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
     sh, substreams, alf_hdr, lmcs_cw = parse_slice_header(
         rbsp, pps.init_qp, n_sub, alf_enabled=sps.alf, n_ctus=n_ctus,
         lmcs_enabled=sps.lmcs)
+    # resolve APS references (spec: slice header activates APS by id)
+    from vvc.hls.aps import APS_ALF, APS_LMCS
+    if isinstance(lmcs_cw, tuple) and lmcs_cw and lmcs_cw[0] == "aps":
+        lmcs_cw = (aps_store or {})[(APS_LMCS, lmcs_cw[1])]
+    if alf_hdr is not None:
+        luma_ref, flag_list, chroma_ref = alf_hdr
+        luma = chroma = None
+        if luma_ref is not None:
+            luma = (aps_store or {})[(APS_ALF, luma_ref[1])][0]
+        if chroma_ref is not None:
+            chroma = (aps_store or {})[(APS_ALF, chroma_ref[1])][1]
+        alf_hdr = (luma, flag_list, chroma)
     # reference picture lists from POC deltas (reference:
     # Slice::constructRefPicList)
     refs_l0 = [dpb[sh.poc - d] for d in sh.l0_deltas]

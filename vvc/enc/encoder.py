@@ -423,16 +423,39 @@ class Encoder:
         sh = SliceHeader(pps.pps_id, int(slice_type), poc, qp,
                          l0_deltas=tuple(poc - p for p, _ in refs_l0),
                          l1_deltas=tuple(poc - p for p, _ in refs_l1))
+        # filter/reshaper parameters ride APS NALs ahead of the slice
+        # (reference: EncGOP xWriteAPS; ids cycle per picture like the
+        # reference's ALF APS pool)
+        from vvc.hls.aps import write_aps_alf, write_aps_lmcs
+        aps_nals = []
+        alf_aps_id = lmcs_aps_id = 0
+        alf_sh = None
+        if sps.alf and alf_hdr is not None:
+            luma_c, flag_list, chroma_c = alf_hdr
+            if luma_c is not None or chroma_c is not None:
+                alf_aps_id = poc % 32
+                aps_nals.append(NalUnit(NalUnitType.PREFIX_APS,
+                                        write_aps_alf(alf_aps_id, luma_c,
+                                                      chroma_c)))
+            alf_sh = (luma_c is not None or None, flag_list,
+                      chroma_c is not None or None)
+        if sps.lmcs and lmcs_cw is not None:
+            lmcs_aps_id = poc % 32
+            aps_nals.append(NalUnit(NalUnitType.PREFIX_APS,
+                                    write_aps_lmcs(lmcs_aps_id, lmcs_cw)))
         header = write_slice_header(sh, pps.init_qp,
                                     entry_sizes=[len(s) for s in substreams],
-                                    alf=alf_hdr if sps.alf else None,
+                                    alf=alf_sh if sps.alf else None,
                                     lmcs_cw=lmcs_cw if sps.lmcs else None,
-                                    lmcs_enabled=sps.lmcs)
+                                    lmcs_enabled=sps.lmcs,
+                                    alf_aps_id=alf_aps_id,
+                                    lmcs_aps_id=lmcs_aps_id)
         slice_rbsp = header + b"".join(substreams)
         nal_type = (NalUnitType.IDR_N_LP if slice_type == SliceType.I
                     else NalUnitType.TRAIL)
-        nals = [NalUnit(nal_type, slice_rbsp),
-                NalUnit(NalUnitType.SUFFIX_SEI, _hash_sei_payload(recon, bd))]
+        nals = aps_nals + [
+            NalUnit(nal_type, slice_rbsp),
+            NalUnit(NalUnitType.SUFFIX_SEI, _hash_sei_payload(recon, bd))]
         rec_frame = Frame(*recon, bd)
         self.last_leaves = leaves   # for the sequence driver's TMVP field
         stats = {

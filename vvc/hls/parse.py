@@ -53,26 +53,18 @@ def parse_slice_header(rbsp: bytes, init_qp: int, num_tiles: int = 1,
         l0_deltas = tuple(br.read_se() for _ in range(br.read_ue()))
         if stype == 0:
             l1_deltas = tuple(br.read_se() for _ in range(br.read_ue()))
-    lmcs_cw = None
+    lmcs_cw = None                     # (aps_id) reference, resolved by caller
     if lmcs_enabled:
         if br.read_flag():
-            lmcs_cw = [br.read_ue() for _ in range(16)]
+            lmcs_cw = ("aps", br.read(5))
     alf = None
     if alf_enabled:
-        import numpy as np
         luma = flags = chroma = None
         if br.read_flag():
-            nf = br.read_ue() + 1
-            fmap = np.array([br.read_ue() for _ in range(25)], np.int32)
-            coeffs = np.empty((nf, 12), np.int32)
-            clips = np.empty(nf, np.int32)
-            for fi in range(nf):
-                coeffs[fi] = [br.read_se() for _ in range(12)]
-                clips[fi] = br.read_ue()
-            luma = (coeffs, clips, fmap)
+            luma = ("aps", br.read(5))     # sh_alf_aps_id_luma
             flags = [bool(br.read_flag()) for _ in range(n_ctus)]
         if br.read_flag():
-            chroma = [br.read_se() for _ in range(6)]
+            chroma = ("aps", br.read(5))
         alf = (luma, flags, chroma)
     sizes = [br.read_ue() + 1 for _ in range(max(0, num_tiles - 1))]
     br.byte_align()

@@ -47,15 +47,18 @@ def write_pps(pps: PPS) -> bytes:
 
 def write_slice_header(sh: SliceHeader, init_qp: int,
                        entry_sizes=None, alf=None, lmcs_cw=None,
-                       lmcs_enabled: bool = False) -> bytes:
+                       lmcs_enabled: bool = False,
+                       alf_aps_id: int = 0, lmcs_aps_id: int = 0) -> bytes:
     """Slice header RBSP bits (byte-aligned); CABAC payload is appended by
     the caller (slice_data starts at a byte boundary, spec 7.3.7).
 
     entry_sizes: byte lengths of the tile substreams; all but the last are
     written as entry-point offsets (spec sh_entry_point_offset_minus1).
-    alf: (luma_coeffs|None, ctu_flag_list|None, chroma_coeffs|None) —
-    round-1 APS stand-in ([verify]: the reference carries ALF in APS NALs
-    with CABAC ctb flags)."""
+    alf: (luma_present, ctu_flag_list|None, chroma_present) — the FILTERS
+    ride APS NALs (vvc.hls.aps, spec 7.3.2.5); the header carries only the
+    activation flags + referenced aps id (spec sh_alf_aps_id_luma) and the
+    per-CTU on/off flags ([verify]: spec codes alf_ctb_flag in CABAC slice
+    data; kept as header bits here)."""
     bw = BitWriter()
     bw.write(sh.pps_id, 6)
     bw.write_ue(sh.slice_type)
@@ -75,29 +78,17 @@ def write_slice_header(sh: SliceHeader, init_qp: int,
         # mapping write 0 — keeps streams decodable (spec sh_lmcs_used_flag)
         bw.write_flag(lmcs_cw is not None)
         if lmcs_cw is not None:
-            for c in lmcs_cw:
-                bw.write_ue(int(c))
+            bw.write(lmcs_aps_id, 5)  # sh_lmcs_aps_id
     if alf is not None:
-        # luma = (coeffs [nf,12], clips [nf], fmap [25]) — classified ALF
-        # ([verify]: the reference carries this in APS NALs, 7.3.2.5)
         luma, flags, chroma = alf
-        bw.write_flag(luma is not None)
+        bw.write_flag(luma is not None)   # sh_alf_enabled (luma)
         if luma is not None:
-            coeffs, clips, fmap = luma
-            nf = len(coeffs)
-            bw.write_ue(nf - 1)
-            for k in fmap:
-                bw.write_ue(int(k))
-            for fi in range(nf):
-                for c in coeffs[fi]:
-                    bw.write_se(int(c))
-                bw.write_ue(int(clips[fi]))
+            bw.write(alf_aps_id, 5)       # sh_alf_aps_id_luma
             for f in flags:
                 bw.write_flag(f)
-        bw.write_flag(chroma is not None)
+        bw.write_flag(chroma is not None)  # sh_alf_cb/cr_enabled
         if chroma is not None:
-            for c in chroma:
-                bw.write_se(int(c))
+            bw.write(alf_aps_id, 5)
     if entry_sizes and len(entry_sizes) > 1:
         for sz in entry_sizes[:-1]:
             bw.write_ue(sz - 1)
