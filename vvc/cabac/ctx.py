@@ -72,6 +72,17 @@ CTX_SETS = [
     # SubblockMergeFlag)
     ("AFFINE_FLAG", 3),
     ("AFFINE_TYPE", 1),
+    # transform-skip residual coding + BDPCM (appended; reference:
+    # Contexts.cpp TsSigCoeffGroup/TsSigFlag/TsResidualSign/TsGtxFlag/
+    # TsParFlag, BDPCMMode)
+    ("TS_SB", 2),
+    ("TS_SIG", 3),
+    ("TS_SIGN", 2),
+    ("TS_GT1", 2),
+    ("TS_PAR", 1),
+    ("TS_GT3", 2),
+    ("BDPCM_FLAG", 1),
+    ("BDPCM_DIR", 1),
 ]
 
 _OFFSETS = {}

@@ -116,7 +116,8 @@ class TreeCoder:
                  col=None, cur_poc: int = 0, ref_pocs=((), ()),
                  mip_enabled: bool = False, lfnst_enabled: bool = False,
                  mtt_enabled: bool = False, isp_enabled: bool = False,
-                 affine_enabled: bool = False):
+                 affine_enabled: bool = False,
+                 lossless_enabled: bool = False):
         self.ctxs = ctxs
         self.state = state
         self.w = width
@@ -130,6 +131,10 @@ class TreeCoder:
         self.mtt_enabled = mtt_enabled
         self.isp_enabled = isp_enabled
         self.affine_enabled = affine_enabled
+        # VVC-true lossless tier: transform-skip residual coding + BDPCM
+        # (spec: sps_transform_skip + intra_bdpcm; replaces the r1/r2
+        # transquant-bypass mechanism, which VVC removed from HEVC)
+        self.lossless_enabled = lossless_enabled
         self.max_depth = (ctu_size.bit_length() - 1) - (min_cu.bit_length() - 1)
         self.slice_type = slice_type          # 0=B, 1=P, 2=I (spec values)
         self.inter_slice = slice_type != 2
@@ -440,6 +445,22 @@ class TreeWriter(TreeCoder):
         x0, y0, mode = leaf.x0, leaf.y0, leaf.luma_mode
         w, h = leaf.w, leaf.h
         is_mip = mode >= 67
+        # intra_bdpcm_luma_flag (+ direction) — lossless TS tier; BDPCM
+        # infers the prediction mode (18 H / 50 V), so the whole mode tree
+        # is skipped (spec 7.3.11.5; reference: CABACWriter::bdpcm_mode)
+        if self.lossless_enabled:
+            enc.encode_bin(1 if leaf.bdpcm else 0, ctxs("BDPCM_FLAG", 0))
+            if leaf.bdpcm:
+                enc.encode_bin(leaf.bdpcm - 1, ctxs("BDPCM_DIR", 0))
+                if not (self.cclm_enabled and w == h and leaf.chroma_mode):
+                    enc.encode_bin(1, ctxs("INTRA_CHROMA_PRED_MODE", 0))
+                self._residuals(leaf)
+                d = node_depth(self.ctu, w, h)
+                self.state.set_cu(x0, y0, w, mode, d, h=h)
+                self.state.mark_coded(x0, y0, w, h=h)
+                if self.inter_slice:
+                    self.mstate.set_intra(x0, y0, w)
+                return
         # intra_mip_flag + mode (TB), before the conventional mode tree
         # (square leaves only — the MIP weight ROM is square)
         if self.mip_enabled and w == h and mip_allowed(w):
@@ -517,6 +538,19 @@ class TreeWriter(TreeCoder):
         cbf_cb, cbf_cr, cbf_y = leaf.cbf_cb, leaf.cbf_cr, leaf.cbf_y
         enc.encode_bin(cbf_cb, ctxs("CBF_CB", 0))
         enc.encode_bin(cbf_cr, ctxs("CBF_CR", cbf_cb))
+        if self.lossless_enabled:
+            # TS residual coding for every TB (lossless = transform skip
+            # at 1-step quant; spec residual_ts_coding)
+            from vvc.cabac.residual_ts import write_residual_ts
+            enc.encode_bin(cbf_y, ctxs("CBF_LUMA", 0))
+            if cbf_cb:
+                write_residual_ts(enc, ctxs, leaf.lev_cb, is_luma=False)
+            if cbf_cr:
+                write_residual_ts(enc, ctxs, leaf.lev_cr, is_luma=False)
+            if cbf_y:
+                write_residual_ts(enc, ctxs, leaf.lev_y, is_luma=True,
+                                  bdpcm=leaf.bdpcm)
+            return
         if leaf.isp:
             # per-sub-TU luma cbf (ctx 2 + prev-cbf, reference cbf_luma ISP
             # contexts) + per-sub residual; MTS/LFNST are implicit/off
@@ -737,6 +771,21 @@ class TreeReader(TreeCoder):
         dec, ctxs = self.dec, self.ctxs
         w = size
         h = w if h is None else h
+        if self.lossless_enabled:
+            if dec.decode_bin(ctxs("BDPCM_FLAG", 0)):
+                bdpcm = 1 + dec.decode_bin(ctxs("BDPCM_DIR", 0))
+                mode = 18 if bdpcm == 1 else 50   # inferred H / V
+                dm = dec.decode_bin(ctxs("INTRA_CHROMA_PRED_MODE", 0))
+                assert dm == 1
+                leaf = Leaf(x0, y0, w, h, mode, bdpcm=bdpcm)
+                self._read_residuals(leaf)
+                d = node_depth(self.ctu, w, h)
+                self.state.set_cu(x0, y0, w, mode, d, h=h)
+                self.state.mark_coded(x0, y0, w, h=h)
+                if self.inter_slice:
+                    self.mstate.set_intra(x0, y0, w)
+                self.leaves.append(leaf)
+                return
         is_mip = False
         if self.mip_enabled and w == h and mip_allowed(w):
             is_mip = bool(dec.decode_bin(ctxs("MIP_FLAG", 0)))
@@ -798,6 +847,21 @@ class TreeReader(TreeCoder):
         w, h = leaf.w, leaf.h
         cbf_cb = dec.decode_bin(ctxs("CBF_CB", 0))
         cbf_cr = dec.decode_bin(ctxs("CBF_CR", cbf_cb))
+        if self.lossless_enabled:
+            from vvc.cabac.residual_ts import read_residual_ts
+            cbf_y = dec.decode_bin(ctxs("CBF_LUMA", 0))
+            cw, ch = w >> 1, h >> 1
+            if cbf_cb:
+                leaf.lev_cb = read_residual_ts(dec, ctxs, (cw, ch),
+                                               is_luma=False)
+            if cbf_cr:
+                leaf.lev_cr = read_residual_ts(dec, ctxs, (cw, ch),
+                                               is_luma=False)
+            if cbf_y:
+                leaf.lev_y = read_residual_ts(dec, ctxs, (w, h),
+                                              is_luma=True,
+                                              bdpcm=leaf.bdpcm)
+            return
         if leaf.isp:
             from vvc.kernels.isp import isp_partitions
             cw, ch = w >> 1, h >> 1

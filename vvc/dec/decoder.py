@@ -165,6 +165,7 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
                             lfnst_enabled=sps.lfnst, isp_enabled=sps.isp,
                             mtt_enabled=sps.max_mtt_depth_intra > 0,
                             affine_enabled=sps.affine,
+                            lossless_enabled=sps.lossless,
                                 slice_type=sh.slice_type, mstate=mstate,
                                 n_ref=n_ref, col=col, cur_poc=sh.poc,
                                 ref_pocs=ref_pocs)
@@ -199,6 +200,7 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
                             lfnst_enabled=sps.lfnst, isp_enabled=sps.isp,
                             mtt_enabled=sps.max_mtt_depth_intra > 0,
                             affine_enabled=sps.affine,
+                            lossless_enabled=sps.lossless,
                             slice_type=sh.slice_type,
                             mstate=MotionState(sps.width, sps.height),
                             n_ref=n_ref, col=col, cur_poc=sh.poc,

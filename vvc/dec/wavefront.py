@@ -104,7 +104,14 @@ def _recon_wave_group(plane, order_map, group, qp, bit_depth, lossless, comp,
                                        bit_depth, variant=leaf.chroma_mode)
     resi = np.zeros_like(pred)
     if lossless:
+        # TS lossless: levels are the residual; BDPCM leaves carry DPCM
+        # deltas (luma only — inverse is a prefix sum)
         resi = levs
+        if comp == 0:
+            from vvc.model.recon import _dpcm_inv
+            for k, g in enumerate(group):
+                if g[0].bdpcm:
+                    resi[k] = _dpcm_inv(levs[k], g[0].bdpcm)
     else:
         lfns = np.array([g[0].lfnst if comp == 0 else 0 for g in group],
                         dtype=np.int32)

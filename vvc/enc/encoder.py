@@ -155,6 +155,7 @@ class Encoder:
                             lfnst_enabled=sps.lfnst, isp_enabled=sps.isp,
                             mtt_enabled=sps.max_mtt_depth_intra > 0,
                             affine_enabled=sps.affine,
+                            lossless_enabled=sps.lossless,
                                 slice_type=int(slice_type), mstate=mstate,
                                 n_ref=n_ref, col=col_info[0],
                                 cur_poc=col_info[1], ref_pocs=col_info[2])
@@ -233,6 +234,7 @@ class Encoder:
                             lfnst_enabled=sps.lfnst, isp_enabled=sps.isp,
                             mtt_enabled=sps.max_mtt_depth_intra > 0,
                             affine_enabled=sps.affine,
+                            lossless_enabled=sps.lossless,
                             slice_type=int(slice_type),
                             mstate=MotionState(sps.width, sps.height),
                             n_ref=n_ref, col=col_info[0],
@@ -387,6 +389,7 @@ class Encoder:
         use_native = (USE_NATIVE_TREE and not inter_slice
                       and sps.max_mtt_depth_intra == 0
                       and not sps.isp
+                      and not sps.lossless
                       and not _trace().enabled
                       and native_packer.available())
         if use_native:

@@ -41,7 +41,7 @@ def chroma_qp(qp: int) -> int:
 def _recon_block(plane, orig, coded, x0, y0, size, mode, qp, bit_depth, levels,
                  tr_h=0, tr_v=0, lossless=False, cclm_ds=None, pred=None,
                  intra=True, dep_quant=False, lfnst=0, h=None,
-                 chroma_scale=None):
+                 chroma_scale=None, bdpcm=0):
     """Predict + (inverse-)transform one block in `plane`.
 
     If `levels` is None (encode), derives them from `orig`; returns levels.
@@ -74,7 +74,10 @@ def _recon_block(plane, orig, coded, x0, y0, size, mode, qp, bit_depth, levels,
     if levels is None:
         resi = orig[y0:y0 + h, x0:x0 + w].astype(np.int32) - pred
         if lossless:
-            levels = resi.copy()
+            # TS lossless: 1-step quant → levels ARE the residual; BDPCM
+            # codes quantized-residual DPCM deltas along the prediction
+            # direction (spec 8.4.5.2 intra_bdpcm)
+            levels = _dpcm_fwd(resi, bdpcm) if bdpcm else resi.copy()
         else:
             if chroma_scale is not None:
                 resi = (resi * chroma_scale[0] + (1 << 10)) >> 11
@@ -89,7 +92,7 @@ def _recon_block(plane, orig, coded, x0, y0, size, mode, qp, bit_depth, levels,
                 levels = quant_np(coeff, qp, bit_depth, intra=intra)
     if np.any(levels):
         if lossless:
-            rec_resi = levels
+            rec_resi = _dpcm_inv(levels, bdpcm) if bdpcm else levels
         else:
             if dep_quant:
                 from vvc.kernels.depquant import dequant_depquant_np
@@ -108,6 +111,43 @@ def _recon_block(plane, orig, coded, x0, y0, size, mode, qp, bit_depth, levels,
         rec = pred
     plane[y0:y0 + h, x0:x0 + w] = rec
     return levels
+
+
+def _dpcm_fwd(resi: np.ndarray, bdpcm: int) -> np.ndarray:
+    """BDPCM delta coding: 1 = horizontal (delta along x), 2 = vertical."""
+    out = resi.copy()
+    if bdpcm == 1:
+        out[:, 1:] = resi[:, 1:] - resi[:, :-1]
+    else:
+        out[1:, :] = resi[1:, :] - resi[:-1, :]
+    return out
+
+
+def _dpcm_inv(levels: np.ndarray, bdpcm: int) -> np.ndarray:
+    axis = 1 if bdpcm == 1 else 0
+    return np.cumsum(levels, axis=axis, dtype=np.int64).astype(np.int32)
+
+
+def _decide_bdpcm(plane, orig, coded, x0, y0, w, h, mode, bit_depth):
+    """Encoder BDPCM decision for one lossless intra CU: try {off, H, V}
+    by summed log2(1+|level|) (level-rate proxy) and return (bdpcm,
+    effective mode).  Predictions come from the recon plane like the real
+    recon — in lossless recon == source, so this is exact (reference:
+    EncCu BDPCM RD loop via xCheckRDCostIntra)."""
+    from vvc.kernels.intra import build_ref_line, predict_intra
+
+    def cost(lv):
+        return float(np.log2(1.0 + np.abs(lv)).sum())
+
+    c = build_ref_line(plane, coded, x0, y0, w, bit_depth)
+    tgt = orig[y0:y0 + h, x0:x0 + w].astype(np.int32)
+    best = (cost(tgt - predict_intra(c, mode, w, bit_depth)), 0, mode)
+    for bd_dir, bmode in ((1, 18), (2, 50)):
+        resi = tgt - predict_intra(c, bmode, w, bit_depth)
+        cc = cost(_dpcm_fwd(resi, bd_dir))
+        if cc < best[0]:
+            best = (cc, bd_dir, bmode)
+    return best[1], best[2]
 
 
 def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
@@ -133,8 +173,11 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
     has_inter = any(l.pred == 1 for l in leaves)
     has_rect = any(l.w != l.h for l in leaves)
     has_isp = any(l.isp for l in leaves)
+    encode_lossless = lossless and orig_planes is not None
+    has_bdpcm = any(l.bdpcm for l in leaves)
     if (use_native and not has_inter and not has_rect and not dep_quant
-            and not has_isp and lmcs_chroma is None):
+            and not has_isp and lmcs_chroma is None
+            and not encode_lossless and not has_bdpcm):
         from vvc.packer import native_recon
         if native_recon.available():
             return native_recon.reconstruct_leaves_native(
@@ -204,13 +247,18 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
             if encode_mode:
                 leaf.lev_y = enc_lev if np.any(enc_lev) else None
         else:
+            if lossless and encode_mode and not is_inter:
+                leaf.bdpcm, leaf.luma_mode = _decide_bdpcm(
+                    y_pl, o_y, coded_y, x0, y0, lw, lh, leaf.luma_mode,
+                    bit_depth)
             lev = _recon_block(y_pl, o_y, coded_y, x0, y0, lw, leaf.luma_mode,
                                qp, bit_depth,
                                None if encode_mode else dec_levels(leaf.lev_y,
                                                                    lw, lh),
                                th, tv, lossless, pred=pred_y,
                                intra=not is_inter,
-                               dep_quant=dep_quant, lfnst=leaf.lfnst, h=lh)
+                               dep_quant=dep_quant, lfnst=leaf.lfnst, h=lh,
+                               bdpcm=leaf.bdpcm)
             if encode_mode:
                 leaf.lev_y = lev if np.any(lev) else None
         # chroma (single tree, DM mode = luma mode; MIP maps to planar),
