@@ -83,6 +83,13 @@ CTX_SETS = [
     ("TS_GT3", 2),
     ("BDPCM_FLAG", 1),
     ("BDPCM_DIR", 1),
+    # MMVD (appended; reference: Contexts.cpp MmvdFlag/MmvdMergeIdx/
+    # MmvdStepMvpIdx)
+    ("MMVD_FLAG", 1),
+    ("MMVD_CAND", 1),
+    ("MMVD_DIST", 1),
+    # CIIP (reference: Contexts.cpp CiipFlag)
+    ("CIIP_FLAG", 1),
 ]
 
 _OFFSETS = {}

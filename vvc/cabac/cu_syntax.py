@@ -117,7 +117,8 @@ class TreeCoder:
                  mip_enabled: bool = False, lfnst_enabled: bool = False,
                  mtt_enabled: bool = False, isp_enabled: bool = False,
                  affine_enabled: bool = False,
-                 lossless_enabled: bool = False):
+                 lossless_enabled: bool = False,
+                 mmvd_enabled: bool = False, ciip_enabled: bool = False):
         self.ctxs = ctxs
         self.state = state
         self.w = width
@@ -131,6 +132,8 @@ class TreeCoder:
         self.mtt_enabled = mtt_enabled
         self.isp_enabled = isp_enabled
         self.affine_enabled = affine_enabled
+        self.mmvd_enabled = mmvd_enabled
+        self.ciip_enabled = ciip_enabled
         # VVC-true lossless tier: transform-skip residual coding + BDPCM
         # (spec: sps_transform_skip + intra_bdpcm; replaces the r1/r2
         # transquant-bypass mechanism, which VVC removed from HEVC)
@@ -145,6 +148,26 @@ class TreeCoder:
         self.col = col               # ColMotion of the collocated picture
         self.cur_poc = cur_poc
         self.ref_pocs = ref_pocs
+
+    # MMVD offset tables (reference: CommonDef.h MMVD distance/direction;
+    # distances in luma 1/4-pel)
+    MMVD_DISTS = (1, 2, 4, 8, 16, 32, 64, 128)
+    MMVD_DIRS = ((1, 0), (-1, 0), (0, 1), (0, -1))
+
+    def _mmvd_apply(self, cand, dist_idx: int, dir_idx: int):
+        """Merge candidate + MMVD offset → (inter_dir, mv, ref).  The
+        offset applies to every used list (simplified vs the spec's
+        POC-scaled L1 offset [verify]; both codec halves share this)."""
+        d, mv, ref = cand
+        ox = self.MMVD_DISTS[dist_idx] * self.MMVD_DIRS[dir_idx][0]
+        oy = self.MMVD_DISTS[dist_idx] * self.MMVD_DIRS[dir_idx][1]
+        out = [[int(mv[0][0]), int(mv[0][1])],
+               [int(mv[1][0]), int(mv[1][1])]]
+        for l in (0, 1):
+            if (d >> l) & 1:
+                out[l][0] += ox
+                out[l][1] += oy
+        return d, out, ref
 
     def _merge_list(self, x0: int, y0: int, size: int):
         from vvc.model.motion import merge_candidates, temporal_candidate
@@ -172,6 +195,10 @@ class TreeCoder:
                     and not ms.inter[py >> 2, px >> 2]):
                 return 1
         return 0
+
+    def _ciip_signaled(self, size: int) -> bool:
+        # spec 7.4.11.7: ciip_flag when w*h >= 64 and w,h < 128
+        return self.ciip_enabled and size * size >= 64 and size < 128
 
     def _affine_signaled(self, size: int) -> bool:
         # spec 7.4.11.5: inter_affine_flag gated on sps_affine + w,h >= 16
@@ -302,10 +329,14 @@ class TreeWriter(TreeCoder):
             is_inter = leaf.pred == 1
             cbf_any = bool(leaf.cbf_y or leaf.cbf_cb or leaf.cbf_cr)
             midx = None
+            mmvd = None
             if is_inter and not leaf.affine:
                 cands = self._merge_list(x0, y0, size)
                 midx = self._match_merge(leaf, cands)
-            skip = is_inter and midx is not None and not cbf_any
+                if midx is None and self.mmvd_enabled:
+                    mmvd = self._match_mmvd(leaf, cands)
+            skip = (is_inter and midx is not None and not cbf_any
+                    and not leaf.ciip)
             enc.encode_bin(1 if skip else 0,
                            ctxs("CU_SKIP_FLAG", self._skip_ctx(x0, y0)))
             if skip:
@@ -316,11 +347,32 @@ class TreeWriter(TreeCoder):
             enc.encode_bin(0 if is_inter else 1,
                            ctxs("PRED_MODE", self._pred_mode_ctx(x0, y0)))
             if is_inter:
-                merge = midx is not None
+                merge = midx is not None or mmvd is not None
                 enc.encode_bin(1 if merge else 0, ctxs("MERGE_FLAG", 0))
                 if merge:
-                    self._write_merge_idx(midx)
-                    leaf.merge, leaf.merge_idx = True, midx
+                    if self.mmvd_enabled:
+                        # mmvd_merge_flag (reference: CABACWriter::
+                        # merge_data MMVD branch)
+                        enc.encode_bin(1 if mmvd is not None else 0,
+                                       ctxs("MMVD_FLAG", 0))
+                    if mmvd is not None:
+                        ci, di, gi = mmvd
+                        enc.encode_bin(ci, ctxs("MMVD_CAND", 0))
+                        enc.encode_bin(1 if di > 0 else 0,
+                                       ctxs("MMVD_DIST", 0))
+                        if di > 0:
+                            for _ in range(di - 1):
+                                enc.encode_bin_ep(1)
+                            if di < len(self.MMVD_DISTS) - 1:
+                                enc.encode_bin_ep(0)
+                        enc.encode_bins_ep(gi, 2)
+                        leaf.merge, leaf.merge_idx = True, ci
+                    else:
+                        self._write_merge_idx(midx)
+                        leaf.merge, leaf.merge_idx = True, midx
+                        if self._ciip_signaled(size):
+                            enc.encode_bin(1 if leaf.ciip else 0,
+                                           ctxs("CIIP_FLAG", 0))
                 else:
                     # inter_affine_flag + cu_affine_type_flag (reference:
                     # CABACWriter::affine_flag; spec gates on w,h >= 16
@@ -376,25 +428,46 @@ class TreeWriter(TreeCoder):
                 return
         self._cu_intra(leaf)
 
+    def _match_mmvd(self, leaf: Leaf, cands):
+        """(base_cand, dist_idx, dir_idx) expressing the leaf's motion as
+        merge-base + MMVD offset, else None (same derive-at-write pattern
+        as _match_merge; reference: EncCu::xCheckRDCostMerge MMVD loop)."""
+        for ci in range(min(2, len(cands))):
+            d, mv, ref = cands[ci]
+            if d != leaf.inter_dir:
+                continue
+            if any(((d >> l) & 1) and int(ref[l]) != leaf.ref_idx[l]
+                   for l in (0, 1)):
+                continue
+            l0 = 0 if d & 1 else 1
+            dx = leaf.mv[l0][0] - int(mv[l0][0])
+            dy = leaf.mv[l0][1] - int(mv[l0][1])
+            if (dx != 0) == (dy != 0):          # exactly one axis
+                continue
+            mag = abs(dx) if dx else abs(dy)
+            if mag not in self.MMVD_DISTS:
+                continue
+            di = self.MMVD_DISTS.index(mag)
+            gi = self.MMVD_DIRS.index((1 if dx > 0 else (-1 if dx < 0 else 0),
+                                       1 if dy > 0 else (-1 if dy < 0 else 0)))
+            # every used list must carry the SAME offset
+            _, applied, _ = self._mmvd_apply(cands[ci], di, gi)
+            ok = all(not ((d >> l) & 1)
+                     or (applied[l][0] == leaf.mv[l][0]
+                         and applied[l][1] == leaf.mv[l][1])
+                     for l in (0, 1))
+            if ok:
+                return ci, di, gi
+        return None
+
     def _match_merge(self, leaf: Leaf, cands):
         """Index of the merge candidate equal to the leaf's motion, else
         None (the encoder signals merge whenever its decided motion is
         derivable — the batched-RDO counterpart of the reference's explicit
-        merge-mode RD check)."""
-        for i, (d, mv, ref) in enumerate(cands):
-            if d != leaf.inter_dir:
-                continue
-            ok = True
-            for l in (0, 1):
-                if (d >> l) & 1:
-                    if (int(mv[l][0]) != leaf.mv[l][0]
-                            or int(mv[l][1]) != leaf.mv[l][1]
-                            or int(ref[l]) != leaf.ref_idx[l]):
-                        ok = False
-                        break
-            if ok:
-                return i
-        return None
+        merge-mode RD check).  Shared derivation with the encoder's
+        recon-time CIIP decision (vvc.model.motion.match_merge)."""
+        from vvc.model.motion import match_merge
+        return match_merge(leaf, cands)
 
     def _write_merge_idx(self, idx: int):
         if self.max_merge <= 1:
@@ -670,10 +743,30 @@ class TreeReader(TreeCoder):
             if not intra:
                 merge = dec.decode_bin(ctxs("MERGE_FLAG", 0))
                 if merge:
-                    midx = self._read_merge_idx()
-                    cands = self._merge_list(x0, y0, size)
-                    leaf = self._leaf_from_cand(x0, y0, size, cands[midx],
-                                                midx, skip=False)
+                    is_mmvd = (self.mmvd_enabled
+                               and dec.decode_bin(ctxs("MMVD_FLAG", 0)))
+                    if is_mmvd:
+                        ci = dec.decode_bin(ctxs("MMVD_CAND", 0))
+                        di = 0
+                        if dec.decode_bin(ctxs("MMVD_DIST", 0)):
+                            di = 1
+                            while (di < len(self.MMVD_DISTS) - 1
+                                   and dec.decode_bin_ep()):
+                                di += 1
+                        gi = dec.decode_bins_ep(2)
+                        cands = self._merge_list(x0, y0, size)
+                        applied = self._mmvd_apply(cands[ci], di, gi)
+                        leaf = self._leaf_from_cand(x0, y0, size, applied,
+                                                    ci, skip=False)
+                    else:
+                        midx = self._read_merge_idx()
+                        cands = self._merge_list(x0, y0, size)
+                        leaf = self._leaf_from_cand(x0, y0, size,
+                                                    cands[midx], midx,
+                                                    skip=False)
+                        if self._ciip_signaled(size):
+                            leaf.ciip = bool(
+                                dec.decode_bin(ctxs("CIIP_FLAG", 0)))
                 else:
                     affine = 0
                     if self._affine_signaled(size):

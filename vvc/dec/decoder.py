@@ -166,6 +166,8 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
                             mtt_enabled=sps.max_mtt_depth_intra > 0,
                             affine_enabled=sps.affine,
                             lossless_enabled=sps.lossless,
+                            mmvd_enabled=sps.mmvd,
+                            ciip_enabled=sps.ciip,
                                 slice_type=sh.slice_type, mstate=mstate,
                                 n_ref=n_ref, col=col, cur_poc=sh.poc,
                                 ref_pocs=ref_pocs)
@@ -201,6 +203,8 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
                             mtt_enabled=sps.max_mtt_depth_intra > 0,
                             affine_enabled=sps.affine,
                             lossless_enabled=sps.lossless,
+                            mmvd_enabled=sps.mmvd,
+                            ciip_enabled=sps.ciip,
                             slice_type=sh.slice_type,
                             mstate=MotionState(sps.width, sps.height),
                             n_ref=n_ref, col=col, cur_poc=sh.poc,

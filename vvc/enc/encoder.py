@@ -156,6 +156,8 @@ class Encoder:
                             mtt_enabled=sps.max_mtt_depth_intra > 0,
                             affine_enabled=sps.affine,
                             lossless_enabled=sps.lossless,
+                            mmvd_enabled=sps.mmvd,
+                            ciip_enabled=sps.ciip,
                                 slice_type=int(slice_type), mstate=mstate,
                                 n_ref=n_ref, col=col_info[0],
                                 cur_poc=col_info[1], ref_pocs=col_info[2])
@@ -235,6 +237,8 @@ class Encoder:
                             mtt_enabled=sps.max_mtt_depth_intra > 0,
                             affine_enabled=sps.affine,
                             lossless_enabled=sps.lossless,
+                            mmvd_enabled=sps.mmvd,
+                            ciip_enabled=sps.ciip,
                             slice_type=int(slice_type),
                             mstate=MotionState(sps.width, sps.height),
                             n_ref=n_ref, col=col_info[0],
@@ -326,7 +330,9 @@ class Encoder:
         if inter_slice:
             inter_cfg = {"bdof": sps.bdof, "dmvr": sps.dmvr, "cur_poc": poc,
                          "ref_pocs": (tuple(p for p, _ in refs_l0),
-                                      tuple(p for p, _ in refs_l1))}
+                                      tuple(p for p, _ in refs_l1)),
+                         "ciip": sps.ciip, "col": col, "n_ref": n_ref,
+                         "is_b": slice_type == SliceType.B}
 
         def recon_tile(i):
             self._recon_tile(src, recon, leaves_per_tile[i], qp,
@@ -481,7 +487,8 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
                     dep_quant: bool = False, mctf: bool = False,
                     bdof: bool = False, dmvr: bool = False,
                     mtt: bool = False, isp: bool = False,
-                    affine: bool = False, _precomputed_rdo=None):
+                    affine: bool = False, mmvd: bool = False,
+                    ciip: bool = False, _precomputed_rdo=None):
     """Encode frames (list of Frame) → (annexb bytes, recons, stats).
 
     mode: "ai" (all-intra), "ldp" (low-delay P), "ra" (random access
@@ -501,7 +508,9 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
               isp=isp and not lossless,
               dep_quant=dep_quant and not lossless,
               bdof=bdof and mode == "ra", dmvr=dmvr and mode == "ra",
-              affine=affine and mode != "ai" and not lossless)
+              affine=affine and mode != "ai" and not lossless,
+              mmvd=mmvd and mode != "ai" and not lossless,
+              ciip=ciip and mode != "ai" and not lossless)
     pps = PPS(init_qp=qp, num_tile_cols=num_tile_cols, wpp=wpp)
     enc = Encoder(sps, pps, parallel_tiles)
     nals = [NalUnit(NalUnitType.SPS, write_sps(sps)),

@@ -42,6 +42,8 @@ class SPS:
     bdof: bool = False      # bi-directional optical flow
     dmvr: bool = False      # decoder-side MV refinement
     affine: bool = False    # affine motion (4/6-param) + PROF
+    mmvd: bool = False      # merge with MVD
+    ciip: bool = False      # combined inter/intra prediction
 
 
 @dataclasses.dataclass(frozen=True)

@@ -34,6 +34,7 @@ class Leaf:
     lfnst: int = 0  # LFNST kernel index (0 off, 1/2); luma, DCT2-only
     isp: int = 0  # intra sub-partitions: 0 off, 1 horizontal, 2 vertical
     bdpcm: int = 0  # lossless TS tier: 0 off, 1 horizontal, 2 vertical
+    ciip: bool = False  # combined inter/intra (merge motion + planar blend)
     chroma_mode: int = 0  # 0 = DM (luma mode), 1 = CCLM (LM)
     # inter fields (pred 0 = intra, 1 = inter); MVs in luma quarter-pel
     pred: int = 0

@@ -261,3 +261,23 @@ def amvp_candidates(ms: MotionState, x0: int, y0: int, size: int,
     while len(cands) < 2:
         cands.append((0, 0))
     return cands
+
+
+def match_merge(leaf, cands):
+    """Index of the merge candidate equal to the leaf's motion, else None
+    (shared by the syntax writer and the encoder's recon-time CIIP
+    decision — both must see the SAME derivation)."""
+    for i, (d, mv, ref) in enumerate(cands):
+        if d != leaf.inter_dir:
+            continue
+        ok = True
+        for l in (0, 1):
+            if (d >> l) & 1:
+                if (int(mv[l][0]) != leaf.mv[l][0]
+                        or int(mv[l][1]) != leaf.mv[l][1]
+                        or int(ref[l]) != leaf.ref_idx[l]):
+                    ok = False
+                    break
+        if ok:
+            return i
+    return None

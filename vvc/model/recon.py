@@ -198,6 +198,27 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
     from vvc.kernels.transform import MTS_TR
     from vvc.kernels.cclm import luma_ds_region
     from vvc.kernels.mc import inter_pred_leaf
+
+    # CIIP (reference: InterPrediction::geoMergeCiip / spec 8.5.6.6):
+    # merge motion + planar intra, equal-weight blend.  The encoder decides
+    # per leaf HERE (recon time) against the real merge list, evolved on a
+    # local MotionState exactly like the syntax writer's — so the writer's
+    # merge match is guaranteed and the coded flag reproduces this blend.
+    ciip_cfg = inter_cfg or {}
+    ciip_on = bool(ciip_cfg.get("ciip"))
+    ciip_ms = None
+    if ciip_on:
+        from vvc.model.motion import (MotionState, merge_candidates,
+                                      temporal_candidate, match_merge)
+        ciip_ms = MotionState(w, h)
+
+    def _planar_pred(plane_, coded_, x0_, y0_, s_, bd_):
+        c = build_ref_line(plane_, coded_, x0_, y0_, s_, bd_)
+        return predict_intra(c, 0, s_, bd_)
+
+    def _ciip_blend(pred_inter, plane_, coded_, x0_, y0_, s_, bd_):
+        pi = _planar_pred(plane_, coded_, x0_, y0_, s_, bd_)
+        return (pred_inter + pi + 1) >> 1
     cs_fwd = cs_inv = None
     if lmcs_chroma is not None:
         from vvc.kernels.lmcs import chroma_scale_factors
@@ -221,6 +242,28 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
                                       inter_cfg)
             pred_cr = inter_pred_leaf(leaf, 2, refs_l0, refs_l1, bit_depth,
                                       inter_cfg)
+            if (ciip_on and encode_mode and not leaf.affine and lw == lh
+                    and 64 <= lw * lw and lw < 128):
+                tmvp = temporal_candidate(
+                    ciip_cfg.get("col"), x0, y0, lw, ciip_cfg["cur_poc"],
+                    ciip_cfg["ref_pocs"], ciip_cfg.get("is_b", False))
+                cands = merge_candidates(
+                    ciip_ms, x0, y0, lw, ciip_cfg.get("is_b", False),
+                    *ciip_cfg.get("n_ref", (0, 0)), tmvp=tmvp)
+                if match_merge(leaf, cands) is not None:
+                    blend = _ciip_blend(pred_y, y_pl, coded_y, x0, y0, lw,
+                                        bit_depth)
+                    tgt = o_y[y0:y0 + lh, x0:x0 + lw].astype(np.int64)
+                    if (((tgt - blend) ** 2).sum()
+                            < ((tgt - pred_y) ** 2).sum()):
+                        leaf.ciip = True
+            if leaf.ciip:
+                pred_y = _ciip_blend(pred_y, y_pl, coded_y, x0, y0, lw,
+                                     bit_depth)
+                pred_cb = _ciip_blend(pred_cb, cb_pl, coded_c, x0 >> 1,
+                                      y0 >> 1, lw >> 1, bit_depth)
+                pred_cr = _ciip_blend(pred_cr, cr_pl, coded_c, x0 >> 1,
+                                      y0 >> 1, lw >> 1, bit_depth)
         if leaf.isp and not is_inter:
             # ISP: K sub-TUs reconstructed in coding order; each one's
             # prediction sees the previous sub-TUs through the coded map
@@ -305,3 +348,15 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
         coded_y[y0 >> 2:(y0 + lh) >> 2, x0 >> 2:(x0 + lw) >> 2] = True
         coded_c[cy >> 2:max((cy >> 2) + 1, (cy + ch) >> 2),
                 cx >> 2:max((cx >> 2) + 1, (cx + cw) >> 2)] = True
+        if ciip_ms is not None:
+            # mirror the syntax writer's MotionState evolution so the next
+            # leaves' merge lists agree (z-order)
+            if is_inter and leaf.affine:
+                ciip_ms.set_inter_affine(x0, y0, lw, lh, leaf.inter_dir,
+                                         leaf.cpmv, leaf.ref_idx,
+                                         leaf.affine)
+            elif is_inter:
+                ciip_ms.set_inter(x0, y0, lw, leaf.inter_dir, leaf.mv,
+                                  leaf.ref_idx)
+            else:
+                ciip_ms.set_intra(x0, y0, lw)
