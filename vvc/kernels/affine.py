@@ -271,6 +271,25 @@ def affine_me_batch(blocks, ref_plane, xs, ys, mv0x, mv0y, size: int,
     return np.asarray(out)
 
 
+def _solve_small(A, b, p: int):
+    """Batched Gauss-Jordan solve of [N,p,p]·x=[N,p] with partial-pivot-free
+    ridge-regularized systems (A is SPD + 1e-2·I, so diagonal pivots are
+    safe).  Unrolled over the static dimension p — pure elementwise/VPU
+    ops, unlike jnp.linalg.solve whose LU custom-call compiles
+    pathologically slowly on the remote-compile TPU path (r3 finding)."""
+    import jax.numpy as jnp
+    M = jnp.concatenate([A, b[..., None]], axis=-1)          # [N,p,p+1]
+    for k in range(p):
+        piv = M[:, k:k + 1, :] / M[:, k:k + 1, k:k + 1]      # normalize row k
+        M = jnp.concatenate([M[:, :k], piv, M[:, k + 1:]], axis=1)
+        fac = M[:, :, k:k + 1]                               # [N,p,1]
+        upd = M - fac * M[:, k:k + 1, :]
+        # keep row k itself
+        M = jnp.concatenate([upd[:, :k], M[:, k:k + 1], upd[:, k + 1:]],
+                            axis=1)
+    return M[:, :, p]
+
+
 @partial(__import__("jax").jit,
          static_argnames=("size", "n_params", "iters"))
 def _affine_me_jit(blocks, ref, xs, ys, mv0x, mv0y, size: int,
@@ -345,7 +364,7 @@ def _affine_me_jit(blocks, ref, xs, ys, mv0x, mv0y, size: int,
         A = jnp.einsum("nip,njp->nij", bf, bf) \
             + 1e-2 * jnp.eye(npar)[None]
         rhs = jnp.einsum("nip,np->ni", bf, err.reshape(n, -1))
-        return theta + jnp.linalg.solve(A, rhs[..., None])[..., 0], None
+        return theta + _solve_small(A, rhs, npar), None
 
     import jax
     theta, _ = jax.lax.scan(step, theta, None, length=iters)
