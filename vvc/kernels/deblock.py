@@ -59,10 +59,56 @@ def _edge_maps(leaves, h: int, w: int, grid: int, scale: int):
     return ev, eh
 
 
-def _filter_luma_edges_v(plane, ev, grid, beta, tc, maxv):
+def _bs_maps(leaves, w4: int, h4: int):
+    """Per-4×4 boundary-strength inputs (reference: the MotionBuf +
+    cbf/pred maps xGetBoundaryStrengthSingle consults): intra, cbf_y,
+    per-list mv (qpel) and ref idx (-1 unused)."""
+    from vvc.kernels.affine import affine_mv_grid
+    intra = np.ones((h4, w4), dtype=bool)
+    cbf = np.zeros((h4, w4), dtype=bool)
+    mv = np.zeros((h4, w4, 2, 2), dtype=np.int32)
+    ref = np.full((h4, w4, 2), -1, dtype=np.int8)
+    for l in leaves:
+        sl = (slice(l.y0 >> 2, (l.y0 + l.h) >> 2),
+              slice(l.x0 >> 2, (l.x0 + l.w) >> 2))
+        intra[sl] = l.pred == 0
+        cbf[sl] = bool(l.cbf_y)
+        if l.pred == 1:
+            for li in range(2):
+                if (l.inter_dir >> li) & 1:
+                    if l.affine:
+                        mv[sl + (li,)] = affine_mv_grid(l.w, l.h,
+                                                        l.cpmv[li],
+                                                        l.affine)
+                    else:
+                        mv[sl + (li,)] = np.asarray(l.mv[li])
+                    ref[sl + (li,)] = l.ref_idx[li]
+    return intra, cbf, mv, ref
+
+
+def _edge_bs(intra, cbf, mv, ref, p_u, q_u):
+    """BS per edge position from the 4×4 unit indices on each side
+    (reference: xGetBoundaryStrengthSingle): 2 if either side intra; 1 on
+    cbf, ref mismatch, or >= half-pel MV delta; else 0."""
+    bs = np.zeros(p_u[0].shape, dtype=np.int8)
+    i2 = intra[p_u] | intra[q_u]
+    c1 = cbf[p_u] | cbf[q_u]
+    rdiff = (ref[p_u] != ref[q_u]).any(axis=-1)
+    mdiff = (np.abs(mv[p_u].astype(np.int64) - mv[q_u]) >= 2).any(axis=(-2, -1))
+    bs[c1 | rdiff | mdiff] = 1
+    bs[i2] = 2
+    return bs
+
+
+def _filter_luma_edges_v(plane, ev, grid, beta, tc_tab, maxv, bs_ctx=None):
     """Filter all vertical luma edges in place — batched over ALL edge
     columns at once (at grid 8 the ±4-tap neighbourhoods of adjacent edges
-    never overlap, so the batch equals the sequential left-to-right loop)."""
+    never overlap, so the batch equals the sequential left-to-right loop).
+
+    tc_tab: (qp_idx, bit_depth) → per-SEGMENT tc derives from the segment
+    BS (tc row qp+2 at BS 2, qp at BS 1 — HEVC/VVC idx = qp + 2(BS-1));
+    bs_ctx: (intra, cbf, mv, ref) maps or None (BS=2 everywhere, the
+    intra-slice fast path)."""
     h, nv = ev.shape
     ks = np.flatnonzero(ev.any(axis=0))
     if ks.size == 0:
@@ -73,14 +119,30 @@ def _filter_luma_edges_v(plane, ev, grid, beta, tc, maxv):
     p3, p2, p1, p0 = seg[:, 0], seg[:, 1], seg[:, 2], seg[:, 3]
     q0, q1, q2, q3 = seg[:, 4], seg[:, 5], seg[:, 6], seg[:, 7]
     rows = ev[:, ks]                                  # [h, E]
+    g = h // 4
+    qpi, bd = tc_tab
+    if bs_ctx is None:
+        bs_seg = np.full((g, len(ks)), 2, dtype=np.int8)
+    else:
+        intra, cbf, mv, ref = bs_ctx
+        yy = (np.arange(g) * 4)[:, None] >> 2          # [g,1] unit rows
+        pq = xs[None, :] >> 2                          # [1,E] q-side units
+        pp = (xs[None, :] - 1) >> 2
+        p_u = (np.broadcast_to(yy, (g, len(ks))),
+               np.broadcast_to(pp, (g, len(ks))))
+        q_u = (np.broadcast_to(yy, (g, len(ks))),
+               np.broadcast_to(pq, (g, len(ks))))
+        bs_seg = _edge_bs(intra, cbf, mv, ref, p_u, q_u)
+    tc = (TC_TABLE[np.minimum(qpi + 2 * np.maximum(
+        bs_seg.astype(np.int32), 1) - 2 + 2, 65)]
+        << (bd - 8)).astype(np.int32)                  # [g,E] per segment
     # segment decisions on 4-row groups using rows 0 and 3
     dp = np.abs(p2 - 2 * p1 + p0)
     dq = np.abs(q2 - 2 * q1 + q0)
-    g = h // 4
     dp0, dp3 = dp[0::4][:g], dp[3::4][:g]
     dq0, dq3 = dq[0::4][:g], dq[3::4][:g]
     d = dp0 + dp3 + dq0 + dq3
-    seg_on = (d < beta) & rows[0::4][:g]
+    seg_on = (d < beta) & rows[0::4][:g] & (bs_seg > 0)
     thr = (5 * tc + 1) >> 1
     strong = (seg_on
               & (2 * (dp0 + dq0) < (beta >> 2))
@@ -94,6 +156,7 @@ def _filter_luma_edges_v(plane, ev, grid, beta, tc, maxv):
     on = np.repeat(seg_on, 4, axis=0)[:h]
     st = np.repeat(strong, 4, axis=0)[:h]
     nr = on & ~st
+    tc = np.repeat(tc, 4, axis=0)[:h]                  # [h,E] per sample
     c2 = 2 * tc
     sp0 = np.clip((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3, p0 - c2, p0 + c2)
     sp1 = np.clip((p2 + p1 + p0 + q0 + 2) >> 2, p1 - c2, p1 + c2)
@@ -127,13 +190,21 @@ def _filter_luma_edges_v(plane, ev, grid, beta, tc, maxv):
     plane[:, xs + 2] = np.where(st, np.clip(sq2, 0, maxv), q2)
 
 
-def _filter_chroma_edges_v(plane, ev, grid, tc, maxv):
+def _filter_chroma_edges_v(plane, ev, grid, tc, maxv, intra_map=None):
+    """Chroma weak filter; filtered only at BS=2 edges (either side intra
+    — reference: chroma deblocking gated on bS==2)."""
     h, nv = ev.shape
     ks = np.flatnonzero(ev.any(axis=0))
     if ks.size == 0:
         return
     xs = (ks + 1) * grid
     rows = ev[:, ks]
+    if intra_map is not None:
+        yy = (np.arange(h) * 2)[:, None] >> 2
+        pu = ((xs * 2 - 1)[None, :] >> 2)
+        qu = ((xs * 2)[None, :] >> 2)
+        bs2 = intra_map[yy, pu] | intra_map[yy, qu]
+        rows = rows & bs2
     p1 = plane[:, xs - 2]
     p0 = plane[:, xs - 1]
     q0 = plane[:, xs]
@@ -156,16 +227,31 @@ def deblock_frame(recon_planes, leaves, qp: int, bit_depth: int = 8,
     maxv = (1 << bit_depth) - 1
     qpi = int(np.clip(qp, 0, 63))
     beta = int(BETA_TABLE[qpi]) << (bit_depth - 8)
-    tc = int(TC_TABLE[min(qpi + 2, 65)]) << (bit_depth - 8)  # BS=2 (intra)
+    tc2 = int(TC_TABLE[min(qpi + 2, 65)]) << (bit_depth - 8)  # BS=2 tc
+    tc_tab = (qpi, bit_depth)
+
+    # BS inputs: skip the map build on all-intra frames (BS=2 everywhere)
+    any_inter = any(l.pred == 1 for l in leaves)
+    bs_ctx = None
+    intra_map = None
+    if any_inter:
+        intra_map, cbf_m, mv_m, ref_m = _bs_maps(leaves, (w + 3) >> 2,
+                                                 (h + 3) >> 2)
+        bs_ctx = (intra_map, cbf_m, mv_m, ref_m)
 
     ev, eh = _edge_maps(leaves, h, w, 8, 0)
     for bx in tile_x_bounds:
         if bx % 8 == 0 and 0 < bx < w:
             ev[:, bx // 8 - 1] = False
-    _filter_luma_edges_v(y, ev, 8, beta, tc, maxv)
-    # horizontal pass = vertical pass on the transpose
+    _filter_luma_edges_v(y, ev, 8, beta, tc_tab, maxv, bs_ctx)
+    # horizontal pass = vertical pass on the transpose (BS maps transpose
+    # with it; MV components swap but only |delta| magnitudes are compared)
     yt = np.ascontiguousarray(y.T)
-    _filter_luma_edges_v(yt, eh.T, 8, beta, tc, maxv)
+    bs_ctx_t = None
+    if bs_ctx is not None:
+        bs_ctx_t = (intra_map.T, cbf_m.T, mv_m.transpose(1, 0, 2, 3),
+                    ref_m.transpose(1, 0, 2))
+    _filter_luma_edges_v(yt, eh.T, 8, beta, tc_tab, maxv, bs_ctx_t)
     y[:] = yt.T
 
     ch, cw = cb.shape
@@ -175,7 +261,8 @@ def deblock_frame(recon_planes, leaves, qp: int, bit_depth: int = 8,
         if cbx % 8 == 0 and 0 < cbx < cw:
             evc[:, cbx // 8 - 1] = False
     for pl in (cb, cr):
-        _filter_chroma_edges_v(pl, evc, 8, tc, maxv)
+        _filter_chroma_edges_v(pl, evc, 8, tc2, maxv, intra_map)
         plt = np.ascontiguousarray(pl.T)
-        _filter_chroma_edges_v(plt, ehc.T, 8, tc, maxv)
+        _filter_chroma_edges_v(plt, ehc.T, 8, tc2, maxv,
+                               None if intra_map is None else intra_map.T)
         pl[:] = plt.T

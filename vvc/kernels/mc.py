@@ -132,6 +132,91 @@ def mc_pred_np(planes, x0: int, y0: int, size: int, leaf, bit_depth: int,
     return (p0 + p1 + 1) >> 1
 
 
+def mc_blocks_batch_np(plane: np.ndarray, xs, ys, mvx, mvy, w: int, h: int,
+                       bit_depth: int, chroma: bool = False) -> np.ndarray:
+    """Batched translational MC of N same-size (h, w) blocks — identical
+    output to mc_block_np per block (vectorized window gather + per-block
+    phase filters batched on the tap axis).  The decoder/encoder recon
+    prepass uses this to collapse thousands of per-leaf filter calls into
+    a few batched ones (OpenVVC's rcn_mc SIMD batching analog)."""
+    from vvc.kernels.affine import _gather_batched, _filter_batched
+    if chroma:
+        fbits, filt, taps = 3, CHROMA_FILTERS, CHROMA_TAPS
+    else:
+        fbits, filt, taps = 2, LUMA_FILTERS, LUMA_TAPS
+    xs = np.asarray(xs, np.int64)
+    ys = np.asarray(ys, np.int64)
+    mvx = np.asarray(mvx, np.int64)
+    mvy = np.asarray(mvy, np.int64)
+    ix, fx = mvx >> fbits, mvx & ((1 << fbits) - 1)
+    iy, fy = mvy >> fbits, mvy & ((1 << fbits) - 1)
+    assert w == h, "batch path is square; rect leaves use the scalar oracle"
+    win = _gather_batched(plane, xs + ix, ys + iy, w, taps)
+    acc = _filter_batched(win, filt[fx], filt[fy], w)
+    out = np.clip((acc + 2048) >> 12, 0, (1 << bit_depth) - 1)
+    # integer-phase blocks bypass filtering entirely (mc_block_np fast
+    # path): overwrite with the plain clamped gather
+    both0 = (fx == 0) & (fy == 0)
+    if np.any(both0):
+        idx = np.nonzero(both0)[0]
+        ph, pw = plane.shape
+        yy = np.clip(ys[idx, None] + iy[idx, None] + np.arange(h)[None, :],
+                     0, ph - 1)
+        xx = np.clip(xs[idx, None] + ix[idx, None] + np.arange(w)[None, :],
+                     0, pw - 1)
+        out[idx] = plane[yy[:, :, None], xx[:, None, :]]
+    return out.astype(np.int32)
+
+
+def batch_inter_preds(leaves, refs_l0, refs_l1, bit_depth: int, cfg=None):
+    """Prepass: predictions for every batchable inter leaf (independent of
+    the current frame's recon, so they vectorize across leaves).  Returns
+    {leaf index: (pred_y, pred_cb, pred_cr)}.  Leaves needing per-leaf
+    treatment (affine, DMVR/BDOF bi refinement) are skipped and fall back
+    to inter_pred_leaf in the sequential loop."""
+    cfg = cfg or {}
+    refine = bool(cfg.get("dmvr") or cfg.get("bdof"))
+    jobs = {}      # (li, ridx, size) -> [(leaf_i, x0, y0, mvx, mvy)]
+    for i, leaf in enumerate(leaves):
+        if leaf.pred != 1 or leaf.affine or leaf.w != leaf.h:
+            continue
+        if refine and _bi_eligible(leaf, cfg):
+            continue
+        for li in (0, 1):
+            if (leaf.inter_dir >> li) & 1:
+                mv = leaf.mv[li]
+                jobs.setdefault((li, leaf.ref_idx[li], leaf.w), []).append(
+                    (i, leaf.x0, leaf.y0, mv[0], mv[1]))
+    parts = {}     # (leaf_i, li) -> (py, pcb, pcr)
+    for (li, ridx, s), items in jobs.items():
+        refs = refs_l0 if li == 0 else refs_l1
+        ry, rcb, rcr = refs[ridx]
+        idxs = np.array([it[0] for it in items])
+        xs = np.array([it[1] for it in items])
+        ys = np.array([it[2] for it in items])
+        mvx = np.array([it[3] for it in items])
+        mvy = np.array([it[4] for it in items])
+        py = mc_blocks_batch_np(ry, xs, ys, mvx, mvy, s, s, bit_depth)
+        pcb = mc_blocks_batch_np(rcb, xs >> 1, ys >> 1, mvx, mvy,
+                                 s >> 1, s >> 1, bit_depth, chroma=True)
+        pcr = mc_blocks_batch_np(rcr, xs >> 1, ys >> 1, mvx, mvy,
+                                 s >> 1, s >> 1, bit_depth, chroma=True)
+        for k, i in enumerate(idxs):
+            parts[(int(i), li)] = (py[k], pcb[k], pcr[k])
+    out = {}
+    for i, leaf in enumerate(leaves):
+        d = leaf.inter_dir
+        if (i, 0) in parts or (i, 1) in parts:
+            if d == 3:
+                if (i, 0) not in parts or (i, 1) not in parts:
+                    continue
+                p0, p1 = parts[(i, 0)], parts[(i, 1)]
+                out[i] = tuple((a + b + 1) >> 1 for a, b in zip(p0, p1))
+            else:
+                out[i] = parts[(i, 0 if d == 1 else 1)]
+    return out
+
+
 def _affine_pred_leaf(leaf, comp: int, refs_l0, refs_l1,
                       bit_depth: int) -> np.ndarray:
     """Affine leaf prediction (reference: InterPrediction::xPredAffineBlk

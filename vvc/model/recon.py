@@ -229,19 +229,31 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
     # only the leaf's neighbourhood is recomputed (region-local; the old
     # whole-plane downsample per leaf was O(leaves x frame))
     ds_plane = np.zeros((h >> 1, w >> 1), dtype=np.int32)
-    for leaf in leaves:
+    # batched inter-prediction prepass: every non-refined translational
+    # leaf's MC is independent of the current frame's recon, so it
+    # vectorizes across leaves (vvc.kernels.mc.batch_inter_preds)
+    pre_inter = {}
+    if any(l.pred == 1 for l in leaves):
+        from vvc.kernels.mc import batch_inter_preds
+        pre_inter = batch_inter_preds(leaves, refs_l0, refs_l1, bit_depth,
+                                      inter_cfg)
+
+    for li_, leaf in enumerate(leaves):
         lw, lh = leaf.w, leaf.h
         x0, y0 = leaf.x0, leaf.y0
         th, tv = MTS_TR[leaf.mts]
         is_inter = leaf.pred == 1
         pred_y = pred_cb = pred_cr = None
         if is_inter:
-            pred_y = inter_pred_leaf(leaf, 0, refs_l0, refs_l1, bit_depth,
-                                     inter_cfg)
-            pred_cb = inter_pred_leaf(leaf, 1, refs_l0, refs_l1, bit_depth,
-                                      inter_cfg)
-            pred_cr = inter_pred_leaf(leaf, 2, refs_l0, refs_l1, bit_depth,
-                                      inter_cfg)
+            if li_ in pre_inter:
+                pred_y, pred_cb, pred_cr = pre_inter[li_]
+            else:
+                pred_y = inter_pred_leaf(leaf, 0, refs_l0, refs_l1,
+                                         bit_depth, inter_cfg)
+                pred_cb = inter_pred_leaf(leaf, 1, refs_l0, refs_l1,
+                                          bit_depth, inter_cfg)
+                pred_cr = inter_pred_leaf(leaf, 2, refs_l0, refs_l1,
+                                          bit_depth, inter_cfg)
             if (ciip_on and encode_mode and not leaf.affine and lw == lh
                     and 64 <= lw * lw and lw < 128):
                 tmvp = temporal_candidate(
