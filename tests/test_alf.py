@@ -138,3 +138,33 @@ def test_native_alf_matches_numpy():
         d1 = alf_delta_classified(r, coeffs, clips, fmap, c1, t1)
         d2 = alf_delta_classified_np(r, coeffs, clips, fmap, c1, t1)
         assert (d1 == d2).all()
+
+
+def test_ccalf_improves_chroma_and_roundtrips():
+    """CC-ALF (vvc/kernels/ccalf.py): luma-driven chroma correction must
+    reduce chroma SSE when enabled, and streams stay bit-exact."""
+    import numpy as np
+    from vvc.kernels.ccalf import derive_ccalf, apply_ccalf_delta
+    rng = np.random.default_rng(3)
+    luma = rng.integers(0, 256, (64, 64)).astype(np.int32)
+    # chroma correlated with luma high-pass (the CC-ALF model)
+    hp = (np.roll(luma, -1, 0) - luma)
+    orig_c = np.clip(128 + (hp[::2, ::2] // 4)
+                     + rng.integers(-2, 3, (32, 32)), 0, 255).astype(np.int32)
+    recon_c = np.full((32, 32), 128, np.int32)
+    ci = derive_ccalf(orig_c, recon_c, luma, 8)
+    assert ci is not None
+    out = apply_ccalf_delta(recon_c, luma, ci, 8)
+    sse0 = ((orig_c.astype(np.int64) - recon_c) ** 2).sum()
+    sse1 = ((orig_c.astype(np.int64) - out) ** 2).sum()
+    assert sse1 < 0.8 * sse0
+    # e2e: encode/decode still bit-exact with ALF+CC-ALF in the loop
+    from vvc.io.synth import synth_frame
+    from vvc.enc.encoder import encode_sequence
+    from vvc.dec.decoder import decode_stream
+    frames = [synth_frame(128, 96, 0)]
+    bs, recons, _ = encode_sequence(frames, qp=32)
+    decs, info = decode_stream(bs)
+    assert all(info["hash_ok"])
+    assert (decs[0].cb == recons[0].cb).all()
+    assert (decs[0].cr == recons[0].cr).all()

@@ -16,14 +16,18 @@ def test_aps_rbsp_roundtrip():
     clips = rng.integers(0, 4, 3).astype(np.int32)
     fmap = rng.integers(0, 3, 25).astype(np.int32)
     chroma = rng.integers(-32, 32, 6).astype(np.int32)
-    t, i, (luma, chr_) = parse_aps(write_aps_alf(
-        7, (coeffs, clips, fmap), chroma))
+    cc = rng.integers(-64, 64, 7).astype(np.int32)
+    t, i, (luma, chr_, cc_cb, cc_cr) = parse_aps(write_aps_alf(
+        7, (coeffs, clips, fmap), chroma, cc_cb=cc))
     assert t == APS_ALF and i == 7
     assert (luma[0] == coeffs).all() and (luma[1] == clips).all()
     assert (luma[2] == fmap).all() and (chr_ == chroma).all()
+    assert (cc_cb == cc).all() and cc_cr is None
     # luma-only / chroma-only
-    t, i, (luma, chr_) = parse_aps(write_aps_alf(3, None, chroma))
+    t, i, (luma, chr_, cc_cb, cc_cr) = parse_aps(write_aps_alf(3, None,
+                                                               chroma))
     assert luma is None and (chr_ == chroma).all()
+    assert cc_cb is None and cc_cr is None
     cw = [64 + k for k in range(16)]
     t, i, out = parse_aps(write_aps_lmcs(9, cw))
     assert t == APS_LMCS and i == 9 and out == cw

@@ -97,12 +97,13 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
         lmcs_cw = (aps_store or {})[(APS_LMCS, lmcs_cw[1])]
     if alf_hdr is not None:
         luma_ref, flag_list, chroma_ref = alf_hdr
-        luma = chroma = None
+        luma = chroma = cc_cb = cc_cr = None
         if luma_ref is not None:
             luma = (aps_store or {})[(APS_ALF, luma_ref[1])][0]
         if chroma_ref is not None:
-            chroma = (aps_store or {})[(APS_ALF, chroma_ref[1])][1]
-        alf_hdr = (luma, flag_list, chroma)
+            _, chroma, cc_cb, cc_cr = (aps_store or {})[
+                (APS_ALF, chroma_ref[1])]
+        alf_hdr = (luma, flag_list, chroma, cc_cb, cc_cr)
     # reference picture lists from POC deltas (reference:
     # Slice::constructRefPicList)
     refs_l0 = [dpb[sh.poc - d] for d in sh.l0_deltas]
@@ -260,7 +261,7 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
                              comp_scale=0 if comp == 0 else 1)
     if sps.alf and alf_hdr is not None:
         from vvc.kernels.alf import apply_alf_plane, apply_alf_classified
-        luma_c, flag_list, chroma_c = alf_hdr
+        luma_c, flag_list, chroma_c, cc_cb, cc_cr = alf_hdr
         if luma_c is not None:
             flags = {}
             i = 0
@@ -273,6 +274,13 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
         if chroma_c is not None:
             apply_alf_plane(recon[1], chroma_c, 2, sps.bit_depth)
             apply_alf_plane(recon[2], chroma_c, 2, sps.bit_depth)
+        from vvc.kernels.ccalf import apply_ccalf_delta
+        if cc_cb is not None:
+            recon[1][:] = apply_ccalf_delta(recon[1], recon[0], cc_cb,
+                                            sps.bit_depth)
+        if cc_cr is not None:
+            recon[2][:] = apply_ccalf_delta(recon[2], recon[0], cc_cr,
+                                            sps.bit_depth)
     if col_dpb is not None:
         col_dpb[sh.poc] = motion_field_from_leaves(
             all_leaves, sps.width, sps.height, sh.poc, ref_pocs)

@@ -382,9 +382,21 @@ class Encoder:
             if chroma_c is not None:
                 apply_alf_plane(recon[1], chroma_c, 2, bd)
                 apply_alf_plane(recon[2], chroma_c, 2, bd)
+            # CC-ALF: additive chroma correction filtered from the final
+            # luma (reference: applyCcAlfFilter; vvc.kernels.ccalf)
+            from vvc.kernels.ccalf import derive_ccalf, apply_ccalf_delta
+            cc_cb = derive_ccalf(frame.cb, recon[1], recon[0], bd)
+            if cc_cb is not None:
+                recon[1][:] = apply_ccalf_delta(recon[1], recon[0], cc_cb,
+                                                bd)
+            cc_cr = derive_ccalf(frame.cr, recon[2], recon[0], bd)
+            if cc_cr is not None:
+                recon[2][:] = apply_ccalf_delta(recon[2], recon[0], cc_cr,
+                                                bd)
             alf_hdr = (luma_c if luma_c is not None else None,
                        flag_list if luma_c is not None else None,
-                       chroma_c if chroma_c is not None else None)
+                       chroma_c if chroma_c is not None else None,
+                       cc_cb, cc_cr)
 
         # phase 4: entropy — WPP row substreams or per-tile (parallel).
         # Intra slices run the native C++ tree writer; inter falls back to
@@ -440,14 +452,17 @@ class Encoder:
         alf_aps_id = lmcs_aps_id = 0
         alf_sh = None
         if sps.alf and alf_hdr is not None:
-            luma_c, flag_list, chroma_c = alf_hdr
-            if luma_c is not None or chroma_c is not None:
+            luma_c, flag_list, chroma_c, cc_cb, cc_cr = alf_hdr
+            if (luma_c is not None or chroma_c is not None
+                    or cc_cb is not None or cc_cr is not None):
                 alf_aps_id = poc % 32
                 aps_nals.append(NalUnit(NalUnitType.PREFIX_APS,
                                         write_aps_alf(alf_aps_id, luma_c,
-                                                      chroma_c)))
+                                                      chroma_c, cc_cb,
+                                                      cc_cr)))
             alf_sh = (luma_c is not None or None, flag_list,
-                      chroma_c is not None or None)
+                      (chroma_c is not None or cc_cb is not None
+                       or cc_cr is not None) or None)
         if sps.lmcs and lmcs_cw is not None:
             lmcs_aps_id = poc % 32
             aps_nals.append(NalUnit(NalUnitType.PREFIX_APS,

@@ -30,6 +30,9 @@ class MotionState:
         self.inter = np.zeros((self.h4, self.w4), dtype=bool)
         self.coded = np.zeros((self.h4, self.w4), dtype=bool)
         self.skip = np.zeros((self.h4, self.w4), dtype=bool)
+        # HMVP FIFO (reference: HPMVInfo table, spec 8.5.2.16): most
+        # recent last; translational inter CUs only
+        self.hmvp = []
 
     def set_inter(self, x0, y0, size, inter_dir, mv, ref_idx,
                   skip: bool = False):
@@ -43,6 +46,21 @@ class MotionState:
             use = (inter_dir >> l) & 1
             self.mv[sl + (l,)] = np.asarray(mv[l] if use else (0, 0))
             self.ref[sl + (l,)] = ref_idx[l] if use else -1
+        # HMVP update: dedup then FIFO-append, capacity 5 (spec: remove the
+        # identical entry, shift, append newest)
+        ent = (inter_dir,
+               np.array([[int(mv[0][0]), int(mv[0][1])]
+                         if inter_dir & 1 else [0, 0],
+                         [int(mv[1][0]), int(mv[1][1])]
+                         if inter_dir & 2 else [0, 0]], dtype=np.int32),
+               np.array([ref_idx[0] if inter_dir & 1 else -1,
+                         ref_idx[1] if inter_dir & 2 else -1],
+                        dtype=np.int8))
+        k = _cand_key(ent)
+        self.hmvp = [c for c in self.hmvp if _cand_key(c) != k]
+        self.hmvp.append(ent)
+        if len(self.hmvp) > 5:
+            self.hmvp.pop(0)
 
     def set_inter_affine(self, x0, y0, w, h, inter_dir, cpmv, ref_idx,
                          affine_type: int):
@@ -172,8 +190,9 @@ def merge_candidates(ms: MotionState, x0: int, y0: int, size: int,
 
     tmvp: precomputed temporal candidate (temporal_candidate()) or None.
     Returns list of (inter_dir, mv [2,2] int array, ref_idx [2]) of length
-    max_cand.  Reference: PU::getInterMergeCandidates ([verify]: HMVP and
-    pairwise-average candidates land later)."""
+    max_cand.  Reference: PU::getInterMergeCandidates — spatial
+    A1,B1,B0,A0,(B2), TMVP, HMVP (newest first), pairwise-average, zero
+    padding."""
     s = size
     pos = [(x0 - 1, y0 + s - 1),   # A1
            (x0 + s - 1, y0 - 1),   # B1
@@ -211,6 +230,50 @@ def merge_candidates(ms: MotionState, x0: int, y0: int, size: int,
             if k not in seen:
                 seen.add(k)
                 cands.append((d, mv, ref))
+    # HMVP candidates, newest first (reference: PU::addMergeHMVPCand)
+    for c in reversed(ms.hmvp):
+        if len(cands) >= max_cand - 1:
+            break                       # spec keeps one slot headroom
+        d, mv, ref = c
+        if not is_b:
+            d &= 1
+        if d == 0:
+            continue
+        cc = (d, mv, ref)
+        k = _cand_key(cc)
+        if k not in seen:
+            seen.add(k)
+            cands.append(cc)
+    # pairwise-average of the first two candidates (spec 8.5.2.4)
+    if len(cands) >= 2 and len(cands) < max_cand:
+        d0, mv0, r0 = cands[0]
+        d1, mv1, r1 = cands[1]
+        mv = np.zeros((2, 2), dtype=np.int32)
+        ref = np.full(2, -1, dtype=np.int8)
+        d = 0
+        for l in (0, 1):
+            a, b = (d0 >> l) & 1, (d1 >> l) & 1
+            if a and b:
+                mv[l] = (mv0[l].astype(np.int64)
+                         + mv1[l] + 1) >> 1
+                ref[l] = r0[l]
+                d |= 1 << l
+            elif a:
+                mv[l] = mv0[l]
+                ref[l] = r0[l]
+                d |= 1 << l
+            elif b:
+                mv[l] = mv1[l]
+                ref[l] = r1[l]
+                d |= 1 << l
+        if not is_b:
+            d &= 1
+        if d:
+            c = (d, mv, ref)
+            k = _cand_key(c)
+            if k not in seen:
+                seen.add(k)
+                cands.append(c)
     # zero-MV padding cycling ref indices (spec: zero merge candidates)
     zref = 0
     while len(cands) < max_cand:
