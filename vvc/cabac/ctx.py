@@ -90,6 +90,10 @@ CTX_SETS = [
     ("MMVD_DIST", 1),
     # CIIP (reference: Contexts.cpp CiipFlag)
     ("CIIP_FLAG", 1),
+    # GPM (appended; reference: Contexts.cpp MergeIdx/GeoSubModeIdx —
+    # regular_merge_flag's inverse is coded here as one GPM flag bin)
+    ("GPM_FLAG", 1),
+    ("GPM_IDX", 1),
 ]
 
 _OFFSETS = {}

@@ -118,7 +118,8 @@ class TreeCoder:
                  mtt_enabled: bool = False, isp_enabled: bool = False,
                  affine_enabled: bool = False,
                  lossless_enabled: bool = False,
-                 mmvd_enabled: bool = False, ciip_enabled: bool = False):
+                 mmvd_enabled: bool = False, ciip_enabled: bool = False,
+                 gpm_enabled: bool = False):
         self.ctxs = ctxs
         self.state = state
         self.w = width
@@ -134,6 +135,7 @@ class TreeCoder:
         self.affine_enabled = affine_enabled
         self.mmvd_enabled = mmvd_enabled
         self.ciip_enabled = ciip_enabled
+        self.gpm_enabled = gpm_enabled
         # VVC-true lossless tier: transform-skip residual coding + BDPCM
         # (spec: sps_transform_skip + intra_bdpcm; replaces the r1/r2
         # transquant-bypass mechanism, which VVC removed from HEVC)
@@ -199,6 +201,12 @@ class TreeCoder:
     def _ciip_signaled(self, size: int) -> bool:
         # spec 7.4.11.7: ciip_flag when w*h >= 64 and w,h < 128
         return self.ciip_enabled and size * size >= 64 and size < 128
+
+    def _gpm_signaled(self, size: int) -> bool:
+        # spec 7.4.11.7 merge_gpm: B slice, 8 <= w,h <= 64, >= 2 merge
+        # candidates (reference: CU::isGeoValid eligibility)
+        return (self.gpm_enabled and self.is_b and 8 <= size <= 64
+                and self.max_merge >= 2)
 
     def _affine_signaled(self, size: int) -> bool:
         # spec 7.4.11.5: inter_affine_flag gated on sps_affine + w,h >= 16
@@ -330,7 +338,8 @@ class TreeWriter(TreeCoder):
             cbf_any = bool(leaf.cbf_y or leaf.cbf_cb or leaf.cbf_cr)
             midx = None
             mmvd = None
-            if is_inter and not leaf.affine:
+            is_gpm = leaf.gpm is not None
+            if is_inter and not leaf.affine and not is_gpm:
                 cands = self._merge_list(x0, y0, size)
                 midx = self._match_merge(leaf, cands)
                 if midx is None and self.mmvd_enabled:
@@ -347,10 +356,23 @@ class TreeWriter(TreeCoder):
             enc.encode_bin(0 if is_inter else 1,
                            ctxs("PRED_MODE", self._pred_mode_ctx(x0, y0)))
             if is_inter:
-                merge = midx is not None or mmvd is not None
+                merge = midx is not None or mmvd is not None or is_gpm
                 enc.encode_bin(1 if merge else 0, ctxs("MERGE_FLAG", 0))
                 if merge:
-                    if self.mmvd_enabled:
+                    if self._gpm_signaled(size):
+                        # merge_gpm_flag (the regular_merge_flag inverse;
+                        # reference: CABACWriter::merge_data geo branch)
+                        enc.encode_bin(1 if is_gpm else 0,
+                                       ctxs("GPM_FLAG", 0))
+                    if is_gpm:
+                        gm, i0, i1 = leaf.gpm
+                        # merge_gpm_partition_idx: 64 modes = 6 EP bins
+                        enc.encode_bins_ep(gm, 6)
+                        self._write_gpm_idx(i0, self.max_merge)
+                        self._write_gpm_idx(i1 - (1 if i1 > i0 else 0),
+                                            self.max_merge - 1)
+                        leaf.merge, leaf.merge_idx = True, i0
+                    elif self.mmvd_enabled:
                         # mmvd_merge_flag (reference: CABACWriter::
                         # merge_data MMVD branch)
                         enc.encode_bin(1 if mmvd is not None else 0,
@@ -367,7 +389,7 @@ class TreeWriter(TreeCoder):
                                 enc.encode_bin_ep(0)
                         enc.encode_bins_ep(gi, 2)
                         leaf.merge, leaf.merge_idx = True, ci
-                    else:
+                    elif not is_gpm:
                         self._write_merge_idx(midx)
                         leaf.merge, leaf.merge_idx = True, midx
                         if self._ciip_signaled(size):
@@ -468,6 +490,18 @@ class TreeWriter(TreeCoder):
         recon-time CIIP decision (vvc.model.motion.match_merge)."""
         from vvc.model.motion import match_merge
         return match_merge(leaf, cands)
+
+    def _write_gpm_idx(self, idx: int, n: int):
+        """merge_gpm_idx: first bin ctx-coded, EP unary tail over n values
+        (reference: CABACWriter::merge_idx GPM branch)."""
+        if n <= 1:
+            return
+        self.enc.encode_bin(1 if idx > 0 else 0, self.ctxs("GPM_IDX", 0))
+        if idx > 0:
+            for _ in range(idx - 1):
+                self.enc.encode_bin_ep(1)
+            if idx < n - 1:
+                self.enc.encode_bin_ep(0)
 
     def _write_merge_idx(self, idx: int):
         if self.max_merge <= 1:
@@ -743,6 +777,32 @@ class TreeReader(TreeCoder):
             if not intra:
                 merge = dec.decode_bin(ctxs("MERGE_FLAG", 0))
                 if merge:
+                    is_gpm = (self._gpm_signaled(size)
+                              and dec.decode_bin(ctxs("GPM_FLAG", 0)))
+                    if is_gpm:
+                        from vvc.kernels.gpm import gpm_uni_candidates
+                        gm = dec.decode_bins_ep(6)
+                        i0 = self._read_gpm_idx(self.max_merge)
+                        j1 = self._read_gpm_idx(self.max_merge - 1)
+                        i1 = j1 + (1 if j1 >= i0 else 0)
+                        cands = self._merge_list(x0, y0, size)
+                        uni = gpm_uni_candidates(cands)
+                        c0, c1 = uni[i0], uni[i1]
+                        lst, pmv, prf = c0
+                        mvt = [(0, 0), (0, 0)]
+                        rft = [0, 0]
+                        mvt[lst] = pmv
+                        rft[lst] = prf
+                        leaf = Leaf(x0, y0, size, size, pred=1, merge=True,
+                                    merge_idx=i0, inter_dir=1 << lst,
+                                    mv=tuple(mvt), ref_idx=tuple(rft))
+                        leaf.gpm = (gm, i0, i1)
+                        leaf.gpm_mv = (c0, c1)
+                        if dec.decode_bin(ctxs("ROOT_CBF", 0)):
+                            self._read_residuals(leaf)
+                        self._mark_inter(leaf, skip=False)
+                        self.leaves.append(leaf)
+                        return
                     is_mmvd = (self.mmvd_enabled
                                and dec.decode_bin(ctxs("MMVD_FLAG", 0)))
                     if is_mmvd:
@@ -820,6 +880,17 @@ class TreeReader(TreeCoder):
                         (int(mv[1][0]), int(mv[1][1]))),
                     ref_idx=(int(ref[0]) if d & 1 else 0,
                              int(ref[1]) if d & 2 else 0))
+
+    def _read_gpm_idx(self, n: int) -> int:
+        if n <= 1:
+            return 0
+        dec = self.dec
+        if not dec.decode_bin(self.ctxs("GPM_IDX", 0)):
+            return 0
+        idx = 1
+        while idx < n - 1 and dec.decode_bin_ep():
+            idx += 1
+        return idx
 
     def _read_merge_idx(self) -> int:
         if self.max_merge <= 1:

@@ -79,6 +79,7 @@ SUPPORTED_KEYS = {
     "FrameSkip", "QP", "CTUSize", "IntraPeriod", "DecodingRefreshType",
     "GOPSize", "Profile", "Level", "RateControl", "TargetBitrate",
     "DepQuant", "TemporalFilter", "BIO", "DMVR",
+    "Affine", "MMVD", "CIIP", "Geo",
     "NumTileColumns", "WaveFrontSynchro", "LMCSEnable", "SAO", "ALF",
     "CostMode", "MTS", "LFNST", "MIP", "ISP", "MaxMTTHierarchyDepth",
     "MaxMTTHierarchyDepthISliceL", "TraceFile", "TraceRule",
@@ -140,6 +141,10 @@ def build_encoder_config(opts: dict):
         "mctf": as_bool(opts.get("TemporalFilter")),
         "bdof": as_bool(opts.get("BIO")),
         "dmvr": as_bool(opts.get("DMVR")),
+        "affine": as_bool(opts.get("Affine")),
+        "mmvd": as_bool(opts.get("MMVD")),
+        "ciip": as_bool(opts.get("CIIP")),
+        "gpm": as_bool(opts.get("Geo")),
         "num_tile_cols": pps.num_tile_cols,
         "wpp": pps.wpp,
         "lossless": lossless,

@@ -45,6 +45,8 @@ def main(argv=None):
         dep_quant=io["dep_quant"], mctf=io["mctf"], mtt=io["mtt"],
         isp=io["isp"],
         bdof=io["bdof"], dmvr=io["dmvr"],
+        affine=io["affine"], mmvd=io["mmvd"], ciip=io["ciip"],
+        gpm=io["gpm"],
         num_tile_cols=io["num_tile_cols"], wpp=io["wpp"],
         lossless=io["lossless"], lmcs=io["lmcs"])
     dt = time.perf_counter() - t0

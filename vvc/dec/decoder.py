@@ -169,6 +169,7 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
                             lossless_enabled=sps.lossless,
                             mmvd_enabled=sps.mmvd,
                             ciip_enabled=sps.ciip,
+                            gpm_enabled=sps.gpm,
                                 slice_type=sh.slice_type, mstate=mstate,
                                 n_ref=n_ref, col=col, cur_poc=sh.poc,
                                 ref_pocs=ref_pocs)
@@ -206,6 +207,7 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
                             lossless_enabled=sps.lossless,
                             mmvd_enabled=sps.mmvd,
                             ciip_enabled=sps.ciip,
+                            gpm_enabled=sps.gpm,
                             slice_type=sh.slice_type,
                             mstate=MotionState(sps.width, sps.height),
                             n_ref=n_ref, col=col, cur_poc=sh.poc,

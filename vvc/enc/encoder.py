@@ -158,6 +158,7 @@ class Encoder:
                             lossless_enabled=sps.lossless,
                             mmvd_enabled=sps.mmvd,
                             ciip_enabled=sps.ciip,
+                            gpm_enabled=sps.gpm,
                                 slice_type=int(slice_type), mstate=mstate,
                                 n_ref=n_ref, col=col_info[0],
                                 cur_poc=col_info[1], ref_pocs=col_info[2])
@@ -239,6 +240,7 @@ class Encoder:
                             lossless_enabled=sps.lossless,
                             mmvd_enabled=sps.mmvd,
                             ciip_enabled=sps.ciip,
+                            gpm_enabled=sps.gpm,
                             slice_type=int(slice_type),
                             mstate=MotionState(sps.width, sps.height),
                             n_ref=n_ref, col=col_info[0],
@@ -331,7 +333,8 @@ class Encoder:
             inter_cfg = {"bdof": sps.bdof, "dmvr": sps.dmvr, "cur_poc": poc,
                          "ref_pocs": (tuple(p for p, _ in refs_l0),
                                       tuple(p for p, _ in refs_l1)),
-                         "ciip": sps.ciip, "col": col, "n_ref": n_ref,
+                         "ciip": sps.ciip, "gpm": sps.gpm,
+                         "col": col, "n_ref": n_ref,
                          "is_b": slice_type == SliceType.B}
 
         def recon_tile(i):
@@ -503,7 +506,8 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
                     bdof: bool = False, dmvr: bool = False,
                     mtt: bool = False, isp: bool = False,
                     affine: bool = False, mmvd: bool = False,
-                    ciip: bool = False, _precomputed_rdo=None):
+                    ciip: bool = False, gpm: bool = False,
+                    _precomputed_rdo=None):
     """Encode frames (list of Frame) → (annexb bytes, recons, stats).
 
     mode: "ai" (all-intra), "ldp" (low-delay P), "ra" (random access
@@ -525,7 +529,8 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
               bdof=bdof and mode == "ra", dmvr=dmvr and mode == "ra",
               affine=affine and mode != "ai" and not lossless,
               mmvd=mmvd and mode != "ai" and not lossless,
-              ciip=ciip and mode != "ai" and not lossless)
+              ciip=ciip and mode != "ai" and not lossless,
+              gpm=gpm and mode == "ra" and not lossless)
     pps = PPS(init_qp=qp, num_tile_cols=num_tile_cols, wpp=wpp)
     enc = Encoder(sps, pps, parallel_tiles)
     nals = [NalUnit(NalUnitType.SPS, write_sps(sps)),

@@ -44,6 +44,7 @@ class SPS:
     affine: bool = False    # affine motion (4/6-param) + PROF
     mmvd: bool = False      # merge with MVD
     ciip: bool = False      # combined inter/intra prediction
+    gpm: bool = False       # geometric partitioning merge mode
 
 
 @dataclasses.dataclass(frozen=True)

@@ -178,7 +178,8 @@ def batch_inter_preds(leaves, refs_l0, refs_l1, bit_depth: int, cfg=None):
     refine = bool(cfg.get("dmvr") or cfg.get("bdof"))
     jobs = {}      # (li, ridx, size) -> [(leaf_i, x0, y0, mvx, mvy)]
     for i, leaf in enumerate(leaves):
-        if leaf.pred != 1 or leaf.affine or leaf.w != leaf.h:
+        if (leaf.pred != 1 or leaf.affine or leaf.w != leaf.h
+                or leaf.gpm is not None):
             continue
         if refine and _bi_eligible(leaf, cfg):
             continue
@@ -242,6 +243,34 @@ def _affine_pred_leaf(leaf, comp: int, refs_l0, refs_l1,
     p0 = one(refs_l0, leaf.ref_idx[0], leaf.cpmv[0])
     p1 = one(refs_l1, leaf.ref_idx[1], leaf.cpmv[1])
     return (p0 + p1 + 1) >> 1
+
+
+def gpm_uni_pred(cand, comp: int, x0: int, y0: int, w: int, h: int,
+                 refs_l0, refs_l1, bit_depth: int) -> np.ndarray:
+    """One GPM part's uni prediction.  cand = (list, (mvx, mvy), ref)."""
+    lst, mv, ridx = cand
+    refs = refs_l0 if lst == 0 else refs_l1
+    plane = refs[ridx][comp]
+    if comp == 0:
+        return mc_block_np(plane, x0, y0, w, h, mv[0], mv[1], bit_depth)
+    return mc_block_np(plane, x0 >> 1, y0 >> 1, w >> 1, h >> 1,
+                       mv[0], mv[1], bit_depth, chroma=True)
+
+
+def gpm_pred_leaf(leaf, comp: int, refs_l0, refs_l1,
+                  bit_depth: int) -> np.ndarray:
+    """GPM leaf prediction: two uni-pred parts blended through the
+    angled soft mask (reference: InterPrediction::motionCompensationGeo +
+    weightedGeoBlk).  DMVR/BDOF never apply (parts are uni-pred)."""
+    from vvc.kernels.gpm import gpm_mask, gpm_mask_chroma, gpm_blend
+    mode = leaf.gpm[0]
+    p0 = gpm_uni_pred(leaf.gpm_mv[0], comp, leaf.x0, leaf.y0, leaf.w,
+                      leaf.h, refs_l0, refs_l1, bit_depth)
+    p1 = gpm_uni_pred(leaf.gpm_mv[1], comp, leaf.x0, leaf.y0, leaf.w,
+                      leaf.h, refs_l0, refs_l1, bit_depth)
+    wgt = (gpm_mask(leaf.w, leaf.h, mode) if comp == 0
+           else gpm_mask_chroma(leaf.w >> 1, leaf.h >> 1, mode))
+    return gpm_blend(p0, p1, wgt)
 
 
 def _bi_eligible(leaf, cfg) -> bool:
@@ -336,6 +365,8 @@ def inter_pred_leaf(leaf, comp: int, refs_l0, refs_l1, bit_depth: int,
     where decoder-side refinement stays bit-exact by construction."""
     if leaf.affine:
         return _affine_pred_leaf(leaf, comp, refs_l0, refs_l1, bit_depth)
+    if leaf.gpm is not None:
+        return gpm_pred_leaf(leaf, comp, refs_l0, refs_l1, bit_depth)
     x0, y0, size = leaf.x0, leaf.y0, leaf.size
     if not _bi_eligible(leaf, cfg) or not (cfg.get("dmvr") or
                                            cfg.get("bdof")):

@@ -50,6 +50,15 @@ class Leaf:
     # ((TLx,TLy),(TRx,TRy),(BLx,BLy)) in luma 1/4-pel, or None
     affine: int = 0
     cpmv: tuple = (None, None)
+    # GPM (reference: CodingUnit::geoFlag + PU geo merge indices):
+    # gpm = (partition_mode 0..63, merge_idx0, merge_idx1) or None;
+    # gpm_mv = the two derived uni candidates ((list, (mvx,mvy), ref),
+    # (list, (mvx,mvy), ref)).  leaf.mv/ref_idx/inter_dir hold part 0's
+    # motion for the 4x4 field ([verify] spec stores per-part + bi in the
+    # blend band; whole-CU part-0 storage is the documented simplification
+    # shared by both codec halves).
+    gpm: tuple | None = None
+    gpm_mv: tuple | None = None
     # quantized levels; None until reconstruction (encoder) / parse (decoder)
     lev_y: np.ndarray | None = None
     lev_cb: np.ndarray | None = None

@@ -206,11 +206,12 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
     # merge match is guaranteed and the coded flag reproduces this blend.
     ciip_cfg = inter_cfg or {}
     ciip_on = bool(ciip_cfg.get("ciip"))
-    ciip_ms = None
-    if ciip_on:
+    gpm_on = bool(ciip_cfg.get("gpm")) and bool(ciip_cfg.get("is_b"))
+    merge_ms = None
+    if ciip_on or gpm_on:
         from vvc.model.motion import (MotionState, merge_candidates,
                                       temporal_candidate, match_merge)
-        ciip_ms = MotionState(w, h)
+        merge_ms = MotionState(w, h)
 
     def _planar_pred(plane_, coded_, x0_, y0_, s_, bd_):
         c = build_ref_line(plane_, coded_, x0_, y0_, s_, bd_)
@@ -260,7 +261,7 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
                     ciip_cfg.get("col"), x0, y0, lw, ciip_cfg["cur_poc"],
                     ciip_cfg["ref_pocs"], ciip_cfg.get("is_b", False))
                 cands = merge_candidates(
-                    ciip_ms, x0, y0, lw, ciip_cfg.get("is_b", False),
+                    merge_ms, x0, y0, lw, ciip_cfg.get("is_b", False),
                     *ciip_cfg.get("n_ref", (0, 0)), tmvp=tmvp)
                 if match_merge(leaf, cands) is not None:
                     blend = _ciip_blend(pred_y, y_pl, coded_y, x0, y0, lw,
@@ -276,6 +277,79 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
                                       y0 >> 1, lw >> 1, bit_depth)
                 pred_cr = _ciip_blend(pred_cr, cr_pl, coded_c, x0 >> 1,
                                       y0 >> 1, lw >> 1, bit_depth)
+            # GPM decision (encoder, recon time — same mirrored-merge-list
+            # pattern as CIIP; reference: EncCu::xCheckRDCostMergeGeo).
+            # Competes against the current best pred (incl. a CIIP blend).
+            if (gpm_on and encode_mode and not leaf.affine and lw == lh
+                    and 8 <= lw <= 64):
+                from vvc.kernels.gpm import (gpm_mask, gpm_mask_chroma,
+                                             gpm_blend, gpm_uni_candidates)
+                from vvc.kernels.mc import gpm_uni_pred
+                tmvp = temporal_candidate(
+                    ciip_cfg.get("col"), x0, y0, lw, ciip_cfg["cur_poc"],
+                    ciip_cfg["ref_pocs"], True)
+                cands = merge_candidates(
+                    merge_ms, x0, y0, lw, True,
+                    *ciip_cfg.get("n_ref", (0, 0)), tmvp=tmvp)
+                uni = gpm_uni_candidates(cands)
+                pool, seen_u = [], set()
+                for ui, c in enumerate(uni):
+                    if c is None or c in seen_u:
+                        continue
+                    seen_u.add(c)
+                    pool.append((ui, c))
+                    if len(pool) == 3:
+                        break
+                if len(pool) >= 2:
+                    tgt = o_y[y0:y0 + lh, x0:x0 + lw].astype(np.int64)
+                    base_sse = int(((tgt - pred_y) ** 2).sum())
+                    upred = {ui: gpm_uni_pred(c, 0, x0, y0, lw, lh,
+                                              refs_l0, refs_l1, bit_depth)
+                             for ui, c in pool}
+                    # mode subset: every other angle at distance 0, every
+                    # 4th angle at distance 2 (full 64-mode sweep is the
+                    # batched-search upgrade path)
+                    modes_try = (list(range(0, 64, 8))
+                                 + [m + 2 for m in range(0, 64, 16)])
+                    best = None
+                    for i0, c0 in pool:
+                        for i1, c1 in pool:
+                            if i1 == i0:
+                                continue
+                            for gm in modes_try:
+                                bl = gpm_blend(upred[i0], upred[i1],
+                                               gpm_mask(lw, lh, gm))
+                                sse = int(((tgt - bl) ** 2).sum())
+                                if best is None or sse < best[0]:
+                                    best = (sse, gm, i0, i1, c0, c1)
+                    # adopt only past a per-sample margin (GPM costs ~10
+                    # more bins than a bare merge_idx)
+                    if best is not None and best[0] + lw * lh < base_sse:
+                        _, gm, i0, i1, c0, c1 = best
+                        leaf.ciip = False
+                        leaf.gpm = (gm, i0, i1)
+                        leaf.gpm_mv = (c0, c1)
+                        lst, pmv, prf = c0
+                        mvt = [(0, 0), (0, 0)]
+                        rft = [0, 0]
+                        mvt[lst] = (pmv[0], pmv[1])
+                        rft[lst] = prf
+                        leaf.inter_dir = 1 << lst
+                        leaf.mv = tuple(mvt)
+                        leaf.ref_idx = tuple(rft)
+                        cwgt = gpm_mask_chroma(lw >> 1, lh >> 1, gm)
+                        pred_y = gpm_blend(upred[i0], upred[i1],
+                                           gpm_mask(lw, lh, gm))
+                        pred_cb = gpm_blend(
+                            gpm_uni_pred(c0, 1, x0, y0, lw, lh, refs_l0,
+                                         refs_l1, bit_depth),
+                            gpm_uni_pred(c1, 1, x0, y0, lw, lh, refs_l0,
+                                         refs_l1, bit_depth), cwgt)
+                        pred_cr = gpm_blend(
+                            gpm_uni_pred(c0, 2, x0, y0, lw, lh, refs_l0,
+                                         refs_l1, bit_depth),
+                            gpm_uni_pred(c1, 2, x0, y0, lw, lh, refs_l0,
+                                         refs_l1, bit_depth), cwgt)
         if leaf.isp and not is_inter:
             # ISP: K sub-TUs reconstructed in coding order; each one's
             # prediction sees the previous sub-TUs through the coded map
@@ -360,15 +434,15 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
         coded_y[y0 >> 2:(y0 + lh) >> 2, x0 >> 2:(x0 + lw) >> 2] = True
         coded_c[cy >> 2:max((cy >> 2) + 1, (cy + ch) >> 2),
                 cx >> 2:max((cx >> 2) + 1, (cx + cw) >> 2)] = True
-        if ciip_ms is not None:
+        if merge_ms is not None:
             # mirror the syntax writer's MotionState evolution so the next
             # leaves' merge lists agree (z-order)
             if is_inter and leaf.affine:
-                ciip_ms.set_inter_affine(x0, y0, lw, lh, leaf.inter_dir,
+                merge_ms.set_inter_affine(x0, y0, lw, lh, leaf.inter_dir,
                                          leaf.cpmv, leaf.ref_idx,
                                          leaf.affine)
             elif is_inter:
-                ciip_ms.set_inter(x0, y0, lw, leaf.inter_dir, leaf.mv,
+                merge_ms.set_inter(x0, y0, lw, leaf.inter_dir, leaf.mv,
                                   leaf.ref_idx)
             else:
-                ciip_ms.set_intra(x0, y0, lw)
+                merge_ms.set_intra(x0, y0, lw)
