@@ -577,9 +577,18 @@ class TreeWriter(TreeCoder):
         else:
             assert not is_mip, "MIP mode chosen but not signalable"
         if not is_mip:
-            # intra_luma_ref_idx (always reference line 0)
+            # intra_luma_ref_idx: truncated-unary over lines {0,1,2}
+            # (reference: CABACWriter::extend_ref_line; first-CTU-row
+            # gate = the spec's line-buffer constraint)
             if (y0 % self.ctu) > 0:
-                enc.encode_bin(0, ctxs("INTRA_LUMA_REF_IDX", 0))
+                mrl = leaf.mrl
+                enc.encode_bin(1 if mrl > 0 else 0,
+                               ctxs("INTRA_LUMA_REF_IDX", 0))
+                if mrl > 0:
+                    enc.encode_bin(1 if mrl > 1 else 0,
+                                   ctxs("INTRA_LUMA_REF_IDX", 1))
+            else:
+                assert leaf.mrl == 0, "MRL needs an in-CTU above line"
             # intra_subpartitions_mode_flag (+ split direction when both
             # legal); reference: CABACWriter::intra_luma_pred_modes ISP part
             if self.isp_enabled:
@@ -954,12 +963,13 @@ class TreeReader(TreeCoder):
         if self.mip_enabled and w == h and mip_allowed(w):
             is_mip = bool(dec.decode_bin(ctxs("MIP_FLAG", 0)))
         isp = 0
+        mrl = 0
         if is_mip:
             mode = 67 + _tb_read(dec, K_MIP_MODES)
         else:
             if (y0 % self.ctu) > 0:
-                ref_idx_bin = dec.decode_bin(ctxs("INTRA_LUMA_REF_IDX", 0))
-                assert ref_idx_bin == 0, "multi-ref-line not supported yet"
+                if dec.decode_bin(ctxs("INTRA_LUMA_REF_IDX", 0)):
+                    mrl = 1 + dec.decode_bin(ctxs("INTRA_LUMA_REF_IDX", 1))
             if self.isp_enabled:
                 from vvc.kernels.isp import isp_allowed
                 can_h, can_v = isp_allowed(w, h)
@@ -991,7 +1001,8 @@ class TreeReader(TreeCoder):
         if not chroma_mode:
             dm = dec.decode_bin(ctxs("INTRA_CHROMA_PRED_MODE", 0))
             assert dm == 1, "non-DM chroma not supported yet"
-        leaf = Leaf(x0, y0, w, h, mode, isp=isp, chroma_mode=chroma_mode)
+        leaf = Leaf(x0, y0, w, h, mode, isp=isp, chroma_mode=chroma_mode,
+                    mrl=0 if is_mip else mrl)
         self._read_residuals(leaf)
         tr = _trace()
         if tr.enabled:

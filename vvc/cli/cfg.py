@@ -79,7 +79,7 @@ SUPPORTED_KEYS = {
     "FrameSkip", "QP", "CTUSize", "IntraPeriod", "DecodingRefreshType",
     "GOPSize", "Profile", "Level", "RateControl", "TargetBitrate",
     "DepQuant", "TemporalFilter", "BIO", "DMVR",
-    "Affine", "MMVD", "CIIP", "Geo",
+    "Affine", "MMVD", "CIIP", "Geo", "MRL",
     "NumTileColumns", "WaveFrontSynchro", "LMCSEnable", "SAO", "ALF",
     "CostMode", "MTS", "LFNST", "MIP", "ISP", "MaxMTTHierarchyDepth",
     "MaxMTTHierarchyDepthISliceL", "TraceFile", "TraceRule",
@@ -145,6 +145,7 @@ def build_encoder_config(opts: dict):
         "mmvd": as_bool(opts.get("MMVD")),
         "ciip": as_bool(opts.get("CIIP")),
         "gpm": as_bool(opts.get("Geo")),
+        "mrl": as_bool(opts.get("MRL")),
         "num_tile_cols": pps.num_tile_cols,
         "wpp": pps.wpp,
         "lossless": lossless,

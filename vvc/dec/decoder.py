@@ -130,7 +130,8 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
     def _recon(leaves):
         if (wavefront and not inter and not sps.dep_quant
                 and lmcs_cw is None
-                and all(l.w == l.h and not l.isp for l in leaves)):
+                and all(l.w == l.h and not l.isp and not l.mrl
+                        for l in leaves)):
             from vvc.dec.wavefront import reconstruct_leaves_wavefront
             reconstruct_leaves_wavefront(leaves, recon, sh.qp,
                                          sps.bit_depth, sps.lossless)

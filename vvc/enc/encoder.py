@@ -124,7 +124,8 @@ class Encoder:
                            orig_planes=(frame.y, frame.cb, frame.cr),
                            lossless=sps.lossless, refs=refs,
                            dep_quant=sps.dep_quant, inter_cfg=inter_cfg,
-                           lmcs_chroma=lmcs_chroma)
+                           lmcs_chroma=lmcs_chroma,
+                           mrl_ctu=sps.ctu_size if sps.mrl else 0)
 
     def _entropy_rows_wpp(self, split_map, leaf_map, qp, sao_params,
                           slice_type=SliceType.I, n_ref=(0, 0),
@@ -409,7 +410,7 @@ class Encoder:
         from vvc.utils.trace import active as _trace
         use_native = (USE_NATIVE_TREE and not inter_slice
                       and sps.max_mtt_depth_intra == 0
-                      and not sps.isp
+                      and not sps.isp and not sps.mrl
                       and not sps.lossless
                       and not _trace().enabled
                       and native_packer.available())
@@ -507,7 +508,7 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
                     mtt: bool = False, isp: bool = False,
                     affine: bool = False, mmvd: bool = False,
                     ciip: bool = False, gpm: bool = False,
-                    _precomputed_rdo=None):
+                    mrl: bool = False, _precomputed_rdo=None):
     """Encode frames (list of Frame) → (annexb bytes, recons, stats).
 
     mode: "ai" (all-intra), "ldp" (low-delay P), "ra" (random access
@@ -530,7 +531,8 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
               affine=affine and mode != "ai" and not lossless,
               mmvd=mmvd and mode != "ai" and not lossless,
               ciip=ciip and mode != "ai" and not lossless,
-              gpm=gpm and mode == "ra" and not lossless)
+              gpm=gpm and mode == "ra" and not lossless,
+              mrl=mrl and not lossless)
     pps = PPS(init_qp=qp, num_tile_cols=num_tile_cols, wpp=wpp)
     enc = Encoder(sps, pps, parallel_tiles)
     nals = [NalUnit(NalUnitType.SPS, write_sps(sps)),

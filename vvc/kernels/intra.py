@@ -194,6 +194,51 @@ def build_ref_line(plane: np.ndarray, coded: np.ndarray, x0: int, y0: int,
     return c
 
 
+def build_ref_line_mrl(plane: np.ndarray, coded: np.ndarray, x0: int,
+                       y0: int, size: int, bit_depth: int, k: int,
+                       log2_unit: int = 2) -> np.ndarray:
+    """Reference line at offset k (MRL lines 1/2): same layout as
+    build_ref_line but reading column x0-1-k and row y0-1-k.
+
+    Reference: IntraPrediction.cpp multiRefIdx extended-line fill.
+    Deviation [verify]: the spec projects angular modes *through* the
+    offset line (longer projection distance); here line k is substituted
+    as the adjacent line, so MRL acts as alternative-line selection.
+    Both codec halves share this function, so streams stay bit-exact."""
+    s = size
+    h, w = plane.shape
+    n = 4 * s + 3
+    c = np.zeros(n, dtype=np.int32)
+    avail = np.zeros(n, dtype=bool)
+    xl, yt = x0 - 1 - k, y0 - 1 - k
+    ky = y0 + np.arange(2 * s)
+    if xl >= 0:
+        kyc = np.minimum(ky, h - 1)
+        ok = (ky < h) & coded[kyc >> log2_unit, xl >> log2_unit]
+        c[2 * s - 1::-1] = np.where(ok, plane[kyc, xl], 0)
+        avail[2 * s - 1::-1] = ok
+    if xl >= 0 and yt >= 0 and coded[yt >> log2_unit, xl >> log2_unit]:
+        c[2 * s] = plane[yt, xl]
+        avail[2 * s] = True
+    kx = x0 + np.arange(2 * s)
+    if yt >= 0:
+        kxc = np.minimum(kx, w - 1)
+        ok = (kx < w) & coded[yt >> log2_unit, kxc >> log2_unit]
+        c[2 * s + 1:4 * s + 1] = np.where(ok, plane[yt, kxc], 0)
+        avail[2 * s + 1:4 * s + 1] = ok
+    if not avail.any():
+        c[:] = 1 << (bit_depth - 1)
+    else:
+        ix = np.where(avail[:4 * s + 1], np.arange(4 * s + 1), -1)
+        np.maximum.accumulate(ix, out=ix)
+        first = int(np.argmax(avail))
+        ix[ix < 0] = first
+        c[:4 * s + 1] = c[:4 * s + 1][ix]
+    c[4 * s + 1] = c[4 * s]
+    c[4 * s + 2] = c[4 * s]
+    return c
+
+
 # ---------------------------------------------------------------------------
 # Static per-mode gather tables
 # ---------------------------------------------------------------------------

@@ -33,6 +33,7 @@ class Leaf:
     mts: int = 0  # MTS index: 0 DCT2/DCT2, 1 DST7/DST7, 2 DCT8/DST7, 3 DST7/DCT8, 4 DCT8/DCT8
     lfnst: int = 0  # LFNST kernel index (0 off, 1/2); luma, DCT2-only
     isp: int = 0  # intra sub-partitions: 0 off, 1 horizontal, 2 vertical
+    mrl: int = 0  # multi-reference-line index: 0, 1 or 2 (luma intra)
     bdpcm: int = 0  # lossless TS tier: 0 off, 1 horizontal, 2 vertical
     ciip: bool = False  # combined inter/intra (merge motion + planar blend)
     chroma_mode: int = 0  # 0 = DM (luma mode), 1 = CCLM (LM)

@@ -41,7 +41,7 @@ def chroma_qp(qp: int) -> int:
 def _recon_block(plane, orig, coded, x0, y0, size, mode, qp, bit_depth, levels,
                  tr_h=0, tr_v=0, lossless=False, cclm_ds=None, pred=None,
                  intra=True, dep_quant=False, lfnst=0, h=None,
-                 chroma_scale=None, bdpcm=0):
+                 chroma_scale=None, bdpcm=0, mrl=0):
     """Predict + (inverse-)transform one block in `plane`.
 
     If `levels` is None (encode), derives them from `orig`; returns levels.
@@ -64,7 +64,12 @@ def _recon_block(plane, orig, coded, x0, y0, size, mode, qp, bit_depth, levels,
             pred = predict_cclm(ds, plane, coded, x0, y0, size, bit_depth,
                                 variant=variant)
         elif w == h:
-            c = build_ref_line(plane, coded, x0, y0, size, bit_depth)
+            if mrl:
+                from vvc.kernels.intra import build_ref_line_mrl
+                c = build_ref_line_mrl(plane, coded, x0, y0, size,
+                                       bit_depth, mrl)
+            else:
+                c = build_ref_line(plane, coded, x0, y0, size, bit_depth)
             pred = predict_intra(c, mode, size, bit_depth)
         else:
             from vvc.kernels.intra import (build_ref_line_rect,
@@ -154,7 +159,7 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
                        orig_planes=None, use_native: bool = True,
                        lossless: bool = False, refs=None,
                        dep_quant: bool = False, inter_cfg=None,
-                       lmcs_chroma=None):
+                       lmcs_chroma=None, mrl_ctu: int = 0):
     """Reconstruct all leaves in z-order into recon_planes (y, cb, cr).
 
     Encoder mode: orig_planes given, leaf.lev_* are None → derives and
@@ -175,9 +180,10 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
     has_isp = any(l.isp for l in leaves)
     encode_lossless = lossless and orig_planes is not None
     has_bdpcm = any(l.bdpcm for l in leaves)
+    has_mrl = mrl_ctu > 0 or any(l.mrl for l in leaves)
     if (use_native and not has_inter and not has_rect and not dep_quant
             and not has_isp and lmcs_chroma is None
-            and not encode_lossless and not has_bdpcm):
+            and not encode_lossless and not has_bdpcm and not has_mrl):
         from vvc.packer import native_recon
         if native_recon.available():
             return native_recon.reconstruct_leaves_native(
@@ -380,6 +386,28 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
                 leaf.bdpcm, leaf.luma_mode = _decide_bdpcm(
                     y_pl, o_y, coded_y, x0, y0, lw, lh, leaf.luma_mode,
                     bit_depth)
+            # MRL decision (encoder, recon time): pick the reference line
+            # {0,1,2} minimizing prediction SSE with a per-sample margin
+            # for the 1-2 extra bins (reference: IntraSearch multiRefIdx
+            # loop inside estIntraPredLumaQT)
+            if (mrl_ctu > 0 and encode_mode and not is_inter
+                    and not lossless and lw == lh and leaf.luma_mode < 67
+                    and (y0 % mrl_ctu) > 0):
+                from vvc.kernels.intra import build_ref_line_mrl
+                tgt_m = o_y[y0:y0 + lh, x0:x0 + lw].astype(np.int64)
+                best_m = None
+                for k_ in (0, 1, 2):
+                    if k_ == 0:
+                        c_ = build_ref_line(y_pl, coded_y, x0, y0, lw,
+                                            bit_depth)
+                    else:
+                        c_ = build_ref_line_mrl(y_pl, coded_y, x0, y0, lw,
+                                                bit_depth, k_)
+                    p_ = predict_intra(c_, leaf.luma_mode, lw, bit_depth)
+                    sse_ = int(((tgt_m - p_) ** 2).sum()) + (lw if k_ else 0)
+                    if best_m is None or sse_ < best_m[0]:
+                        best_m = (sse_, k_)
+                leaf.mrl = best_m[1]
             lev = _recon_block(y_pl, o_y, coded_y, x0, y0, lw, leaf.luma_mode,
                                qp, bit_depth,
                                None if encode_mode else dec_levels(leaf.lev_y,
@@ -387,7 +415,7 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
                                th, tv, lossless, pred=pred_y,
                                intra=not is_inter,
                                dep_quant=dep_quant, lfnst=leaf.lfnst, h=lh,
-                               bdpcm=leaf.bdpcm)
+                               bdpcm=leaf.bdpcm, mrl=leaf.mrl)
             if encode_mode:
                 leaf.lev_y = lev if np.any(lev) else None
         # chroma (single tree, DM mode = luma mode; MIP maps to planar),
