@@ -1,0 +1,65 @@
+"""AMVR (adaptive MV resolution) + SMVD (symmetric MVD).
+
+Reference anchors: CABACWriter::cu_imv / smvd_mode, spec 7.3.11.8
+(amvr_precision after mvd_coding), Slice::setBiDirPred sym refs."""
+import numpy as np
+
+from vvc.io.yuv import Frame
+from vvc.io.synth import synth_frame
+from vvc.enc.encoder import encode_sequence
+from vvc.dec.decoder import decode_stream
+
+
+def _roundtrip(frames, **kw):
+    bs, recons, stats = encode_sequence(frames, qp=32, **kw)
+    decs, info = decode_stream(bs)
+    assert all(info["hash_ok"]), kw
+    for d, r in zip(decs, recons):
+        assert (d.y == r.y).all()
+        assert (d.cb == r.cb).all() and (d.cr == r.cr).all()
+    return sum(s["bits"] for s in stats)
+
+
+def _int_pan_frames(n=4, w=192, h=128, step=8):
+    """Integer-pel pan: every MVD is a multiple of 4 qpel (or 16 for the
+    8-px step) — AMVR's home turf."""
+    rng = np.random.default_rng(5)
+    tex = rng.integers(30, 220, (h + 8 * n, w + 8 * n)).astype(np.int32)
+    cb = np.full((h // 2, w // 2), 128, np.int32)
+    return [Frame(tex[0:h, step * t:step * t + w], cb.copy(), cb.copy(), 8)
+            for t in range(n)]
+
+
+def test_amvr_roundtrip_and_saves_bits_on_integer_pan():
+    frames = _int_pan_frames()
+    base = _roundtrip(frames, mode="ldp")
+    on = _roundtrip(frames, mode="ldp", amvr=True)
+    # pure write-time rescaling: engaged mvds shrink, nothing else moves
+    assert on <= base, (on, base)
+
+
+def test_smvd_roundtrip_ra():
+    frames = _int_pan_frames(5)
+    _roundtrip(frames, mode="ra", gop_size=4, smvd=True)
+    _roundtrip(frames, mode="ra", gop_size=4, smvd=True, amvr=True,
+               mmvd=True)
+
+
+def test_smvd_ref_derivation():
+    from vvc.cabac.cu_syntax import TreeCoder
+    tc = TreeCoder.__new__(TreeCoder)
+    tc.cur_poc = 4
+    tc.ref_pocs = ((2, 0), (8, 6))
+    assert TreeCoder._smvd_refs(tc) == (0, 1)      # poc 2 past, poc 6 future
+    tc.ref_pocs = ((2, 0), ())
+    assert TreeCoder._smvd_refs(tc) is None
+    tc.ref_pocs = ((6, 8), (2, 0))                 # no past in L0
+    assert TreeCoder._smvd_refs(tc) is None
+
+
+def test_amvr_smvd_with_full_tool_set():
+    frames = [synth_frame(192, 128, t) for t in range(5)]
+    _roundtrip(frames, mode="ra", gop_size=4, amvr=True, smvd=True,
+               gpm=True, mmvd=True, ciip=True, affine=True, bdof=True,
+               dmvr=True, mtt=True, isp=True, dep_quant=True, lmcs=True,
+               mrl=True)

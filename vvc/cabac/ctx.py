@@ -94,6 +94,9 @@ CTX_SETS = [
     # regular_merge_flag's inverse is coded here as one GPM flag bin)
     ("GPM_FLAG", 1),
     ("GPM_IDX", 1),
+    # AMVR + SMVD (appended; reference: Contexts.cpp ImvFlag / SmvdFlag)
+    ("IMV_FLAG", 2),
+    ("SMVD_FLAG", 1),
 ]
 
 _OFFSETS = {}

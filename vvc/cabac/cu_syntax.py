@@ -119,7 +119,8 @@ class TreeCoder:
                  affine_enabled: bool = False,
                  lossless_enabled: bool = False,
                  mmvd_enabled: bool = False, ciip_enabled: bool = False,
-                 gpm_enabled: bool = False):
+                 gpm_enabled: bool = False, amvr_enabled: bool = False,
+                 smvd_enabled: bool = False):
         self.ctxs = ctxs
         self.state = state
         self.w = width
@@ -136,6 +137,8 @@ class TreeCoder:
         self.mmvd_enabled = mmvd_enabled
         self.ciip_enabled = ciip_enabled
         self.gpm_enabled = gpm_enabled
+        self.amvr_enabled = amvr_enabled
+        self.smvd_enabled = smvd_enabled
         # VVC-true lossless tier: transform-skip residual coding + BDPCM
         # (spec: sps_transform_skip + intra_bdpcm; replaces the r1/r2
         # transquant-bypass mechanism, which VVC removed from HEVC)
@@ -201,6 +204,19 @@ class TreeCoder:
     def _ciip_signaled(self, size: int) -> bool:
         # spec 7.4.11.7: ciip_flag when w*h >= 64 and w,h < 128
         return self.ciip_enabled and size * size >= 64 and size < 128
+
+    def _smvd_refs(self):
+        """Symmetric-MVD reference pair: nearest past ref in L0 and
+        nearest future ref in L1, or None (reference:
+        Slice::setBiDirPred sym ref derivation, spec 8.3.5)."""
+        l0, l1 = self.ref_pocs
+        past = [(self.cur_poc - p, i) for i, p in enumerate(l0)
+                if p < self.cur_poc]
+        fut = [(p - self.cur_poc, i) for i, p in enumerate(l1)
+               if p > self.cur_poc]
+        if not past or not fut:
+            return None
+        return (min(past)[1], min(fut)[1])
 
     def _gpm_signaled(self, size: int) -> bool:
         # spec 7.4.11.7 merge_gpm: B slice, 8 <= w,h <= 64, >= 2 merge
@@ -414,35 +430,83 @@ class TreeWriter(TreeCoder):
                         if not bi:
                             enc.encode_bin(1 if leaf.inter_dir == 2 else 0,
                                            ctxs("INTER_DIR", 5))
-                    for l in (0, 1):
-                        if (leaf.inter_dir >> l) & 1:
+                    if leaf.affine:
+                        for l in (0, 1):
+                            if not (leaf.inter_dir >> l) & 1:
+                                continue
                             self._write_ref_idx(l, leaf.ref_idx[l])
                             mvp = amvp_candidates(self.mstate, x0, y0, size,
                                                   l, leaf.ref_idx[l])
-                            if leaf.affine:
-                                # CPMV MVDs vs one shared translational
-                                # predictor (simplified affine AMVP —
-                                # reference: PU::fillAffineMvpCand)
-                                cp = leaf.cpmv[l]
-                                ncp = 2 if leaf.affine == 4 else 3
-                                costs = [sum(abs(cp[c][0] - p[0])
-                                             + abs(cp[c][1] - p[1])
-                                             for c in range(ncp))
-                                         for p in mvp]
-                                pi = int(np.argmin(costs))
-                                for c in range(ncp):
-                                    self._write_mvd(cp[c][0] - mvp[pi][0],
-                                                    cp[c][1] - mvp[pi][1])
-                                enc.encode_bin(pi, ctxs("MVP_FLAG", 0))
+                            # CPMV MVDs vs one shared translational
+                            # predictor (simplified affine AMVP —
+                            # reference: PU::fillAffineMvpCand)
+                            cp = leaf.cpmv[l]
+                            ncp = 2 if leaf.affine == 4 else 3
+                            costs = [sum(abs(cp[c][0] - p[0])
+                                         + abs(cp[c][1] - p[1])
+                                         for c in range(ncp))
+                                     for p in mvp]
+                            pi = int(np.argmin(costs))
+                            for c in range(ncp):
+                                self._write_mvd(cp[c][0] - mvp[pi][0],
+                                                cp[c][1] - mvp[pi][1])
+                            enc.encode_bin(pi, ctxs("MVP_FLAG", 0))
+                    else:
+                        # translational AMVP: derive every list's mvd up
+                        # front so SMVD (one mvd for both lists) and AMVR
+                        # (amvr_precision AFTER mvd_coding, spec 7.3.11.8)
+                        # can be derived at write time
+                        plan = []
+                        for l in (0, 1):
+                            if not (leaf.inter_dir >> l) & 1:
                                 continue
-                            # pick the predictor minimizing |mvd| bits
+                            mvp = amvp_candidates(self.mstate, x0, y0, size,
+                                                  l, leaf.ref_idx[l])
                             mv = leaf.mv[l]
                             costs = [abs(mv[0] - p[0]) + abs(mv[1] - p[1])
                                      for p in mvp]
                             pi = int(np.argmin(costs))
-                            self._write_mvd(mv[0] - mvp[pi][0],
-                                            mv[1] - mvp[pi][1])
+                            plan.append((l, pi, mv[0] - mvp[pi][0],
+                                         mv[1] - mvp[pi][1]))
+                        smvd = (self.smvd_enabled and len(plan) == 2
+                                and self._smvd_refs() == (leaf.ref_idx[0],
+                                                          leaf.ref_idx[1])
+                                and plan[0][2] == -plan[1][2]
+                                and plan[0][3] == -plan[1][3]
+                                and (plan[0][2] or plan[0][3]))
+                        if (self.smvd_enabled and leaf.inter_dir == 3
+                                and self._smvd_refs() is not None):
+                            # sym_mvd_flag (reference: CABACWriter::smvd_mode)
+                            enc.encode_bin(1 if smvd else 0,
+                                           ctxs("SMVD_FLAG", 0))
+                        comps = [c for (_, _, dx, dy) in plan
+                                 for c in (dx, dy)]
+                        imv = 0
+                        if self.amvr_enabled and any(comps):
+                            if all(c % 16 == 0 for c in comps):
+                                imv = 2
+                            elif all(c % 4 == 0 for c in comps):
+                                imv = 1
+                        sh = (0, 2, 4)[imv]
+                        for (l, pi, dx, dy) in plan:
+                            if smvd and l == 1:
+                                # L1 inherits ref (symmetric) and -mvd0;
+                                # only its mvp_idx is coded
+                                enc.encode_bin(pi, ctxs("MVP_FLAG", 0))
+                                continue
+                            if not smvd:
+                                self._write_ref_idx(l, leaf.ref_idx[l])
+                            self._write_mvd(dx >> sh, dy >> sh)
                             enc.encode_bin(pi, ctxs("MVP_FLAG", 0))
+                        if self.amvr_enabled and any(comps):
+                            # amvr_flag/amvr_precision_idx (reference:
+                            # CABACWriter::cu_imv — derive-at-write: only
+                            # signaled coarser when every component fits)
+                            enc.encode_bin(1 if imv > 0 else 0,
+                                           ctxs("IMV_FLAG", 0))
+                            if imv > 0:
+                                enc.encode_bin(1 if imv > 1 else 0,
+                                               ctxs("IMV_FLAG", 1))
                 enc.encode_bin(1 if cbf_any else 0, ctxs("ROOT_CBF", 0))
                 if cbf_any:
                     self._residuals(leaf)
@@ -852,25 +916,57 @@ class TreeReader(TreeCoder):
                     mv = [(0, 0), (0, 0)]
                     cpmv = [None, None]
                     ref = [0, 0]
-                    for l in (0, 1):
-                        if (d >> l) & 1:
-                            ref[l] = self._read_ref_idx(l)
-                            if affine:
-                                ncp = 2 if affine == 4 else 3
-                                dxys = [self._read_mvd()
-                                        for _ in range(ncp)]
-                                pi = dec.decode_bin(ctxs("MVP_FLAG", 0))
-                                mvp = amvp_candidates(self.mstate, x0, y0,
-                                                      size, l, ref[l])
-                                cpmv[l] = tuple(
-                                    (mvp[pi][0] + dx, mvp[pi][1] + dy)
-                                    for dx, dy in dxys)
+                    if affine:
+                        for l in (0, 1):
+                            if not (d >> l) & 1:
                                 continue
-                            dxy = self._read_mvd()
+                            ref[l] = self._read_ref_idx(l)
+                            ncp = 2 if affine == 4 else 3
+                            dxys = [self._read_mvd()
+                                    for _ in range(ncp)]
                             pi = dec.decode_bin(ctxs("MVP_FLAG", 0))
-                            mvp = amvp_candidates(self.mstate, x0, y0, size,
-                                                  l, ref[l])
-                            mv[l] = (mvp[pi][0] + dxy[0], mvp[pi][1] + dxy[1])
+                            mvp = amvp_candidates(self.mstate, x0, y0,
+                                                  size, l, ref[l])
+                            cpmv[l] = tuple(
+                                (mvp[pi][0] + dx, mvp[pi][1] + dy)
+                                for dx, dy in dxys)
+                    else:
+                        smvd = False
+                        if (self.smvd_enabled and d == 3
+                                and self._smvd_refs() is not None):
+                            smvd = bool(dec.decode_bin(ctxs("SMVD_FLAG", 0)))
+                        if smvd:
+                            ref[0], ref[1] = self._smvd_refs()
+                        raw = {}
+                        for l in (0, 1):
+                            if not (d >> l) & 1:
+                                continue
+                            if smvd:
+                                dxy = self._read_mvd() if l == 0 else None
+                            else:
+                                ref[l] = self._read_ref_idx(l)
+                                dxy = self._read_mvd()
+                            pi = dec.decode_bin(ctxs("MVP_FLAG", 0))
+                            raw[l] = (dxy, pi)
+                        comps = [c for (dxy, _) in raw.values()
+                                 if dxy is not None for c in dxy]
+                        imv = 0
+                        if self.amvr_enabled and any(comps):
+                            if dec.decode_bin(ctxs("IMV_FLAG", 0)):
+                                imv = 1 + dec.decode_bin(
+                                    ctxs("IMV_FLAG", 1))
+                        sh = (0, 2, 4)[imv]
+                        mvd0 = None
+                        for l, (dxy, pi) in raw.items():
+                            if dxy is None:        # SMVD L1: -mvd0
+                                sdx, sdy = -mvd0[0], -mvd0[1]
+                            else:
+                                sdx, sdy = dxy[0] << sh, dxy[1] << sh
+                                if l == 0:
+                                    mvd0 = (sdx, sdy)
+                            mvp = amvp_candidates(self.mstate, x0, y0,
+                                                  size, l, ref[l])
+                            mv[l] = (mvp[pi][0] + sdx, mvp[pi][1] + sdy)
                     leaf = Leaf(x0, y0, size, size, pred=1, inter_dir=d,
                                 mv=tuple(mv), ref_idx=tuple(ref),
                                 affine=affine, cpmv=tuple(cpmv))

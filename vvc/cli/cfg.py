@@ -79,7 +79,7 @@ SUPPORTED_KEYS = {
     "FrameSkip", "QP", "CTUSize", "IntraPeriod", "DecodingRefreshType",
     "GOPSize", "Profile", "Level", "RateControl", "TargetBitrate",
     "DepQuant", "TemporalFilter", "BIO", "DMVR",
-    "Affine", "MMVD", "CIIP", "Geo", "MRL",
+    "Affine", "MMVD", "CIIP", "Geo", "MRL", "IMV", "SMVD",
     "NumTileColumns", "WaveFrontSynchro", "LMCSEnable", "SAO", "ALF",
     "CostMode", "MTS", "LFNST", "MIP", "ISP", "MaxMTTHierarchyDepth",
     "MaxMTTHierarchyDepthISliceL", "TraceFile", "TraceRule",
@@ -146,6 +146,8 @@ def build_encoder_config(opts: dict):
         "ciip": as_bool(opts.get("CIIP")),
         "gpm": as_bool(opts.get("Geo")),
         "mrl": as_bool(opts.get("MRL")),
+        "amvr": as_bool(opts.get("IMV")),
+        "smvd": as_bool(opts.get("SMVD")),
         "num_tile_cols": pps.num_tile_cols,
         "wpp": pps.wpp,
         "lossless": lossless,

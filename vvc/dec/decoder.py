@@ -171,6 +171,8 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
                             mmvd_enabled=sps.mmvd,
                             ciip_enabled=sps.ciip,
                             gpm_enabled=sps.gpm,
+                            amvr_enabled=sps.amvr,
+                            smvd_enabled=sps.smvd,
                                 slice_type=sh.slice_type, mstate=mstate,
                                 n_ref=n_ref, col=col, cur_poc=sh.poc,
                                 ref_pocs=ref_pocs)
@@ -209,6 +211,8 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
                             mmvd_enabled=sps.mmvd,
                             ciip_enabled=sps.ciip,
                             gpm_enabled=sps.gpm,
+                            amvr_enabled=sps.amvr,
+                            smvd_enabled=sps.smvd,
                             slice_type=sh.slice_type,
                             mstate=MotionState(sps.width, sps.height),
                             n_ref=n_ref, col=col, cur_poc=sh.poc,

@@ -160,6 +160,8 @@ class Encoder:
                             mmvd_enabled=sps.mmvd,
                             ciip_enabled=sps.ciip,
                             gpm_enabled=sps.gpm,
+                            amvr_enabled=sps.amvr,
+                            smvd_enabled=sps.smvd,
                                 slice_type=int(slice_type), mstate=mstate,
                                 n_ref=n_ref, col=col_info[0],
                                 cur_poc=col_info[1], ref_pocs=col_info[2])
@@ -242,6 +244,8 @@ class Encoder:
                             mmvd_enabled=sps.mmvd,
                             ciip_enabled=sps.ciip,
                             gpm_enabled=sps.gpm,
+                            amvr_enabled=sps.amvr,
+                            smvd_enabled=sps.smvd,
                             slice_type=int(slice_type),
                             mstate=MotionState(sps.width, sps.height),
                             n_ref=n_ref, col=col_info[0],
@@ -508,7 +512,8 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
                     mtt: bool = False, isp: bool = False,
                     affine: bool = False, mmvd: bool = False,
                     ciip: bool = False, gpm: bool = False,
-                    mrl: bool = False, _precomputed_rdo=None):
+                    mrl: bool = False, amvr: bool = False,
+                    smvd: bool = False, _precomputed_rdo=None):
     """Encode frames (list of Frame) → (annexb bytes, recons, stats).
 
     mode: "ai" (all-intra), "ldp" (low-delay P), "ra" (random access
@@ -532,7 +537,9 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
               mmvd=mmvd and mode != "ai" and not lossless,
               ciip=ciip and mode != "ai" and not lossless,
               gpm=gpm and mode == "ra" and not lossless,
-              mrl=mrl and not lossless)
+              mrl=mrl and not lossless,
+              amvr=amvr and mode != "ai" and not lossless,
+              smvd=smvd and mode == "ra" and not lossless)
     pps = PPS(init_qp=qp, num_tile_cols=num_tile_cols, wpp=wpp)
     enc = Encoder(sps, pps, parallel_tiles)
     nals = [NalUnit(NalUnitType.SPS, write_sps(sps)),

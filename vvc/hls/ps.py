@@ -45,6 +45,8 @@ class SPS:
     mmvd: bool = False      # merge with MVD
     ciip: bool = False      # combined inter/intra prediction
     gpm: bool = False       # geometric partitioning merge mode
+    amvr: bool = False      # adaptive MV resolution (full/4-pel MVD)
+    smvd: bool = False      # symmetric MVD for bi-prediction
 
 
 @dataclasses.dataclass(frozen=True)

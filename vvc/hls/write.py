@@ -25,7 +25,8 @@ def write_sps(sps: SPS) -> bytes:
     for flag in (sps.mip, sps.isp, sps.mrl, sps.cclm, sps.mts_intra,
                  sps.lfnst, sps.dep_quant, sps.sao, sps.alf, sps.lmcs,
                  sps.deblocking, sps.lossless, sps.bdof, sps.dmvr,
-                 sps.affine, sps.mmvd, sps.ciip, sps.gpm):
+                 sps.affine, sps.mmvd, sps.ciip, sps.gpm,
+                 sps.amvr, sps.smvd):
         bw.write_flag(flag)
     bw.byte_align()
     return bw.get_bytes()
