@@ -97,6 +97,7 @@ CTX_SETS = [
     # AMVR + SMVD (appended; reference: Contexts.cpp ImvFlag / SmvdFlag)
     ("IMV_FLAG", 2),
     ("SMVD_FLAG", 1),
+    ("BCW_IDX", 1),
 ]
 
 _OFFSETS = {}

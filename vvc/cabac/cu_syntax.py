@@ -120,7 +120,7 @@ class TreeCoder:
                  lossless_enabled: bool = False,
                  mmvd_enabled: bool = False, ciip_enabled: bool = False,
                  gpm_enabled: bool = False, amvr_enabled: bool = False,
-                 smvd_enabled: bool = False):
+                 smvd_enabled: bool = False, bcw_enabled: bool = False):
         self.ctxs = ctxs
         self.state = state
         self.w = width
@@ -139,6 +139,7 @@ class TreeCoder:
         self.gpm_enabled = gpm_enabled
         self.amvr_enabled = amvr_enabled
         self.smvd_enabled = smvd_enabled
+        self.bcw_enabled = bcw_enabled
         # VVC-true lossless tier: transform-skip residual coding + BDPCM
         # (spec: sps_transform_skip + intra_bdpcm; replaces the r1/r2
         # transquant-bypass mechanism, which VVC removed from HEVC)
@@ -355,7 +356,8 @@ class TreeWriter(TreeCoder):
             midx = None
             mmvd = None
             is_gpm = leaf.gpm is not None
-            if is_inter and not leaf.affine and not is_gpm:
+            if (is_inter and not leaf.affine and not is_gpm
+                    and leaf.bcw == 2):
                 cands = self._merge_list(x0, y0, size)
                 midx = self._match_merge(leaf, cands)
                 if midx is None and self.mmvd_enabled:
@@ -507,6 +509,14 @@ class TreeWriter(TreeCoder):
                             if imv > 0:
                                 enc.encode_bin(1 if imv > 1 else 0,
                                                ctxs("IMV_FLAG", 1))
+                        if self.bcw_enabled and leaf.inter_dir == 3:
+                            # bcw_idx (reference: CABACWriter::cu_bcw_flag)
+                            nz = leaf.bcw != 2
+                            enc.encode_bin(1 if nz else 0,
+                                           ctxs("BCW_IDX", 0))
+                            if nz:
+                                enc.encode_bins_ep(
+                                    (0, 1, None, 2, 3)[leaf.bcw], 2)
                 enc.encode_bin(1 if cbf_any else 0, ctxs("ROOT_CBF", 0))
                 if cbf_any:
                     self._residuals(leaf)
@@ -916,6 +926,7 @@ class TreeReader(TreeCoder):
                     mv = [(0, 0), (0, 0)]
                     cpmv = [None, None]
                     ref = [0, 0]
+                    bcw = 2
                     if affine:
                         for l in (0, 1):
                             if not (d >> l) & 1:
@@ -967,9 +978,12 @@ class TreeReader(TreeCoder):
                             mvp = amvp_candidates(self.mstate, x0, y0,
                                                   size, l, ref[l])
                             mv[l] = (mvp[pi][0] + sdx, mvp[pi][1] + sdy)
+                        if self.bcw_enabled and d == 3:
+                            if dec.decode_bin(ctxs("BCW_IDX", 0)):
+                                bcw = (0, 1, 3, 4)[dec.decode_bins_ep(2)]
                     leaf = Leaf(x0, y0, size, size, pred=1, inter_dir=d,
                                 mv=tuple(mv), ref_idx=tuple(ref),
-                                affine=affine, cpmv=tuple(cpmv))
+                                affine=affine, cpmv=tuple(cpmv), bcw=bcw)
                 if dec.decode_bin(ctxs("ROOT_CBF", 0)):
                     self._read_residuals(leaf)
                 self._mark_inter(leaf, skip=False)

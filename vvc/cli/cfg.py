@@ -79,7 +79,7 @@ SUPPORTED_KEYS = {
     "FrameSkip", "QP", "CTUSize", "IntraPeriod", "DecodingRefreshType",
     "GOPSize", "Profile", "Level", "RateControl", "TargetBitrate",
     "DepQuant", "TemporalFilter", "BIO", "DMVR",
-    "Affine", "MMVD", "CIIP", "Geo", "MRL", "IMV", "SMVD",
+    "Affine", "MMVD", "CIIP", "Geo", "MRL", "IMV", "SMVD", "BCW",
     "NumTileColumns", "WaveFrontSynchro", "LMCSEnable", "SAO", "ALF",
     "CostMode", "MTS", "LFNST", "MIP", "ISP", "MaxMTTHierarchyDepth",
     "MaxMTTHierarchyDepthISliceL", "TraceFile", "TraceRule",
@@ -148,6 +148,7 @@ def build_encoder_config(opts: dict):
         "mrl": as_bool(opts.get("MRL")),
         "amvr": as_bool(opts.get("IMV")),
         "smvd": as_bool(opts.get("SMVD")),
+        "bcw": as_bool(opts.get("BCW")),
         "num_tile_cols": pps.num_tile_cols,
         "wpp": pps.wpp,
         "lossless": lossless,

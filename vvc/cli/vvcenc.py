@@ -46,7 +46,7 @@ def main(argv=None):
         isp=io["isp"],
         bdof=io["bdof"], dmvr=io["dmvr"],
         affine=io["affine"], mmvd=io["mmvd"], ciip=io["ciip"],
-        gpm=io["gpm"], mrl=io["mrl"], amvr=io["amvr"], smvd=io["smvd"],
+        gpm=io["gpm"], mrl=io["mrl"], amvr=io["amvr"], smvd=io["smvd"], bcw=io["bcw"],
         num_tile_cols=io["num_tile_cols"], wpp=io["wpp"],
         lossless=io["lossless"], lmcs=io["lmcs"])
     dt = time.perf_counter() - t0

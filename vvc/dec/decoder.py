@@ -173,6 +173,7 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
                             gpm_enabled=sps.gpm,
                             amvr_enabled=sps.amvr,
                             smvd_enabled=sps.smvd,
+                            bcw_enabled=sps.bcw,
                                 slice_type=sh.slice_type, mstate=mstate,
                                 n_ref=n_ref, col=col, cur_poc=sh.poc,
                                 ref_pocs=ref_pocs)
@@ -213,6 +214,7 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
                             gpm_enabled=sps.gpm,
                             amvr_enabled=sps.amvr,
                             smvd_enabled=sps.smvd,
+                            bcw_enabled=sps.bcw,
                             slice_type=sh.slice_type,
                             mstate=MotionState(sps.width, sps.height),
                             n_ref=n_ref, col=col, cur_poc=sh.poc,

@@ -162,6 +162,7 @@ class Encoder:
                             gpm_enabled=sps.gpm,
                             amvr_enabled=sps.amvr,
                             smvd_enabled=sps.smvd,
+                            bcw_enabled=sps.bcw,
                                 slice_type=int(slice_type), mstate=mstate,
                                 n_ref=n_ref, col=col_info[0],
                                 cur_poc=col_info[1], ref_pocs=col_info[2])
@@ -246,6 +247,7 @@ class Encoder:
                             gpm_enabled=sps.gpm,
                             amvr_enabled=sps.amvr,
                             smvd_enabled=sps.smvd,
+                            bcw_enabled=sps.bcw,
                             slice_type=int(slice_type),
                             mstate=MotionState(sps.width, sps.height),
                             n_ref=n_ref, col=col_info[0],
@@ -338,7 +340,7 @@ class Encoder:
             inter_cfg = {"bdof": sps.bdof, "dmvr": sps.dmvr, "cur_poc": poc,
                          "ref_pocs": (tuple(p for p, _ in refs_l0),
                                       tuple(p for p, _ in refs_l1)),
-                         "ciip": sps.ciip, "gpm": sps.gpm,
+                         "ciip": sps.ciip, "gpm": sps.gpm, "bcw": sps.bcw,
                          "col": col, "n_ref": n_ref,
                          "is_b": slice_type == SliceType.B}
 
@@ -513,7 +515,8 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
                     affine: bool = False, mmvd: bool = False,
                     ciip: bool = False, gpm: bool = False,
                     mrl: bool = False, amvr: bool = False,
-                    smvd: bool = False, _precomputed_rdo=None):
+                    smvd: bool = False, bcw: bool = False,
+                    _precomputed_rdo=None):
     """Encode frames (list of Frame) → (annexb bytes, recons, stats).
 
     mode: "ai" (all-intra), "ldp" (low-delay P), "ra" (random access
@@ -539,7 +542,8 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
               gpm=gpm and mode == "ra" and not lossless,
               mrl=mrl and not lossless,
               amvr=amvr and mode != "ai" and not lossless,
-              smvd=smvd and mode == "ra" and not lossless)
+              smvd=smvd and mode == "ra" and not lossless,
+              bcw=bcw and mode == "ra" and not lossless)
     pps = PPS(init_qp=qp, num_tile_cols=num_tile_cols, wpp=wpp)
     enc = Encoder(sps, pps, parallel_tiles)
     nals = [NalUnit(NalUnitType.SPS, write_sps(sps)),

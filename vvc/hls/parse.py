@@ -20,7 +20,7 @@ def parse_sps(rbsp: bytes) -> SPS:
     ctu = 1 << (br.read_ue() + 5)
     min_cu = 1 << (br.read_ue() + 2)
     mtt = br.read_ue()
-    flags = [bool(br.read_flag()) for _ in range(20)]
+    flags = [bool(br.read_flag()) for _ in range(21)]
     return SPS(sps_id, width, height, bit_depth, chroma, ctu, min_cu, mtt, *flags)
 
 

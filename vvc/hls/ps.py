@@ -47,6 +47,7 @@ class SPS:
     gpm: bool = False       # geometric partitioning merge mode
     amvr: bool = False      # adaptive MV resolution (full/4-pel MVD)
     smvd: bool = False      # symmetric MVD for bi-prediction
+    bcw: bool = False       # bi-prediction with CU-level weights
 
 
 @dataclasses.dataclass(frozen=True)

@@ -26,7 +26,7 @@ def write_sps(sps: SPS) -> bytes:
                  sps.lfnst, sps.dep_quant, sps.sao, sps.alf, sps.lmcs,
                  sps.deblocking, sps.lossless, sps.bdof, sps.dmvr,
                  sps.affine, sps.mmvd, sps.ciip, sps.gpm,
-                 sps.amvr, sps.smvd):
+                 sps.amvr, sps.smvd, sps.bcw):
         bw.write_flag(flag)
     bw.byte_align()
     return bw.get_bytes()

@@ -179,7 +179,8 @@ def batch_inter_preds(leaves, refs_l0, refs_l1, bit_depth: int, cfg=None):
     jobs = {}      # (li, ridx, size) -> [(leaf_i, x0, y0, mvx, mvy)]
     for i, leaf in enumerate(leaves):
         if (leaf.pred != 1 or leaf.affine or leaf.w != leaf.h
-                or leaf.gpm is not None):
+                or leaf.gpm is not None
+                or (leaf.bcw != 2 and leaf.inter_dir == 3)):
             continue
         if refine and _bi_eligible(leaf, cfg):
             continue
@@ -271,6 +272,33 @@ def gpm_pred_leaf(leaf, comp: int, refs_l0, refs_l1,
     wgt = (gpm_mask(leaf.w, leaf.h, mode) if comp == 0
            else gpm_mask_chroma(leaf.w >> 1, leaf.h >> 1, mode))
     return gpm_blend(p0, p1, wgt)
+
+
+BCW_W1 = (-2, 3, 4, 5, 10)   # reference: CommonDef.h g_BcwWeights
+
+
+def bcw_pred_leaf(leaf, comp: int, refs_l0, refs_l1,
+                  bit_depth: int) -> np.ndarray:
+    """Weighted bi-prediction (reference: InterPrediction::xWeightedAverage
+    BCW branch): (w0*p0 + w1*p1 + 4) >> 3, w0 = 8 - w1.  DMVR/BDOF never
+    apply to non-equal weights (spec 8.5.1 eligibility)."""
+    w1 = BCW_W1[leaf.bcw]
+    x0, y0, w, h = leaf.x0, leaf.y0, leaf.w, leaf.h
+    if comp == 0:
+        p0 = mc_block_np(refs_l0[leaf.ref_idx[0]][0], x0, y0, w, h,
+                         leaf.mv[0][0], leaf.mv[0][1], bit_depth)
+        p1 = mc_block_np(refs_l1[leaf.ref_idx[1]][0], x0, y0, w, h,
+                         leaf.mv[1][0], leaf.mv[1][1], bit_depth)
+    else:
+        p0 = mc_block_np(refs_l0[leaf.ref_idx[0]][comp], x0 >> 1, y0 >> 1,
+                         w >> 1, h >> 1, leaf.mv[0][0], leaf.mv[0][1],
+                         bit_depth, chroma=True)
+        p1 = mc_block_np(refs_l1[leaf.ref_idx[1]][comp], x0 >> 1, y0 >> 1,
+                         w >> 1, h >> 1, leaf.mv[1][0], leaf.mv[1][1],
+                         bit_depth, chroma=True)
+    out = (p0.astype(np.int64) * (8 - w1) + p1.astype(np.int64) * w1
+           + 4) >> 3
+    return np.clip(out, 0, (1 << bit_depth) - 1).astype(np.int32)
 
 
 def _bi_eligible(leaf, cfg) -> bool:
@@ -367,6 +395,8 @@ def inter_pred_leaf(leaf, comp: int, refs_l0, refs_l1, bit_depth: int,
         return _affine_pred_leaf(leaf, comp, refs_l0, refs_l1, bit_depth)
     if leaf.gpm is not None:
         return gpm_pred_leaf(leaf, comp, refs_l0, refs_l1, bit_depth)
+    if leaf.bcw != 2 and leaf.inter_dir == 3:
+        return bcw_pred_leaf(leaf, comp, refs_l0, refs_l1, bit_depth)
     x0, y0, size = leaf.x0, leaf.y0, leaf.size
     if not _bi_eligible(leaf, cfg) or not (cfg.get("dmvr") or
                                            cfg.get("bdof")):

@@ -60,6 +60,11 @@ class Leaf:
     # shared by both codec halves).
     gpm: tuple | None = None
     gpm_mv: tuple | None = None
+    # BCW (reference: CodingUnit::bcwIdx): index into the CU-level
+    # bi-prediction weight table w1 in (-2,3,4,5,10)/8; 2 = equal weights.
+    # Non-default weights are AMVP-only here (merge inheritance is the
+    # spec's path; documented simplification)
+    bcw: int = 2
     # quantized levels; None until reconstruction (encoder) / parse (decoder)
     lev_y: np.ndarray | None = None
     lev_cb: np.ndarray | None = None

@@ -213,6 +213,7 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
     ciip_cfg = inter_cfg or {}
     ciip_on = bool(ciip_cfg.get("ciip"))
     gpm_on = bool(ciip_cfg.get("gpm")) and bool(ciip_cfg.get("is_b"))
+    bcw_on = bool(ciip_cfg.get("bcw"))
     merge_ms = None
     if ciip_on or gpm_on:
         from vvc.model.motion import (MotionState, merge_candidates,
@@ -356,6 +357,39 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
                                          refs_l1, bit_depth),
                             gpm_uni_pred(c1, 2, x0, y0, lw, lh, refs_l0,
                                          refs_l1, bit_depth), cwgt)
+            # BCW decision (encoder, recon time; reference: InterSearch
+            # xEstimateInterResidual BCW loop).  Non-default weights force
+            # the AMVP path (merge inheritance not implemented), so the
+            # margin charges the mvd-coding cost.
+            if (bcw_on and encode_mode and leaf.inter_dir == 3
+                    and not leaf.affine and leaf.gpm is None
+                    and not leaf.ciip):
+                from vvc.kernels.mc import mc_block_np, BCW_W1
+                p0b = mc_block_np(refs_l0[leaf.ref_idx[0]][0], x0, y0,
+                                  lw, lh, leaf.mv[0][0], leaf.mv[0][1],
+                                  bit_depth).astype(np.int64)
+                p1b = mc_block_np(refs_l1[leaf.ref_idx[1]][0], x0, y0,
+                                  lw, lh, leaf.mv[1][0], leaf.mv[1][1],
+                                  bit_depth).astype(np.int64)
+                tgt = o_y[y0:y0 + lh, x0:x0 + lw].astype(np.int64)
+                base_sse = int(((tgt - pred_y) ** 2).sum())
+                best_w = None
+                for wi in (0, 1, 3, 4):
+                    w1_ = BCW_W1[wi]
+                    bl = np.clip((p0b * (8 - w1_) + p1b * w1_ + 4) >> 3,
+                                 0, (1 << bit_depth) - 1)
+                    sse = int(((tgt - bl) ** 2).sum())
+                    if best_w is None or sse < best_w[0]:
+                        best_w = (sse, wi)
+                if best_w is not None and best_w[0] + 2 * lw * lh < base_sse:
+                    leaf.bcw = best_w[1]
+                    from vvc.kernels.mc import bcw_pred_leaf
+                    pred_y = bcw_pred_leaf(leaf, 0, refs_l0, refs_l1,
+                                           bit_depth)
+                    pred_cb = bcw_pred_leaf(leaf, 1, refs_l0, refs_l1,
+                                            bit_depth)
+                    pred_cr = bcw_pred_leaf(leaf, 2, refs_l0, refs_l1,
+                                            bit_depth)
         if leaf.isp and not is_inter:
             # ISP: K sub-TUs reconstructed in coding order; each one's
             # prediction sees the previous sub-TUs through the coded map
