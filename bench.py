@@ -51,7 +51,8 @@ def bench_ra1080():
     W, H, QP = 1920, 1080, 32
     tools = dict(qp=QP, mode="ra", gop_size=16, mtt=True, isp=True,
                  dep_quant=True, bdof=True, dmvr=True, lmcs=True,
-                 affine=True, mmvd=True, ciip=True, mctf=True)
+                 affine=True, mmvd=True, ciip=True, mctf=True,
+                 gpm=True, amvr=True, smvd=True, bcw=True, mrl=True)
     # warmup: 3-frame mini-RA compiles every (I/B, shape) program once;
     # with a warm .jax_cache this is fast
     warm = [synth_frame(W, H, t) for t in range(3)]
