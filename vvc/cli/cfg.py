@@ -80,7 +80,7 @@ SUPPORTED_KEYS = {
     "GOPSize", "Profile", "Level", "RateControl", "TargetBitrate",
     "DepQuant", "TemporalFilter", "BIO", "DMVR",
     "Affine", "MMVD", "CIIP", "Geo", "MRL", "IMV", "SMVD", "BCW",
-    "NumTileColumns", "WaveFrontSynchro", "LMCSEnable", "SAO", "ALF",
+    "NumTileColumns", "NumTileRows", "WaveFrontSynchro", "LMCSEnable", "SAO", "ALF",
     "CostMode", "MTS", "LFNST", "MIP", "ISP", "MaxMTTHierarchyDepth",
     "MaxMTTHierarchyDepthISliceL", "TraceFile", "TraceRule",
 }
@@ -107,6 +107,7 @@ def build_encoder_config(opts: dict):
               mip=as_bool(opts.get("MIP"), True))
     pps = PPS(init_qp=as_int(opts.get("QP"), 32),
               num_tile_cols=as_int(opts.get("NumTileColumns"), 1),
+              num_tile_rows=as_int(opts.get("NumTileRows"), 1),
               wpp=as_bool(opts.get("WaveFrontSynchro")))
     if as_bool(opts.get("RateControl")) and as_int(opts.get("TargetBitrate")) <= 0:
         raise SystemExit("RateControl enabled but TargetBitrate missing/zero")
@@ -150,6 +151,7 @@ def build_encoder_config(opts: dict):
         "smvd": as_bool(opts.get("SMVD")),
         "bcw": as_bool(opts.get("BCW")),
         "num_tile_cols": pps.num_tile_cols,
+        "num_tile_rows": pps.num_tile_rows,
         "wpp": pps.wpp,
         "lossless": lossless,
         "lmcs": sps.lmcs,

@@ -47,7 +47,8 @@ def main(argv=None):
         bdof=io["bdof"], dmvr=io["dmvr"],
         affine=io["affine"], mmvd=io["mmvd"], ciip=io["ciip"],
         gpm=io["gpm"], mrl=io["mrl"], amvr=io["amvr"], smvd=io["smvd"], bcw=io["bcw"],
-        num_tile_cols=io["num_tile_cols"], wpp=io["wpp"],
+        num_tile_cols=io["num_tile_cols"],
+        num_tile_rows=io["num_tile_rows"], wpp=io["wpp"],
         lossless=io["lossless"], lmcs=io["lmcs"])
     dt = time.perf_counter() - t0
     with open(io["bitstream"], "wb") as f:

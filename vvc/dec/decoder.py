@@ -81,10 +81,13 @@ def decode_stream(data: bytes, verify_hash: bool = True,
 def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
                   dpb: dict | None = None, col_dpb: dict | None = None,
                   aps_store: dict | None = None):
-    from vvc.enc.encoder import tile_columns  # shared tile geometry
+    from vvc.enc.encoder import tile_columns, tile_grid  # shared geometry
     from vvc.model.motion import MotionState, motion_field_from_leaves
 
-    tiles = tile_columns(pps.num_tile_cols, sps.width, sps.ctu_size)
+    cols = tile_columns(pps.num_tile_cols, sps.width, sps.ctu_size)
+    rows = tile_columns(pps.num_tile_rows, sps.height, sps.ctu_size)
+    tiles = tile_grid(pps.num_tile_cols, pps.num_tile_rows, sps.width,
+                      sps.height, sps.ctu_size)
     n_rows = -(-sps.height // sps.ctu_size)
     n_sub = n_rows if pps.wpp else len(tiles)
     n_ctus = (-(-sps.width // sps.ctu_size)) * n_rows
@@ -195,7 +198,7 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
 
     def do_tile(i):
         from vvc.cabac.sao_syntax import read_sao_params
-        tx0, tx1 = tiles[i]
+        tx0, tx1, ty0, ty1 = tiles[i]
         payload = substreams[i]
         ctxs = SliceContexts(sh.qp)
         dec = (native_packer.NativeBinDecoder(payload, ctxs)
@@ -220,7 +223,7 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
                             n_ref=n_ref, col=col, cur_poc=sh.poc,
                             ref_pocs=ref_pocs)
         local_sao = {}
-        for cy in range(0, sps.height, sps.ctu_size):
+        for cy in range(ty0, ty1, sps.ctu_size):
             for cx in range(tx0, tx1, sps.ctu_size):
                 if sps.sao:
                     cs = sps.ctu_size
@@ -228,7 +231,8 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
                         dec, ctxs,
                         left=(local_sao.get((cx - cs, cy))
                               if cx - cs >= tx0 else None),
-                        up=local_sao.get((cx, cy - cs)))
+                        up=(local_sao.get((cx, cy - cs))
+                            if cy - cs >= ty0 else None))
                 reader.read_ctu(cx, cy)
         assert dec.decode_bin_trm() == 1, "tile substream termination missing"
         # per-tile recon — availability maps are fresh per call, so tile
@@ -260,13 +264,14 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
     if sps.deblocking:
         from vvc.kernels.deblock import deblock_frame
         deblock_frame(recon, all_leaves, sh.qp, sps.bit_depth,
-                      tile_x_bounds=tuple(t[0] for t in tiles[1:]))
+                      tile_x_bounds=tuple(t[0] for t in cols[1:]),
+                      tile_y_bounds=tuple(t[0] for t in rows[1:]))
     if sps.sao:
         from vvc.kernels.sao import sao_filter_plane
         for comp in range(3):
             per_comp = {k: v[comp] for k, v in sao_params.items()}
             sao_filter_plane(recon[comp], per_comp, sps.ctu_size,
-                             sps.bit_depth, tiles,
+                             sps.bit_depth, cols,
                              comp_scale=0 if comp == 0 else 1)
     if sps.alf and alf_hdr is not None:
         from vvc.kernels.alf import apply_alf_plane, apply_alf_classified

@@ -111,6 +111,16 @@ def tile_columns(num_cols: int, width: int, ctu_size: int):
             if bounds[i] < width]
 
 
+def tile_grid(num_cols: int, num_rows: int, width: int, height: int,
+              ctu_size: int):
+    """Uniform tile grid, raster order (reference: PPS::initTiles rows ×
+    columns).  Returns [(x0, x1, y0, y1), ...]."""
+    cols = tile_columns(num_cols, width, ctu_size)
+    rows = tile_columns(num_rows, height, ctu_size)
+    return [(tx0, tx1, ty0, ty1) for ty0, ty1 in rows
+            for tx0, tx1 in cols]
+
+
 class Encoder:
     def __init__(self, sps: SPS, pps: PPS, parallel_tiles: bool = True):
         self.sps = sps
@@ -226,7 +236,7 @@ class Encoder:
 
     def _entropy_tile(self, split_map, leaf_map, tx0, tx1, qp, sao_params,
                       slice_type=SliceType.I, n_ref=(0, 0),
-                      col_info=(None, 0, ((), ()))):
+                      col_info=(None, 0, ((), ())), ty0=0, ty1=None):
         from vvc.cabac.sao_syntax import write_sao_params
         from vvc.model.motion import MotionState
         sps = self.sps
@@ -252,7 +262,9 @@ class Encoder:
                             mstate=MotionState(sps.width, sps.height),
                             n_ref=n_ref, col=col_info[0],
                             cur_poc=col_info[1], ref_pocs=col_info[2])
-        for cy in range(0, sps.height, sps.ctu_size):
+        if ty1 is None:
+            ty1 = sps.height
+        for cy in range(ty0, ty1, sps.ctu_size):
             for cx in range(tx0, tx1, sps.ctu_size):
                 if sao_params is not None:
                     cs = sps.ctu_size
@@ -260,7 +272,8 @@ class Encoder:
                         enc, ctxs, sao_params[(cx, cy)],
                         left=(sao_params.get((cx - cs, cy))
                               if cx - cs >= tx0 else None),
-                        up=sao_params.get((cx, cy - cs)))
+                        up=(sao_params.get((cx, cy - cs))
+                            if cy - cs >= ty0 else None))
                 writer.write_ctu(cx, cy)
         enc.encode_bin_trm(1)
         return enc.finish()
@@ -327,11 +340,15 @@ class Encoder:
             if intra_leaves:
                 _decide_chroma_modes(intra_leaves, src, bd)
 
-        tiles = tile_columns(pps.num_tile_cols, sps.width, sps.ctu_size)
+        cols = tile_columns(pps.num_tile_cols, sps.width, sps.ctu_size)
+        rows = tile_columns(pps.num_tile_rows, sps.height, sps.ctu_size)
+        tiles = tile_grid(pps.num_tile_cols, pps.num_tile_rows, sps.width,
+                          sps.height, sps.ctu_size)
         recon = (np.zeros_like(frame.y), np.zeros_like(frame.cb),
                  np.zeros_like(frame.cr))
-        leaves_per_tile = [[l for l in leaves if tx0 <= l.x0 < tx1]
-                           for tx0, tx1 in tiles]
+        leaves_per_tile = [[l for l in leaves
+                            if tx0 <= l.x0 < tx1 and ty0 <= l.y0 < ty1]
+                           for tx0, tx1, ty0, ty1 in tiles]
 
         # phase 1: reconstruction per tile (availability maps are per-call,
         # so tiles are isolated and parallel)
@@ -362,21 +379,23 @@ class Encoder:
             recon[0][:] = map_plane(recon[0], self._inv_lut)
 
         # phase 2+3: in-loop filters (reference order: deblock → SAO)
-        tile_bx = tuple(t[0] for t in tiles[1:])
+        tile_bx = tuple(t[0] for t in cols[1:])
+        tile_by = tuple(t[0] for t in rows[1:])
         if sps.deblocking and not sps.lossless:
             from vvc.kernels.deblock import deblock_frame
-            deblock_frame(recon, leaves, qp, bd, tile_x_bounds=tile_bx)
+            deblock_frame(recon, leaves, qp, bd, tile_x_bounds=tile_bx,
+                          tile_y_bounds=tile_by)
         sao_params = None
         if sps.sao and not sps.lossless:
             from vvc.enc.sao_enc import decide_sao_frame
             from vvc.kernels.sao import sao_filter_plane
             sao_params = decide_sao_frame(
                 (frame.y, frame.cb, frame.cr), recon, qp, bd,
-                sps.ctu_size, tiles)
+                sps.ctu_size, cols)
             for comp in range(3):
                 per_comp = {k: v[comp] for k, v in sao_params.items()}
                 sao_filter_plane(recon[comp], per_comp, sps.ctu_size, bd,
-                                 tiles, comp_scale=0 if comp == 0 else 1)
+                                 cols, comp_scale=0 if comp == 0 else 1)
         alf_hdr = None
         if sps.alf and not sps.lossless:
             from vvc.enc.alf_enc import decide_alf_frame
@@ -416,6 +435,7 @@ class Encoder:
         from vvc.utils.trace import active as _trace
         use_native = (USE_NATIVE_TREE and not inter_slice
                       and sps.max_mtt_depth_intra == 0
+                      and self.pps.num_tile_rows == 1
                       and not sps.isp and not sps.mrl
                       and not sps.lossless
                       and not _trace().enabled
@@ -437,13 +457,13 @@ class Encoder:
                                                     n_ref, col_info)
         else:
             def entropy_tile(i):
-                tx0, tx1 = tiles[i]
+                tx0, tx1, ty0, ty1 = tiles[i]
                 if use_native:
                     return self._entropy_tile_native(
                         leaves_per_tile[i], size_map, tx0, tx1, qp, sao_ser)
                 return self._entropy_tile(split_map, leaf_map, tx0, tx1, qp,
                                           sao_params, slice_type, n_ref,
-                                          col_info)
+                                          col_info, ty0=ty0, ty1=ty1)
 
             if self.parallel_tiles and len(tiles) > 1:
                 with concurrent.futures.ThreadPoolExecutor(len(tiles)) as ex:
@@ -504,7 +524,8 @@ class Encoder:
 
 
 def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
-                    num_tile_cols: int = 1, lossless: bool = False,
+                    num_tile_cols: int = 1, num_tile_rows: int = 1,
+                    lossless: bool = False,
                     parallel_tiles: bool = True, wpp: bool = False,
                     lmcs: bool = False, mode: str = "ai",
                     gop_size: int = 16, intra_period: int = -1,
@@ -544,7 +565,8 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
               amvr=amvr and mode != "ai" and not lossless,
               smvd=smvd and mode == "ra" and not lossless,
               bcw=bcw and mode == "ra" and not lossless)
-    pps = PPS(init_qp=qp, num_tile_cols=num_tile_cols, wpp=wpp)
+    pps = PPS(init_qp=qp, num_tile_cols=num_tile_cols,
+              num_tile_rows=num_tile_rows, wpp=wpp)
     enc = Encoder(sps, pps, parallel_tiles)
     nals = [NalUnit(NalUnitType.SPS, write_sps(sps)),
             NalUnit(NalUnitType.PPS, write_pps(pps))]

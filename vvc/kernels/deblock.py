@@ -215,7 +215,7 @@ def _filter_chroma_edges_v(plane, ev, grid, tc, maxv, intra_map=None):
 
 
 def deblock_frame(recon_planes, leaves, qp: int, bit_depth: int = 8,
-                  tile_x_bounds=()):
+                  tile_x_bounds=(), tile_y_bounds=()):
     """Deblock one picture in place (vertical pass then horizontal pass,
     reference order loopFilterPic: DEBLOCK_VER then DEBLOCK_HOR).
 
@@ -243,6 +243,9 @@ def deblock_frame(recon_planes, leaves, qp: int, bit_depth: int = 8,
     for bx in tile_x_bounds:
         if bx % 8 == 0 and 0 < bx < w:
             ev[:, bx // 8 - 1] = False
+    for by in tile_y_bounds:
+        if by % 8 == 0 and 0 < by < h:
+            eh[by // 8 - 1, :] = False
     _filter_luma_edges_v(y, ev, 8, beta, tc_tab, maxv, bs_ctx)
     # horizontal pass = vertical pass on the transpose (BS maps transpose
     # with it; MV components swap but only |delta| magnitudes are compared)
@@ -260,6 +263,10 @@ def deblock_frame(recon_planes, leaves, qp: int, bit_depth: int = 8,
         cbx = bx >> 1
         if cbx % 8 == 0 and 0 < cbx < cw:
             evc[:, cbx // 8 - 1] = False
+    for by in tile_y_bounds:
+        cby = by >> 1
+        if cby % 8 == 0 and 0 < cby < ch:
+            ehc[cby // 8 - 1, :] = False
     for pl in (cb, cr):
         _filter_chroma_edges_v(pl, evc, 8, tc2, maxv, intra_map)
         plt = np.ascontiguousarray(pl.T)
