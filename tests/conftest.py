@@ -13,6 +13,26 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import gc  # noqa: E402
+
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _jax_cache_teardown():
+    """Per-module XLA program teardown.
+
+    The whole-suite run used to segfault near the end (~230 tests in)
+    inside pjit dispatch — compiled-executable/buffer accumulation across
+    modules (VERDICT r3 weak #2; same resource-blowup family as the TPU
+    worker crash worked around by VVC_RDO_SHAPE_GROUPS).  Dropping every
+    compiled program between modules bounds live XLA state at the cost of
+    re-compiles for shapes shared across modules (rare — modules compile
+    their own shapes).
+    """
+    yield
+    jax.clear_caches()
+    gc.collect()

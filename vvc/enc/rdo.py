@@ -573,10 +573,12 @@ TT_IN_SEARCH = True
 
 # conservative margin (bits) on TT candidates: the DP's luma-only cost
 # cannot see that TT mid leaves forfeit the 4-way chroma decision (rect
-# CCLM not yet supported), ISP, and further splitting.  Calibrated by
-# sweep on TT-friendly content (margin 0/2 -> +0.06% BD-rate overuse,
-# 4 -> -0.03%, 8 -> -0.07%); shrink when rect CCLM + mid-subtree search
-# land and the realization gap closes.
+# CCLM not yet supported), ISP, and further splitting.  MEASURED by
+# tools/calibrate_tt_margin.py (TT-on-vs-off BD-rate sweep on
+# TT-friendly + neutral content); last run: margin 0/2 -> +0.06%
+# overuse on tt-friendly, 4 -> -0.03% / -1.56% — re-run the tool after
+# any quality-touching change (the r3 regression was a stale margin
+# after a deblocking tc bug shifted recon quality).
 TT_MARGIN_BITS = 4.0
 
 SPLIT_LEAF_BITS = _SB["SPLIT_CU_FLAG"][0]  # leaf codes split_cu_flag = 0

@@ -133,8 +133,8 @@ def _filter_luma_edges_v(plane, ev, grid, beta, tc_tab, maxv, bs_ctx=None):
         q_u = (np.broadcast_to(yy, (g, len(ks))),
                np.broadcast_to(pq, (g, len(ks))))
         bs_seg = _edge_bs(intra, cbf, mv, ref, p_u, q_u)
-    tc = (TC_TABLE[np.minimum(qpi + 2 * np.maximum(
-        bs_seg.astype(np.int32), 1) - 2 + 2, 65)]
+    tc = (TC_TABLE[np.minimum(qpi + 2 * (np.maximum(
+        bs_seg.astype(np.int32), 1) - 1), 65)]
         << (bd - 8)).astype(np.int32)                  # [g,E] per segment
     # segment decisions on 4-row groups using rows 0 and 3
     dp = np.abs(p2 - 2 * p1 + p0)
