@@ -39,13 +39,17 @@ def test_bcw_engages_on_fade():
     f0, f2, f4 = frames[0], frames[2], frames[4]
     _, _, leaves = rdo_inter_partition(f2.y, [f0.y], [f4.y], 32, is_b=True)
     rec = (np.zeros_like(f2.y), np.zeros_like(f2.cb), np.zeros_like(f2.cr))
+    from vvc.enc.mode_decide import decide_modes
+    from vvc.hls.ps import SPS
+    cfg = {"bcw": True, "col": None, "n_ref": (1, 1),
+           "cur_poc": 2, "ref_pocs": ((0,), (4,)), "is_b": True}
+    refs = ([(f0.y, f0.cb, f0.cr)], [(f4.y, f4.cb, f4.cr)])
+    h, w = f2.y.shape
+    preds = decide_modes(leaves, (f2.y, f2.cb, f2.cr), 32, 8,
+                         SPS(width=w, height=h), inter_cfg=cfg, refs=refs)
     reconstruct_leaves(leaves, rec, 32, 8,
                        orig_planes=(f2.y, f2.cb, f2.cr),
-                       refs=([(f0.y, f0.cb, f0.cr)],
-                             [(f4.y, f4.cb, f4.cr)]),
-                       inter_cfg={"bcw": True, "col": None, "n_ref": (1, 1),
-                                  "cur_poc": 2, "ref_pocs": ((0,), (4,)),
-                                  "is_b": True})
+                       refs=refs, inter_cfg=cfg, pred_cache=preds)
     engaged = [l for l in leaves if l.bcw != 2]
     assert engaged, "BCW never engaged on fade content"
     # the 5:3 weight toward the brighter ref is the constructed optimum

@@ -69,13 +69,17 @@ def test_gpm_engages_on_two_motion_content():
     f0, f1, f2 = frames
     _, _, leaves = rdo_inter_partition(f1.y, [f0.y], [f2.y], 32)
     rec = (np.zeros_like(f1.y), np.zeros_like(f1.cb), np.zeros_like(f1.cr))
+    from vvc.enc.mode_decide import decide_modes
+    from vvc.hls.ps import SPS
+    cfg = {"gpm": True, "col": None, "n_ref": (1, 1),
+           "cur_poc": 1, "ref_pocs": ((0,), (2,)), "is_b": True}
+    refs = ([(f0.y, f0.cb, f0.cr)], [(f2.y, f2.cb, f2.cr)])
+    h, w = f1.y.shape
+    preds = decide_modes(leaves, (f1.y, f1.cb, f1.cr), 32, 8,
+                         SPS(width=w, height=h), inter_cfg=cfg, refs=refs)
     reconstruct_leaves(leaves, rec, 32, 8,
                        orig_planes=(f1.y, f1.cb, f1.cr),
-                       refs=([(f0.y, f0.cb, f0.cr)],
-                             [(f2.y, f2.cb, f2.cr)]),
-                       inter_cfg={"gpm": True, "col": None, "n_ref": (1, 1),
-                                  "cur_poc": 1, "ref_pocs": ((0,), (2,)),
-                                  "is_b": True})
+                       refs=refs, inter_cfg=cfg, pred_cache=preds)
     assert sum(1 for l in leaves if l.gpm is not None) > 0
 
 

@@ -62,12 +62,17 @@ def test_ciip_roundtrip_and_engages_on_fade():
     f1 = frames[1]
     _, _, leaves = rdo_inter_partition(f1.y, [f0.y], [], 32)
     rec = (np.zeros_like(f1.y), np.zeros_like(f1.cb), np.zeros_like(f1.cr))
+    from vvc.enc.mode_decide import decide_modes
+    from vvc.hls.ps import SPS
+    cfg = {"ciip": True, "col": None, "n_ref": (1, 0),
+           "cur_poc": 1, "ref_pocs": ((0,), ()), "is_b": False}
+    refs = ([(f0.y, f0.cb, f0.cr)], [])
+    h, w = f1.y.shape
+    preds = decide_modes(leaves, (f1.y, f1.cb, f1.cr), 32, 8,
+                         SPS(width=w, height=h), inter_cfg=cfg, refs=refs)
     reconstruct_leaves(leaves, rec, 32, 8,
                        orig_planes=(f1.y, f1.cb, f1.cr),
-                       refs=([(f0.y, f0.cb, f0.cr)], []),
-                       inter_cfg={"ciip": True, "col": None, "n_ref": (1, 0),
-                                  "cur_poc": 1, "ref_pocs": ((0,), ()),
-                                  "is_b": False})
+                       refs=refs, inter_cfg=cfg, pred_cache=preds)
     assert sum(1 for l in leaves if l.ciip) > 0
 
 

@@ -35,14 +35,14 @@ def test_mrl_roundtrip_and_engages():
 
 def test_mrl_line_selection_direct():
     from vvc.model.frame import Leaf
-    from vvc.model.recon import reconstruct_leaves
+    from vvc.enc.mode_decide import decide_modes
+    from vvc.hls.ps import SPS
     f = _noisy_line_frame()
     h, w = f.y.shape
     leaves = [Leaf(x, y, 16, 16, luma_mode=50)
               for y in range(0, h, 16) for x in range(0, w, 16)]
-    rec = (np.zeros_like(f.y), np.zeros_like(f.cb), np.zeros_like(f.cr))
-    reconstruct_leaves(leaves, rec, 32, 8,
-                       orig_planes=(f.y, f.cb, f.cr), mrl_ctu=64)
+    sps = SPS(width=w, height=h, mrl=True)
+    decide_modes(leaves, (f.y, f.cb, f.cr), 32, 8, sps)
     # blocks whose adjacent line is the corrupted row prefer line 1/2
     assert sum(1 for l in leaves if l.mrl > 0) > 0
     # first CTU-relative row must stay on line 0 (writer gate)

@@ -350,13 +350,16 @@ class TreeWriter(TreeCoder):
             return
         x0, y0, size = leaf.x0, leaf.y0, leaf.size
         if self.inter_slice:
-            from vvc.model.motion import amvp_candidates
             is_inter = leaf.pred == 1
             cbf_any = bool(leaf.cbf_y or leaf.cbf_cb or leaf.cbf_cr)
             midx = None
             mmvd = None
             is_gpm = leaf.gpm is not None
-            if (is_inter and not leaf.affine and not is_gpm
+            if leaf.decided:
+                # mode_decide precomputed the merge/MMVD match against the
+                # same MotionState evolution — serialize, don't re-derive
+                midx, mmvd = leaf.merge_match, leaf.mmvd
+            elif (is_inter and not leaf.affine and not is_gpm
                     and leaf.bcw == 2):
                 cands = self._merge_list(x0, y0, size)
                 midx = self._match_merge(leaf, cands)
@@ -433,49 +436,49 @@ class TreeWriter(TreeCoder):
                             enc.encode_bin(1 if leaf.inter_dir == 2 else 0,
                                            ctxs("INTER_DIR", 5))
                     if leaf.affine:
-                        for l in (0, 1):
-                            if not (leaf.inter_dir >> l) & 1:
-                                continue
+                        if leaf.decided:
+                            plans = leaf.amvp
+                        else:
+                            from vvc.enc.mode_decide import _affine_plan
+                            plans = _affine_plan(self.mstate, leaf, x0, y0,
+                                                 size)
+                        for (l, pi, mvds) in plans:
                             self._write_ref_idx(l, leaf.ref_idx[l])
-                            mvp = amvp_candidates(self.mstate, x0, y0, size,
-                                                  l, leaf.ref_idx[l])
                             # CPMV MVDs vs one shared translational
                             # predictor (simplified affine AMVP —
                             # reference: PU::fillAffineMvpCand)
-                            cp = leaf.cpmv[l]
-                            ncp = 2 if leaf.affine == 4 else 3
-                            costs = [sum(abs(cp[c][0] - p[0])
-                                         + abs(cp[c][1] - p[1])
-                                         for c in range(ncp))
-                                     for p in mvp]
-                            pi = int(np.argmin(costs))
-                            for c in range(ncp):
-                                self._write_mvd(cp[c][0] - mvp[pi][0],
-                                                cp[c][1] - mvp[pi][1])
+                            for (dx, dy) in mvds:
+                                self._write_mvd(dx, dy)
                             enc.encode_bin(pi, ctxs("MVP_FLAG", 0))
                     else:
-                        # translational AMVP: derive every list's mvd up
+                        # translational AMVP: every list's mvd derived up
                         # front so SMVD (one mvd for both lists) and AMVR
                         # (amvr_precision AFTER mvd_coding, spec 7.3.11.8)
-                        # can be derived at write time
-                        plan = []
-                        for l in (0, 1):
-                            if not (leaf.inter_dir >> l) & 1:
-                                continue
-                            mvp = amvp_candidates(self.mstate, x0, y0, size,
-                                                  l, leaf.ref_idx[l])
-                            mv = leaf.mv[l]
-                            costs = [abs(mv[0] - p[0]) + abs(mv[1] - p[1])
-                                     for p in mvp]
-                            pi = int(np.argmin(costs))
-                            plan.append((l, pi, mv[0] - mvp[pi][0],
-                                         mv[1] - mvp[pi][1]))
-                        smvd = (self.smvd_enabled and len(plan) == 2
-                                and self._smvd_refs() == (leaf.ref_idx[0],
-                                                          leaf.ref_idx[1])
+                        # can be serialized together
+                        if leaf.decided:
+                            plan, smvd, imv = leaf.amvp, leaf.smvd, leaf.imv
+                        else:
+                            from vvc.enc.mode_decide import (_amvp_plan,
+                                                             smvd_refs)
+                            plan = _amvp_plan(self.mstate, leaf, x0, y0,
+                                              size)
+                            sref = (smvd_refs(self.cur_poc, self.ref_pocs)
+                                    if self.smvd_enabled else None)
+                            smvd = bool(
+                                sref is not None and len(plan) == 2
+                                and sref == (leaf.ref_idx[0],
+                                             leaf.ref_idx[1])
                                 and plan[0][2] == -plan[1][2]
                                 and plan[0][3] == -plan[1][3]
                                 and (plan[0][2] or plan[0][3]))
+                            comps = [c for (_, _, dx, dy) in plan
+                                     for c in (dx, dy)]
+                            imv = 0
+                            if self.amvr_enabled and any(comps):
+                                if all(c % 16 == 0 for c in comps):
+                                    imv = 2
+                                elif all(c % 4 == 0 for c in comps):
+                                    imv = 1
                         if (self.smvd_enabled and leaf.inter_dir == 3
                                 and self._smvd_refs() is not None):
                             # sym_mvd_flag (reference: CABACWriter::smvd_mode)
@@ -483,12 +486,6 @@ class TreeWriter(TreeCoder):
                                            ctxs("SMVD_FLAG", 0))
                         comps = [c for (_, _, dx, dy) in plan
                                  for c in (dx, dy)]
-                        imv = 0
-                        if self.amvr_enabled and any(comps):
-                            if all(c % 16 == 0 for c in comps):
-                                imv = 2
-                            elif all(c % 4 == 0 for c in comps):
-                                imv = 1
                         sh = (0, 2, 4)[imv]
                         for (l, pi, dx, dy) in plan:
                             if smvd and l == 1:

@@ -129,13 +129,20 @@ class Encoder:
 
     def _recon_tile(self, frame, recon, leaves_t, qp, refs=None,
                     inter_cfg=None, lmcs_chroma=None):
+        """Decision pass + pure-execution reconstruction for one tile
+        (tiles cut all prediction/entropy dependencies, so each call is
+        self-contained and parallel)."""
+        from vvc.enc.mode_decide import decide_modes
         sps = self.sps
+        preds = decide_modes(leaves_t, (frame.y, frame.cb, frame.cr), qp,
+                             sps.bit_depth, sps, inter_cfg=inter_cfg,
+                             refs=refs)
         reconstruct_leaves(leaves_t, recon, qp, sps.bit_depth,
                            orig_planes=(frame.y, frame.cb, frame.cr),
                            lossless=sps.lossless, refs=refs,
                            dep_quant=sps.dep_quant, inter_cfg=inter_cfg,
                            lmcs_chroma=lmcs_chroma,
-                           mrl_ctu=sps.ctu_size if sps.mrl else 0)
+                           pred_cache=preds if preds else None)
 
     def _entropy_rows_wpp(self, split_map, leaf_map, qp, sao_params,
                           slice_type=SliceType.I, n_ref=(0, 0),

@@ -65,6 +65,17 @@ class Leaf:
     # Non-default weights are AMVP-only here (merge inheritance is the
     # spec's path; documented simplification)
     bcw: int = 2
+    # encoder-side precomputed syntax values (vvc.enc.mode_decide): the
+    # decision pass derives these ONCE against its mirrored MotionState so
+    # neither recon nor the syntax writer re-derives merge/AMVP lists.
+    # None = underived (writer falls back to derive-at-write).
+    decided: bool = False            # mode_decide pass ran for this leaf
+    merge_match: int | None = None   # merge candidate idx equal to leaf.mv
+    mmvd: tuple | None = None        # (base_cand, dist_idx, dir_idx)
+    amvp: tuple | None = None        # per-list (l, mvp_idx, dx, dy) or
+    #                                  (l, mvp_idx, ((dx,dy),...)) affine
+    smvd: bool = False               # symmetric-MVD signalling chosen
+    imv: int = 0                     # AMVR tier derived at decision time
     # quantized levels; None until reconstruction (encoder) / parse (decoder)
     lev_y: np.ndarray | None = None
     lev_cb: np.ndarray | None = None

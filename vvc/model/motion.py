@@ -6,11 +6,12 @@ TPU-native analog of the reference's motion model
 PU::fillMvpCand; OpenVVC libovvc/drv_mvp.c).  SoA per-4×4 planes like
 CodingState (SURVEY.md §7.0 tenet 1).
 
-Candidate derivation here is deliberately simplified relative to the spec
-(no TMVP/HMVP yet, no MV scaling across ref indices — [verify] tags):
-encoder and decoder call the SAME functions on identically-updated state,
-which is what end-to-end bit-exactness rests on.  Spatial order follows
-the spec: A1, B1, B0, A0, B2.
+Covers spatial A1,B1,B0,A0,B2 + TMVP (POC-scaled, C0/C1) + HMVP FIFO +
+pairwise-average + zero padding.  Remaining simplifications vs the spec
+([verify] tags): AMVP neighbours contribute cross-list MVs without
+POC-distance scaling, and MV storage is quarter-pel (not 1/16-pel).
+Encoder and decoder call the SAME functions on identically-updated
+state, which is what end-to-end bit-exactness rests on.
 """
 from __future__ import annotations
 

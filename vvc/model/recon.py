@@ -159,7 +159,7 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
                        orig_planes=None, use_native: bool = True,
                        lossless: bool = False, refs=None,
                        dep_quant: bool = False, inter_cfg=None,
-                       lmcs_chroma=None, mrl_ctu: int = 0):
+                       lmcs_chroma=None, pred_cache=None):
     """Reconstruct all leaves in z-order into recon_planes (y, cb, cr).
 
     Encoder mode: orig_planes given, leaf.lev_* are None → derives and
@@ -167,20 +167,26 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
     Availability maps are (re)built here so they always reflect recon
     progress, independent of any syntax-phase state.
 
+    PURE EXECUTION: every mode decision (CIIP/GPM/BCW/MRL, merge
+    matching) is already on the leaf — the encoder's vvc.enc.mode_decide
+    pass or the decoder's parse put it there (VERDICT r3 task 5).
+
     refs: (l0, l1) lists of (y, cb, cr) reference plane tuples for inter
     leaves (reference: DecCu::xReconInter / InterPrediction).
+    pred_cache: {leaf_index: (pred_y, pred_cb, pred_cr)} inter
+    predictions computed by the decision pass (encoder) — skips the MC
+    recompute here.
 
     Dispatches to the native core (vvc.packer.native_recon) when built —
     bit-exact mirror of this function; pass use_native=False to force the
-    numpy oracle path.  Inter leaves run the numpy path (native inter core
-    lands later), so mixed frames fall back entirely.
+    numpy oracle path.
     """
     has_inter = any(l.pred == 1 for l in leaves)
     has_rect = any(l.w != l.h for l in leaves)
     has_isp = any(l.isp for l in leaves)
     encode_lossless = lossless and orig_planes is not None
     has_bdpcm = any(l.bdpcm for l in leaves)
-    has_mrl = mrl_ctu > 0 or any(l.mrl for l in leaves)
+    has_mrl = any(l.mrl for l in leaves)
     if (use_native and not has_inter and not has_rect and not dep_quant
             and not has_isp and lmcs_chroma is None
             and not encode_lossless and not has_bdpcm and not has_mrl):
@@ -205,26 +211,14 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
     from vvc.kernels.cclm import luma_ds_region
     from vvc.kernels.mc import inter_pred_leaf
 
-    # CIIP (reference: InterPrediction::geoMergeCiip / spec 8.5.6.6):
-    # merge motion + planar intra, equal-weight blend.  The encoder decides
-    # per leaf HERE (recon time) against the real merge list, evolved on a
-    # local MotionState exactly like the syntax writer's — so the writer's
-    # merge match is guaranteed and the coded flag reproduces this blend.
-    ciip_cfg = inter_cfg or {}
-    ciip_on = bool(ciip_cfg.get("ciip"))
-    gpm_on = bool(ciip_cfg.get("gpm")) and bool(ciip_cfg.get("is_b"))
-    bcw_on = bool(ciip_cfg.get("bcw"))
-    merge_ms = None
-    if ciip_on or gpm_on:
-        from vvc.model.motion import (MotionState, merge_candidates,
-                                      temporal_candidate, match_merge)
-        merge_ms = MotionState(w, h)
-
     def _planar_pred(plane_, coded_, x0_, y0_, s_, bd_):
         c = build_ref_line(plane_, coded_, x0_, y0_, s_, bd_)
         return predict_intra(c, 0, s_, bd_)
 
     def _ciip_blend(pred_inter, plane_, coded_, x0_, y0_, s_, bd_):
+        # CIIP (reference: InterPrediction::geoMergeCiip / spec 8.5.6.6):
+        # merge motion + planar intra from RECONSTRUCTED neighbours,
+        # equal-weight blend — execution of the parsed/decided flag
         pi = _planar_pred(plane_, coded_, x0_, y0_, s_, bd_)
         return (pred_inter + pi + 1) >> 1
     cs_fwd = cs_inv = None
@@ -237,11 +231,12 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
     # only the leaf's neighbourhood is recomputed (region-local; the old
     # whole-plane downsample per leaf was O(leaves x frame))
     ds_plane = np.zeros((h >> 1, w >> 1), dtype=np.int32)
-    # batched inter-prediction prepass: every non-refined translational
-    # leaf's MC is independent of the current frame's recon, so it
-    # vectorizes across leaves (vvc.kernels.mc.batch_inter_preds)
-    pre_inter = {}
-    if any(l.pred == 1 for l in leaves):
+    # inter predictions: the encoder's decision pass already computed
+    # them (pred_cache); the decoder runs the batched prepass here (every
+    # non-refined translational leaf's MC is independent of the current
+    # frame's recon — vvc.kernels.mc.batch_inter_preds)
+    pre_inter = pred_cache if pred_cache is not None else {}
+    if pred_cache is None and any(l.pred == 1 for l in leaves):
         from vvc.kernels.mc import batch_inter_preds
         pre_inter = batch_inter_preds(leaves, refs_l0, refs_l1, bit_depth,
                                       inter_cfg)
@@ -262,21 +257,6 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
                                           bit_depth, inter_cfg)
                 pred_cr = inter_pred_leaf(leaf, 2, refs_l0, refs_l1,
                                           bit_depth, inter_cfg)
-            if (ciip_on and encode_mode and not leaf.affine and lw == lh
-                    and 64 <= lw * lw and lw < 128):
-                tmvp = temporal_candidate(
-                    ciip_cfg.get("col"), x0, y0, lw, ciip_cfg["cur_poc"],
-                    ciip_cfg["ref_pocs"], ciip_cfg.get("is_b", False))
-                cands = merge_candidates(
-                    merge_ms, x0, y0, lw, ciip_cfg.get("is_b", False),
-                    *ciip_cfg.get("n_ref", (0, 0)), tmvp=tmvp)
-                if match_merge(leaf, cands) is not None:
-                    blend = _ciip_blend(pred_y, y_pl, coded_y, x0, y0, lw,
-                                        bit_depth)
-                    tgt = o_y[y0:y0 + lh, x0:x0 + lw].astype(np.int64)
-                    if (((tgt - blend) ** 2).sum()
-                            < ((tgt - pred_y) ** 2).sum()):
-                        leaf.ciip = True
             if leaf.ciip:
                 pred_y = _ciip_blend(pred_y, y_pl, coded_y, x0, y0, lw,
                                      bit_depth)
@@ -284,112 +264,6 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
                                       y0 >> 1, lw >> 1, bit_depth)
                 pred_cr = _ciip_blend(pred_cr, cr_pl, coded_c, x0 >> 1,
                                       y0 >> 1, lw >> 1, bit_depth)
-            # GPM decision (encoder, recon time — same mirrored-merge-list
-            # pattern as CIIP; reference: EncCu::xCheckRDCostMergeGeo).
-            # Competes against the current best pred (incl. a CIIP blend).
-            if (gpm_on and encode_mode and not leaf.affine and lw == lh
-                    and 8 <= lw <= 64):
-                from vvc.kernels.gpm import (gpm_mask, gpm_mask_chroma,
-                                             gpm_blend, gpm_uni_candidates)
-                from vvc.kernels.mc import gpm_uni_pred
-                tmvp = temporal_candidate(
-                    ciip_cfg.get("col"), x0, y0, lw, ciip_cfg["cur_poc"],
-                    ciip_cfg["ref_pocs"], True)
-                cands = merge_candidates(
-                    merge_ms, x0, y0, lw, True,
-                    *ciip_cfg.get("n_ref", (0, 0)), tmvp=tmvp)
-                uni = gpm_uni_candidates(cands)
-                pool, seen_u = [], set()
-                for ui, c in enumerate(uni):
-                    if c is None or c in seen_u:
-                        continue
-                    seen_u.add(c)
-                    pool.append((ui, c))
-                    if len(pool) == 3:
-                        break
-                if len(pool) >= 2:
-                    tgt = o_y[y0:y0 + lh, x0:x0 + lw].astype(np.int64)
-                    base_sse = int(((tgt - pred_y) ** 2).sum())
-                    upred = {ui: gpm_uni_pred(c, 0, x0, y0, lw, lh,
-                                              refs_l0, refs_l1, bit_depth)
-                             for ui, c in pool}
-                    # mode subset: every other angle at distance 0, every
-                    # 4th angle at distance 2 (full 64-mode sweep is the
-                    # batched-search upgrade path)
-                    modes_try = (list(range(0, 64, 8))
-                                 + [m + 2 for m in range(0, 64, 16)])
-                    best = None
-                    for i0, c0 in pool:
-                        for i1, c1 in pool:
-                            if i1 == i0:
-                                continue
-                            for gm in modes_try:
-                                bl = gpm_blend(upred[i0], upred[i1],
-                                               gpm_mask(lw, lh, gm))
-                                sse = int(((tgt - bl) ** 2).sum())
-                                if best is None or sse < best[0]:
-                                    best = (sse, gm, i0, i1, c0, c1)
-                    # adopt only past a per-sample margin (GPM costs ~10
-                    # more bins than a bare merge_idx)
-                    if best is not None and best[0] + lw * lh < base_sse:
-                        _, gm, i0, i1, c0, c1 = best
-                        leaf.ciip = False
-                        leaf.gpm = (gm, i0, i1)
-                        leaf.gpm_mv = (c0, c1)
-                        lst, pmv, prf = c0
-                        mvt = [(0, 0), (0, 0)]
-                        rft = [0, 0]
-                        mvt[lst] = (pmv[0], pmv[1])
-                        rft[lst] = prf
-                        leaf.inter_dir = 1 << lst
-                        leaf.mv = tuple(mvt)
-                        leaf.ref_idx = tuple(rft)
-                        cwgt = gpm_mask_chroma(lw >> 1, lh >> 1, gm)
-                        pred_y = gpm_blend(upred[i0], upred[i1],
-                                           gpm_mask(lw, lh, gm))
-                        pred_cb = gpm_blend(
-                            gpm_uni_pred(c0, 1, x0, y0, lw, lh, refs_l0,
-                                         refs_l1, bit_depth),
-                            gpm_uni_pred(c1, 1, x0, y0, lw, lh, refs_l0,
-                                         refs_l1, bit_depth), cwgt)
-                        pred_cr = gpm_blend(
-                            gpm_uni_pred(c0, 2, x0, y0, lw, lh, refs_l0,
-                                         refs_l1, bit_depth),
-                            gpm_uni_pred(c1, 2, x0, y0, lw, lh, refs_l0,
-                                         refs_l1, bit_depth), cwgt)
-            # BCW decision (encoder, recon time; reference: InterSearch
-            # xEstimateInterResidual BCW loop).  Non-default weights force
-            # the AMVP path (merge inheritance not implemented), so the
-            # margin charges the mvd-coding cost.
-            if (bcw_on and encode_mode and leaf.inter_dir == 3
-                    and not leaf.affine and leaf.gpm is None
-                    and not leaf.ciip):
-                from vvc.kernels.mc import mc_block_np, BCW_W1
-                p0b = mc_block_np(refs_l0[leaf.ref_idx[0]][0], x0, y0,
-                                  lw, lh, leaf.mv[0][0], leaf.mv[0][1],
-                                  bit_depth).astype(np.int64)
-                p1b = mc_block_np(refs_l1[leaf.ref_idx[1]][0], x0, y0,
-                                  lw, lh, leaf.mv[1][0], leaf.mv[1][1],
-                                  bit_depth).astype(np.int64)
-                tgt = o_y[y0:y0 + lh, x0:x0 + lw].astype(np.int64)
-                base_sse = int(((tgt - pred_y) ** 2).sum())
-                best_w = None
-                for wi in (0, 1, 3, 4):
-                    w1_ = BCW_W1[wi]
-                    bl = np.clip((p0b * (8 - w1_) + p1b * w1_ + 4) >> 3,
-                                 0, (1 << bit_depth) - 1)
-                    sse = int(((tgt - bl) ** 2).sum())
-                    if best_w is None or sse < best_w[0]:
-                        best_w = (sse, wi)
-                if best_w is not None and best_w[0] + 2 * lw * lh < base_sse:
-                    leaf.bcw = best_w[1]
-                    from vvc.kernels.mc import bcw_pred_leaf
-                    pred_y = bcw_pred_leaf(leaf, 0, refs_l0, refs_l1,
-                                           bit_depth)
-                    pred_cb = bcw_pred_leaf(leaf, 1, refs_l0, refs_l1,
-                                            bit_depth)
-                    pred_cr = bcw_pred_leaf(leaf, 2, refs_l0, refs_l1,
-                                            bit_depth)
         if leaf.isp and not is_inter:
             # ISP: K sub-TUs reconstructed in coding order; each one's
             # prediction sees the previous sub-TUs through the coded map
@@ -420,28 +294,6 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
                 leaf.bdpcm, leaf.luma_mode = _decide_bdpcm(
                     y_pl, o_y, coded_y, x0, y0, lw, lh, leaf.luma_mode,
                     bit_depth)
-            # MRL decision (encoder, recon time): pick the reference line
-            # {0,1,2} minimizing prediction SSE with a per-sample margin
-            # for the 1-2 extra bins (reference: IntraSearch multiRefIdx
-            # loop inside estIntraPredLumaQT)
-            if (mrl_ctu > 0 and encode_mode and not is_inter
-                    and not lossless and lw == lh and leaf.luma_mode < 67
-                    and (y0 % mrl_ctu) > 0):
-                from vvc.kernels.intra import build_ref_line_mrl
-                tgt_m = o_y[y0:y0 + lh, x0:x0 + lw].astype(np.int64)
-                best_m = None
-                for k_ in (0, 1, 2):
-                    if k_ == 0:
-                        c_ = build_ref_line(y_pl, coded_y, x0, y0, lw,
-                                            bit_depth)
-                    else:
-                        c_ = build_ref_line_mrl(y_pl, coded_y, x0, y0, lw,
-                                                bit_depth, k_)
-                    p_ = predict_intra(c_, leaf.luma_mode, lw, bit_depth)
-                    sse_ = int(((tgt_m - p_) ** 2).sum()) + (lw if k_ else 0)
-                    if best_m is None or sse_ < best_m[0]:
-                        best_m = (sse_, k_)
-                leaf.mrl = best_m[1]
             lev = _recon_block(y_pl, o_y, coded_y, x0, y0, lw, leaf.luma_mode,
                                qp, bit_depth,
                                None if encode_mode else dec_levels(leaf.lev_y,
@@ -496,15 +348,3 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
         coded_y[y0 >> 2:(y0 + lh) >> 2, x0 >> 2:(x0 + lw) >> 2] = True
         coded_c[cy >> 2:max((cy >> 2) + 1, (cy + ch) >> 2),
                 cx >> 2:max((cx >> 2) + 1, (cx + cw) >> 2)] = True
-        if merge_ms is not None:
-            # mirror the syntax writer's MotionState evolution so the next
-            # leaves' merge lists agree (z-order)
-            if is_inter and leaf.affine:
-                merge_ms.set_inter_affine(x0, y0, lw, lh, leaf.inter_dir,
-                                         leaf.cpmv, leaf.ref_idx,
-                                         leaf.affine)
-            elif is_inter:
-                merge_ms.set_inter(x0, y0, lw, leaf.inter_dir, leaf.mv,
-                                  leaf.ref_idx)
-            else:
-                merge_ms.set_intra(x0, y0, lw)
