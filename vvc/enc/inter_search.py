@@ -20,6 +20,16 @@ per-block TZ diamond walk becomes an exhaustive batched evaluation:
     chosen against both uni candidates by SATD (the reference's fast
     bi-pred iteration collapses to one batched compare).
 
+EVERYTHING for one size class — integer+fractional ME over every
+(list, ref), merge-style neighbour adoption, bi-check, affine CPMV
+search, and the DCT2 RD — runs as ONE jitted device program; sizes chain
+parent→child MV centers as device arrays (no host sync), and the whole
+frame's results come back in a single packed int32 transfer
+(vvc.enc.rdo's _pack_results pattern).  The r3 flow synced the device
+~40× per frame with numpy glue between dispatches; over the TPU tunnel
+each sync costs 6–30 ms, which dominated the north-star bench
+(VERDICT r3 weak #1 profile).
+
 Mode decision per block = min(inter RD, intra RD) followed by the same
 bottom-up partition DP as the intra path (vvc.enc.rdo).
 """
@@ -43,11 +53,15 @@ from vvc.model.partition import SPLIT_NONE, SPLIT_QT
 
 ME_SIZES_MIN = 8       # integer ME at sizes >= this (8×8 searches a small
                        # window centered on the parent 16×16 MV)
-CHUNK = 1024           # blocks per ME dispatch (bounds window-gather memory)
+CHUNK = 1024           # blocks per ME map step (bounds window-gather memory)
 CHILD_RADIUS = 8       # refinement radius around the parent-MV center —
                        # hierarchical ME: effective range ≈ top radius +
                        # Σ child radii (reference: xTZSearch's predictor-
                        # centered window, SURVEY §2.3 InterSearch)
+
+MERGE_CAND_BITS = 3.0   # approximate merge-candidate signalling cost
+AFFINE_ME_SIZES = (16, 32, 64)   # spec: AMVP affine needs w,h >= 16
+AFFINE_BITS = 18.0               # flag + type + extra CPMV MVD overhead
 
 
 def _mv_bits(d):
@@ -55,58 +69,68 @@ def _mv_bits(d):
     return 2.0 * jnp.log2(1.0 + jnp.abs(d).astype(jnp.float32)) + 1.0
 
 
-@partial(jax.jit, static_argnames=("size", "radius"))
-def _int_me_chunk(blocks, ref, xs, ys, size: int, radius: int, lam_m,
-                  cx0, cy0):
-    """Integer full-search SSE ME for one chunk of same-size blocks, over
-    a (2R+1)² window centered at per-block predictor (cx0, cy0) int-pel
-    (hierarchical/AMVP-centered search — the TZSearch analog).
-
-    blocks [N,S,S] f32, ref [H,W] f32, xs/ys block origins [N].
-    Returns (mv_x [N], mv_y [N]) integer-pel displacements (incl. center).
-    """
-    n, s, _ = blocks.shape
+def _int_me_dev(blocks_f, ref_f, xs, ys, size: int, radius: int, lam_m,
+                cx0, cy0):
+    """Integer full-search SSE ME for all same-size blocks, chunked with
+    lax.map to bound window-gather memory.  Returns int-pel (mvx, mvy)."""
+    n, s, _ = blocks_f.shape
     r = radius
-    h, w = ref.shape
+    h, w = ref_f.shape
+    pad = (-n) % CHUNK if n > CHUNK else 0
+    if pad:
+        blocks_f = jnp.concatenate(
+            [blocks_f, jnp.zeros((pad, s, s), blocks_f.dtype)])
+        xs = jnp.concatenate([xs, jnp.zeros(pad, xs.dtype)])
+        ys = jnp.concatenate([ys, jnp.zeros(pad, ys.dtype)])
+        cx0 = jnp.concatenate([cx0, jnp.zeros(pad, cx0.dtype)])
+        cy0 = jnp.concatenate([cy0, jnp.zeros(pad, cy0.dtype)])
+    nn = n + pad
     k = jnp.arange(s + 2 * r)
-    yy = jnp.clip(ys[:, None] + cy0[:, None] - r + k[None, :], 0, h - 1)
-    xx = jnp.clip(xs[:, None] + cx0[:, None] - r + k[None, :], 0, w - 1)
-    win = ref[yy[:, :, None], xx[:, None, :]]                 # [N, S+2R, S+2R]
-    # correlation via grouped conv: each block is its own filter (MXU)
-    corr = jax.lax.conv_general_dilated(
-        win[None], blocks[:, None], (1, 1), "VALID",
-        feature_group_count=n,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0]        # [N, 2R+1, 2R+1]
-    # window energy via integral image
-    w2 = win * win
-    ii = jnp.pad(jnp.cumsum(jnp.cumsum(w2, axis=1), axis=2),
-                 ((0, 0), (1, 0), (1, 0)))
     d = jnp.arange(2 * r + 1)
-    e_win = (ii[:, d[:, None] + s, d[None, :] + s]
-             - ii[:, d[:, None] + s, d[None, :]]
-             - ii[:, d[:, None], d[None, :] + s]
-             + ii[:, d[:, None], d[None, :]])                 # [N, 2R+1, 2R+1]
-    sse = e_win - 2.0 * corr                                  # + Σo² (const)
-    bx = _mv_bits(4 * (cx0[:, None] + d[None, :] - r))        # [N, 2R+1]
-    by = _mv_bits(4 * (cy0[:, None] + d[None, :] - r))
-    cost = sse + lam_m * (by[:, :, None] + bx[:, None, :])
-    flat = jnp.argmin(cost.reshape(n, -1), axis=1)
-    return (cx0 + flat % (2 * r + 1) - r,
-            cy0 + flat // (2 * r + 1) - r)
+
+    def one_chunk(args):
+        bl, bxs, bys, bcx, bcy = args
+        m = bl.shape[0]
+        yy = jnp.clip(bys[:, None] + bcy[:, None] - r + k[None, :], 0, h - 1)
+        xx = jnp.clip(bxs[:, None] + bcx[:, None] - r + k[None, :], 0, w - 1)
+        win = ref_f[yy[:, :, None], xx[:, None, :]]        # [M, S+2R, S+2R]
+        corr = jax.lax.conv_general_dilated(
+            win[None], bl[:, None], (1, 1), "VALID",
+            feature_group_count=m,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))[0]  # [M, 2R+1, 2R+1]
+        w2 = win * win
+        ii = jnp.pad(jnp.cumsum(jnp.cumsum(w2, axis=1), axis=2),
+                     ((0, 0), (1, 0), (1, 0)))
+        e_win = (ii[:, d[:, None] + s, d[None, :] + s]
+                 - ii[:, d[:, None] + s, d[None, :]]
+                 - ii[:, d[:, None], d[None, :] + s]
+                 + ii[:, d[:, None], d[None, :]])
+        sse = e_win - 2.0 * corr                            # + Σo² (const)
+        bx = _mv_bits(4 * (bcx[:, None] + d[None, :] - r))
+        by = _mv_bits(4 * (bcy[:, None] + d[None, :] - r))
+        cost = sse + lam_m * (by[:, :, None] + bx[:, None, :])
+        flat = jnp.argmin(cost.reshape(m, -1), axis=1)
+        return (bcx + flat % (2 * r + 1) - r,
+                bcy + flat // (2 * r + 1) - r)
+
+    if nn > CHUNK:
+        nc = nn // CHUNK
+        mx, my = jax.lax.map(one_chunk,
+                             (blocks_f.reshape(nc, CHUNK, s, s),
+                              xs.reshape(nc, CHUNK), ys.reshape(nc, CHUNK),
+                              cx0.reshape(nc, CHUNK), cy0.reshape(nc, CHUNK)))
+        mx, my = mx.reshape(-1), my.reshape(-1)
+    else:
+        mx, my = one_chunk((blocks_f, xs, ys, cx0, cy0))
+    return mx[:n], my[:n]
 
 
 _FRAC_OFF = [(0, 0), (-1, 0), (1, 0), (0, -1), (0, 1),
              (-1, -1), (1, -1), (-1, 1), (1, 1)]
 
 
-@partial(jax.jit, static_argnames=("size",))
-def _frac_refine(orig, planes, xs, ys, mvx, mvy, size: int, lam_m):
-    """Half- then quarter-pel refinement around integer-best, SATD cost.
-
-    orig [N,S,S] i32; planes [4,4,H,W] phase planes; mv in qpel units.
-    Returns refined (mvx, mvy, satd_best)."""
-    n = orig.shape[0]
-
+def _frac_refine_dev(orig, planes, xs, ys, mvx, mvy, size: int, lam_m):
+    """Half- then quarter-pel refinement around integer-best, SATD cost."""
     def stage(mvx, mvy, best, step):
         for (dx, dy) in _FRAC_OFF:
             if dx == 0 and dy == 0:
@@ -131,12 +155,9 @@ def _frac_refine(orig, planes, xs, ys, mvx, mvy, size: int, lam_m):
     return mvx2, mvy2, best
 
 
-@partial(jax.jit, static_argnames=("size", "bit_depth"))
-def _inter_rd(orig, pred, size: int, qp, bit_depth: int, extra_bits):
+def _inter_rd_dev(orig, pred, qp, bit_depth: int, extra_bits):
     """DCT2 RD cost of coding orig with the given inter prediction
-    (mirrors rdo.eval_blocks' rd_pass).  qp is traced — one compile serves
-    all hierarchy/rate-control QPs."""
-    qp = jnp.asarray(qp, dtype=jnp.int32)
+    (mirrors rdo.eval_blocks' rd_pass)."""
     lam = 0.57 * jnp.exp2((qp.astype(jnp.float32) - 12.0) / 3.0)
     resi = orig - pred
     coeff = fwd_transform_batch(resi, bit_depth, 0, 0)
@@ -151,145 +172,259 @@ def _inter_rd(orig, pred, size: int, qp, bit_depth: int, extra_bits):
     return sse + lam * (rate + extra_bits)
 
 
-def _blocks_grid(plane: np.ndarray, size: int):
-    h, w = plane.shape
-    ny, nx = h // size, w // size
-    blocks = (plane[:ny * size, :nx * size]
-              .reshape(ny, size, nx, size).transpose(0, 2, 1, 3)
-              .reshape(-1, size, size))
-    ys = np.repeat(np.arange(ny), nx) * size
-    xs = np.tile(np.arange(nx), ny) * size
-    return blocks, xs.astype(np.int32), ys.astype(np.int32), ny, nx
+def _affine_pred_dev(planes, xs, ys, size: int, cp, bit_depth: int):
+    """Device affine luma prediction (PROF-less) from the ref's phase
+    planes: per-4×4-subblock MVs from CPMVs, each subblock gathered at its
+    own quarter-pel phase — the batched analog of affine_pred_batch_np
+    used for SEARCH SCORING (reconstruction runs the normative host
+    predictor).  cp [N,3,2] qpel; returns [N,S,S] int32."""
+    from vvc.kernels.affine import AFF_SHIFT, SB
+    n = cp.shape[0]
+    cpl = cp.astype(jnp.int64)
+    lw = int(size).bit_length() - 1
+    dhx = ((cpl[:, 1, 0] - cpl[:, 0, 0]) << AFF_SHIFT) >> lw
+    dhy = ((cpl[:, 1, 1] - cpl[:, 0, 1]) << AFF_SHIFT) >> lw
+    dvx, dvy = -dhy, dhx                                   # 4-param
+    c = jnp.arange(size // SB, dtype=jnp.int64) * SB + SB // 2
+    bx = ((cpl[:, 0, 0] << AFF_SHIFT)[:, None, None]
+          + dhx[:, None, None] * c[None, None, :]
+          + dvx[:, None, None] * c[None, :, None])
+    by = ((cpl[:, 0, 1] << AFF_SHIFT)[:, None, None]
+          + dhy[:, None, None] * c[None, None, :]
+          + dvy[:, None, None] * c[None, :, None])
+
+    def rnd(v):
+        off = (1 << (AFF_SHIFT - 1))
+        return jnp.where(v >= 0, (v + off) >> AFF_SHIFT,
+                         -((-v + off) >> AFF_SHIFT))
+
+    mvx = jnp.clip(rnd(bx), -(1 << 17), (1 << 17) - 1).astype(jnp.int32)
+    mvy = jnp.clip(rnd(by), -(1 << 17), (1 << 17) - 1).astype(jnp.int32)
+    nb = size // SB
+    sub_x = (xs[:, None, None]
+             + (jnp.arange(nb) * SB)[None, None, :]).astype(jnp.int32)
+    sub_y = (ys[:, None, None]
+             + (jnp.arange(nb) * SB)[None, :, None]).astype(jnp.int32)
+    sub_x = jnp.broadcast_to(sub_x, (n, nb, nb)).reshape(-1)
+    sub_y = jnp.broadcast_to(sub_y, (n, nb, nb)).reshape(-1)
+    pred = gather_pred_planes(planes, sub_x, sub_y,
+                              mvx.reshape(-1), mvy.reshape(-1), SB)
+    return (pred.reshape(n, nb, nb, SB, SB).transpose(0, 1, 3, 2, 4)
+            .reshape(n, size, size))
 
 
-def _me_one_ref(y_plane, ref_plane, phase_planes, size, qp, radius,
-                centers=None):
-    """Full ME (integer + fractional) of all size×size blocks against one
-    reference.  centers: optional (cx, cy) int-pel per-block window centers
-    (parent MVs — hierarchical search).  Returns (mvx, mvy [N] qpel,
-    satd [N])."""
-    lam_m = math.sqrt(rd_lambda(qp))
-    blocks_np, xs, ys, ny, nx = _blocks_grid(y_plane, size)
-    n = len(blocks_np)
-    reff = jnp.asarray(ref_plane, dtype=jnp.float32)
-    cx0 = (centers[0] if centers is not None
-           else np.zeros(n, np.int32)).astype(np.int32)
-    cy0 = (centers[1] if centers is not None
-           else np.zeros(n, np.int32)).astype(np.int32)
-    mvx = np.zeros(n, dtype=np.int32)
-    mvy = np.zeros(n, dtype=np.int32)
-    for c0 in range(0, n, CHUNK):
-        c1 = min(n, c0 + CHUNK)
-        pad = CHUNK - (c1 - c0) if (c1 - c0) < CHUNK and n > CHUNK else 0
-        bl = blocks_np[c0:c1].astype(np.float32)
-        cxs, cys = xs[c0:c1], ys[c0:c1]
-        ccx, ccy = cx0[c0:c1], cy0[c0:c1]
-        if pad:
-            bl = np.concatenate([bl, np.zeros((pad,) + bl.shape[1:],
-                                              np.float32)])
-            cxs = np.concatenate([cxs, np.zeros(pad, np.int32)])
-            cys = np.concatenate([cys, np.zeros(pad, np.int32)])
-            ccx = np.concatenate([ccx, np.zeros(pad, np.int32)])
-            ccy = np.concatenate([ccy, np.zeros(pad, np.int32)])
-        ix, iy = _int_me_chunk(jnp.asarray(bl), reff, jnp.asarray(cxs),
-                               jnp.asarray(cys), size, radius, lam_m,
-                               jnp.asarray(ccx), jnp.asarray(ccy))
-        mvx[c0:c1] = np.asarray(ix)[:c1 - c0] * 4
-        mvy[c0:c1] = np.asarray(iy)[:c1 - c0] * 4
-    fx, fy, cost = _frac_refine(
-        jnp.asarray(blocks_np, dtype=jnp.int32), phase_planes,
-        jnp.asarray(xs), jnp.asarray(ys),
-        jnp.asarray(mvx), jnp.asarray(mvy), size, lam_m)
-    return (np.asarray(fx), np.asarray(fy), np.asarray(cost),
-            blocks_np, xs, ys, ny, nx)
+@partial(jax.jit, static_argnames=("size", "radius", "bit_depth", "w", "h",
+                                  "n_l0", "n_l1", "is_b", "affine",
+                                  "has_parent"))
+def _me_size_program(y, phase, qp, size: int, radius: int, bit_depth: int,
+                     w: int, h: int, n_l0: int, n_l1: int, is_b: bool,
+                     affine: bool, has_parent: bool, parents):
+    """One device program per size class: ME over every (list, ref) +
+    neighbour adoption + bi check + affine + RD.  phase [R,4,4,H,W] stacks
+    the unique refs' quarter-pel planes (list l's ref r = stack index
+    l * n_l0 bookkeeping is done by the caller via l0/l1 index maps: stack
+    holds l0 refs then l1 refs).  parents: {(l, r): (pmx, pmy)} int-pel
+    parent MV grids from the 2× size, or empty.  Returns the per-block
+    result fields + this size's parent grids for the next level."""
+    s = size
+    ny, nx = h // s, w // s
+    n = ny * nx
+    blocks = (y[:ny * s, :nx * s].reshape(ny, s, nx, s)
+              .transpose(0, 2, 1, 3).reshape(-1, s, s))
+    ob = blocks.astype(jnp.int32)
+    bf = blocks.astype(jnp.float32)
+    xs = (jnp.tile(jnp.arange(nx), ny) * s).astype(jnp.int32)
+    ys = (jnp.repeat(jnp.arange(ny), nx) * s).astype(jnp.int32)
+    lam = 0.57 * jnp.exp2((qp.astype(jnp.float32) - 12.0) / 3.0)
+    lam_m = jnp.sqrt(lam)
+    zero = jnp.zeros(n, jnp.int32)
 
+    def expand_parent(p):
+        """Parent int-MV grid [pny,pnx] → per-child-block center [N]."""
+        pny, pnx = p.shape
+        iy = jnp.minimum(jnp.arange(ny) // 2, pny - 1)
+        ix = jnp.minimum(jnp.arange(nx) // 2, pnx - 1)
+        return p[iy[:, None], ix[None, :]].reshape(-1)
 
-MERGE_CAND_BITS = 3.0   # approximate merge-candidate signalling cost
+    per_list = []
+    new_parents = {}
+    n_refs = (n_l0, n_l1 if is_b else 0)
+    for li in (0, 1):
+        best = None
+        for ridx in range(n_refs[li]):
+            st = ridx if li == 0 else n_l0 + ridx
+            pl = phase[st]
+            ref_f = pl[0, 0].astype(jnp.float32)
+            if has_parent:
+                cx0 = expand_parent(parents[2 * (li * n_l0 + ridx)])
+                cy0 = expand_parent(parents[2 * (li * n_l0 + ridx) + 1])
+            else:
+                cx0, cy0 = zero, zero
+            ix, iy = _int_me_dev(bf, ref_f, xs, ys, s, radius, lam_m,
+                                 cx0, cy0)
+            fx, fy, cost = _frac_refine_dev(ob, pl, xs, ys, ix * 4, iy * 4,
+                                            s, lam_m)
+            new_parents[2 * (li * n_l0 + ridx)] = \
+                (fx // 4).reshape(ny, nx)
+            new_parents[2 * (li * n_l0 + ridx) + 1] = \
+                (fy // 4).reshape(ny, nx)
+            if best is None:
+                best = [fx, fy, cost, jnp.full(n, ridx, jnp.int32)]
+            else:
+                upd = cost < best[2]
+                best = [jnp.where(upd, fx, best[0]),
+                        jnp.where(upd, fy, best[1]),
+                        jnp.where(upd, cost, best[2]),
+                        jnp.where(upd, ridx, best[3])]
+        per_list.append(best)
 
-
-def _neighbor_adopt(blocks, refs, phase, best, s, xs, ys, ny, nx, lam_m):
-    """Merge-mode RDO analog: evaluate the left/above neighbours' (MV, ref)
-    as prediction hypotheses at merge-level rate (no MVD) and adopt when
-    cheaper (reference: EncCu::xCheckRDCostMerge2Nx2N — candidates scored
-    as predictions, not just syntax shortcuts).  Adopted MVs then match
-    the writer's real merge list and ride merge syntax."""
-    ob = jnp.asarray(blocks, dtype=jnp.int32)
-
-    def gather_sel(mx, my, rf):
+    def gather_sel(li, mx, my, rf):
+        """Prediction at (mv, ref) per block, selecting by ref index."""
         out = None
-        for ridx, ref in enumerate(refs):
-            p = gather_pred_planes(phase[id(ref)], jnp.asarray(xs),
-                                   jnp.asarray(ys), jnp.asarray(mx),
-                                   jnp.asarray(my), s)
-            m = jnp.asarray(rf == ridx)[:, None, None]
+        for ridx in range(n_refs[li]):
+            st = ridx if li == 0 else n_l0 + ridx
+            p = gather_pred_planes(phase[st], xs, ys, mx, my, s)
+            m = (rf == ridx)[:, None, None]
             out = p if out is None else jnp.where(m, p, out)
         return out
 
-    for axis in ("left", "above"):
-        gx = best[0].reshape(ny, nx).copy()
-        gy = best[1].reshape(ny, nx).copy()
-        gr = best[3].reshape(ny, nx).copy()
-        valid = np.ones((ny, nx), bool)
-        if axis == "left":
-            gx[:, 1:], gy[:, 1:], gr[:, 1:] = gx[:, :-1], gy[:, :-1], gr[:, :-1]
-            valid[:, 0] = False
-        else:
-            gx[1:, :], gy[1:, :], gr[1:, :] = gx[:-1, :], gy[:-1, :], gr[:-1, :]
-            valid[0, :] = False
-        cmx, cmy, crf = gx.ravel(), gy.ravel(), gr.ravel()
-        pred_c = gather_sel(cmx, cmy, crf)
-        cost_c = (np.asarray(satd_batch(pred_c, ob)).astype(np.float64)
-                  + lam_m * MERGE_CAND_BITS)
-        upd = valid.ravel() & (cost_c < best[2])
-        best[0] = np.where(upd, cmx, best[0])
-        best[1] = np.where(upd, cmy, best[1])
-        best[2] = np.where(upd, cost_c, best[2])
-        best[3] = np.where(upd, crf, best[3])
-    return best
+    def neighbor_adopt(li, best):
+        """Merge-mode RDO analog: left/above neighbours' (MV, ref) as
+        prediction hypotheses at merge-level rate (reference:
+        EncCu::xCheckRDCostMerge2Nx2N)."""
+        for axis in ("left", "above"):
+            gx = best[0].reshape(ny, nx)
+            gy = best[1].reshape(ny, nx)
+            gr = best[3].reshape(ny, nx)
+            if axis == "left":
+                gx = jnp.concatenate([gx[:, :1], gx[:, :-1]], axis=1)
+                gy = jnp.concatenate([gy[:, :1], gy[:, :-1]], axis=1)
+                gr = jnp.concatenate([gr[:, :1], gr[:, :-1]], axis=1)
+                valid = (jnp.arange(nx) > 0)[None, :].repeat(ny, 0)
+            else:
+                gx = jnp.concatenate([gx[:1, :], gx[:-1, :]], axis=0)
+                gy = jnp.concatenate([gy[:1, :], gy[:-1, :]], axis=0)
+                gr = jnp.concatenate([gr[:1, :], gr[:-1, :]], axis=0)
+                valid = (jnp.arange(ny) > 0)[:, None].repeat(nx, 1)
+            cmx, cmy, crf = gx.reshape(-1), gy.reshape(-1), gr.reshape(-1)
+            pred_c = gather_sel(li, cmx, cmy, crf)
+            cost_c = (satd_batch(pred_c, ob).astype(jnp.float32)
+                      + lam_m * MERGE_CAND_BITS)
+            upd = valid.reshape(-1) & (cost_c < best[2])
+            best = [jnp.where(upd, cmx, best[0]),
+                    jnp.where(upd, cmy, best[1]),
+                    jnp.where(upd, cost_c, best[2]),
+                    jnp.where(upd, crf, best[3])]
+        return best
 
-
-AFFINE_ME_SIZES = (16, 32, 64)   # spec: AMVP affine needs w,h >= 16
-AFFINE_BITS = 18.0               # flag + type + extra CPMV MVD overhead
-
-
-def _affine_candidates(blocks_np, xs, ys, s, per_list, refs_l0, refs_l1,
-                       phase, is_b, qp, bit_depth):
-    """Affine CPMV search per block against ref 0 of each used list,
-    seeded with the list's best translational MV; candidates are scored
-    with the NORMATIVE batched subblock predictor so RD sees exactly what
-    the decoder will reconstruct (reference: InterSearch::
-    xPredAffineInterSearch seeded from the AMVP/translational result).
-
-    Returns (pred [N,S,S] device, cp0, cp1 [N,3,2], adir [N], bits [N])."""
-    from vvc.kernels.affine import affine_me_batch, affine_pred_batch_np
-    ob = jnp.asarray(blocks_np, dtype=jnp.int32)
-    n = len(blocks_np)
-    preds, costs, cps = [], [], []
-    lists = [(0, refs_l0)] + ([(1, refs_l1)] if is_b and refs_l1 else [])
-    lam_m = math.sqrt(rd_lambda(qp))
-    for li, refs in lists:
-        best = per_list[li]
-        seed_ok = best[3] == 0
-        sx = np.where(seed_ok, best[0], 0).astype(np.int32)
-        sy = np.where(seed_ok, best[1], 0).astype(np.int32)
-        cp = affine_me_batch(blocks_np.astype(np.float32), refs[0],
-                             xs, ys, sx, sy, s, bit_depth)
-        pred = affine_pred_batch_np(refs[0], xs, ys, s, cp, 4, bit_depth)
-        mvb = np.log2(1.0 + np.abs(cp[:, :2]).sum(axis=(1, 2)))
-        c = (np.asarray(satd_batch(jnp.asarray(pred), ob)).astype(np.float64)
-             + lam_m * (AFFINE_BITS + 2.0 * mvb))
-        preds.append(pred)
-        costs.append(c)
-        cps.append(cp)
-    if len(lists) == 2:
-        adir = np.where(costs[1] < costs[0], 2, 1).astype(np.int32)
-        pred = np.where((adir == 2)[:, None, None], preds[1], preds[0])
-        cp1 = cps[1]
+    l0 = neighbor_adopt(0, per_list[0])
+    dirs = jnp.ones(n, jnp.int32)
+    if is_b and per_list[1] is not None:
+        l1 = neighbor_adopt(1, per_list[1])
+        dirs = jnp.where(l1[2] < l0[2], 2, 1)
+        p0 = gather_sel(0, l0[0], l0[1], l0[3])
+        p1 = gather_sel(1, l1[0], l1[1], l1[3])
+        pbi = (p0 + p1 + 1) >> 1
+        cbi = satd_batch(pbi, ob).astype(jnp.float32) + lam_m * 8.0
+        cuni = jnp.where(dirs == 2, l1[2], l0[2])
+        dirs = jnp.where(cbi < cuni, 3, dirs)
+        pred = jnp.where((dirs == 3)[:, None, None], pbi,
+                         jnp.where((dirs == 2)[:, None, None], p1, p0))
     else:
-        adir = np.ones(n, np.int32)
-        pred = preds[0]
-        cp1 = np.zeros_like(cps[0])
-    return pred, cps[0], cp1, adir
+        l1 = [zero, zero, jnp.zeros(n, jnp.float32), zero]
+        pred = gather_sel(0, l0[0], l0[1], l0[3])
+    # signalling bits: MVD vs the left-neighbour predictor (AMVP-rate
+    # analog; merge-adopted MVs get near-zero MVD) + flags
+    pmx = l0[0].reshape(ny, nx)
+    pmy = l0[1].reshape(ny, nx)
+    pmx = jnp.concatenate([jnp.zeros((ny, 1), pmx.dtype), pmx[:, :-1]], 1)
+    pmy = jnp.concatenate([jnp.zeros((ny, 1), pmy.dtype), pmy[:, :-1]], 1)
+    mvb = (jnp.log2(1.0 + jnp.abs(l0[0] - pmx.reshape(-1))
+                    .astype(jnp.float32))
+           + jnp.log2(1.0 + jnp.abs(l0[1] - pmy.reshape(-1))
+                      .astype(jnp.float32)) + 6.0)
+    rd = _inter_rd_dev(ob, pred, qp, bit_depth, mvb)
+    aff = zero
+    cp0 = jnp.zeros((n, 3, 2), jnp.int32)
+    cp1 = jnp.zeros((n, 3, 2), jnp.int32)
+    if affine and s in AFFINE_ME_SIZES:
+        from vvc.kernels.affine import _affine_me_jit
+        acosts, acps, apreds = [], [], []
+        for li in (0, 1):
+            if n_refs[li] == 0:
+                continue
+            best = (l0, l1)[li]
+            st = 0 if li == 0 else n_l0
+            seed_ok = best[3] == 0
+            sx = jnp.where(seed_ok, best[0], 0).astype(jnp.float32)
+            sy = jnp.where(seed_ok, best[1], 0).astype(jnp.float32)
+            ref_f = phase[st][0, 0].astype(jnp.float32)
+            cp = _affine_me_jit(bf, ref_f, xs, ys, sx, sy, s, 4, 4)
+            apred = _affine_pred_dev(phase[st], xs, ys, s, cp, bit_depth)
+            mvbits = jnp.log2(1.0 + jnp.abs(cp[:, :2])
+                              .sum(axis=(1, 2)).astype(jnp.float32))
+            c = (satd_batch(apred, ob).astype(jnp.float32)
+                 + lam_m * (AFFINE_BITS + 2.0 * mvbits))
+            acosts.append(c)
+            acps.append(cp)
+            apreds.append(apred)
+        if len(acosts) == 2:
+            adir = jnp.where(acosts[1] < acosts[0], 2, 1)
+            apred = jnp.where((adir == 2)[:, None, None],
+                              apreds[1], apreds[0])
+            acp1 = acps[1]
+        else:
+            adir = jnp.ones(n, jnp.int32)
+            apred = apreds[0]
+            acp1 = jnp.zeros_like(acps[0])
+        acpb = (jnp.log2(1.0 + jnp.abs(acps[0][:, :2])
+                         .sum(axis=(1, 2)).astype(jnp.float32))
+                + AFFINE_BITS)
+        ard = _inter_rd_dev(ob, apred, qp, bit_depth, acpb)
+        upd = ard < rd
+        aff = jnp.where(upd, 4, 0)
+        rd = jnp.where(upd, ard, rd)
+        dirs = jnp.where(upd, adir, dirs)
+        cp0 = acps[0]
+        cp1 = acp1
+    out = [rd, dirs.astype(jnp.float32), l0[0].astype(jnp.float32),
+           l0[1].astype(jnp.float32), l0[3].astype(jnp.float32),
+           l1[0].astype(jnp.float32), l1[1].astype(jnp.float32),
+           l1[3].astype(jnp.float32), aff.astype(jnp.float32),
+           cp0.reshape(n, -1).astype(jnp.float32).reshape(-1),
+           cp1.reshape(n, -1).astype(jnp.float32).reshape(-1)]
+    packed = jnp.concatenate([o.reshape(-1) for o in out])
+    return packed, new_parents
+
+
+_FIELDS = ("cost", "dir", "mvx0", "mvy0", "ref0", "mvx1", "mvy1", "ref1",
+           "aff")
+
+
+@partial(jax.jit, static_argnames=("size", "radius", "w", "h"))
+def me_pred_program(y, phase, size: int, radius: int, w: int, h: int,
+                    lam_m):
+    """Standalone single-ref ME + prediction + per-block MSE — one device
+    program (consumer: vvc.enc.mctf).  Returns (pred_plane [ny*s, nx*s],
+    err [ny, nx])."""
+    s = size
+    ny, nx = h // s, w // s
+    blocks = (y[:ny * s, :nx * s].reshape(ny, s, nx, s)
+              .transpose(0, 2, 1, 3).reshape(-1, s, s))
+    xs = (jnp.tile(jnp.arange(nx), ny) * s).astype(jnp.int32)
+    ys = (jnp.repeat(jnp.arange(ny), nx) * s).astype(jnp.int32)
+    zero = jnp.zeros(ny * nx, jnp.int32)
+    ref_f = phase[0, 0].astype(jnp.float32)
+    ix, iy = _int_me_dev(blocks.astype(jnp.float32), ref_f, xs, ys, s,
+                         radius, lam_m, zero, zero)
+    fx, fy, _ = _frac_refine_dev(blocks.astype(jnp.int32), phase, xs, ys,
+                                 ix * 4, iy * 4, s, lam_m)
+    pred = gather_pred_planes(phase, xs, ys, fx, fy, s)    # [N,S,S]
+    d = (pred - blocks).astype(jnp.float32)
+    err = (d * d).mean(axis=(1, 2)).reshape(ny, nx)
+    plane = (pred.reshape(ny, nx, s, s).transpose(0, 2, 1, 3)
+             .reshape(ny * s, nx * s))
+    return plane, err
 
 
 def rdo_inter_partition(y_plane: np.ndarray, refs_l0, refs_l1, qp: int,
@@ -305,138 +440,66 @@ def rdo_inter_partition(y_plane: np.ndarray, refs_l0, refs_l1, qp: int,
     ME is hierarchical: the largest size searches ±search_range around
     zero; every smaller size searches ±CHILD_RADIUS around its parent
     block's integer MV (effective range grows with depth — the TZSearch
-    predictor-centering analog, exhaustively batched on the MXU).
+    predictor-centering analog, exhaustively batched on the MXU).  All
+    device work is queued async; ONE packed transfer per size brings the
+    frame's decisions back.
     """
     h, w = y_plane.shape
     sizes = _candidate_sizes(ctu_size, min_cu)
-    lam = rd_lambda(qp)
-    lam_m = math.sqrt(lam)
 
     # intra costs for all sizes (one dispatch — shared with the AI path)
     from vvc.enc.rdo import pack_planes, unpack_results
-    packed = eval_all_sizes(jax.device_put(pack_planes(y_plane)),
-                            tuple(sizes), jnp.int32(qp), bit_depth, w, h)
-    intra_res = unpack_results(np.asarray(packed), sizes, w, h)
+    packed_intra = eval_all_sizes(jax.device_put(pack_planes(y_plane)),
+                                  tuple(sizes), jnp.int32(qp), bit_depth,
+                                  w, h)
 
-    # phase planes per unique reference (device, once)
-    phase = {}
-    for ref in list(refs_l0) + list(refs_l1):
-        key = id(ref)
-        if key not in phase:
-            phase[key] = interp_luma_planes(ref, bit_depth)
+    # quarter-pel phase planes per ref, stacked [R,4,4,H,W] (device, once);
+    # stack layout: l0 refs then l1 refs (duplicates share via id cache)
+    cache = {}
+    stack = []
+    n_l0, n_l1 = len(refs_l0), len(refs_l1) if is_b else 0
+    for ref in list(refs_l0) + (list(refs_l1) if is_b else []):
+        if id(ref) in cache:
+            stack.append(stack[cache[id(ref)]])
+        else:
+            cache[id(ref)] = len(stack)
+            stack.append(interp_luma_planes(ref, bit_depth))
+    phase = jnp.stack(stack)
+    y_dev = jax.device_put(np.ascontiguousarray(y_plane).astype(np.int32))
+    qpj = jnp.int32(qp)
 
     me_sizes = sorted([s for s in sizes if s >= ME_SIZES_MIN], reverse=True)
-    # per (list, ref, size): integer-MV grids feeding the children's centers
-    parent_mv = {}
-    # per size: best uni MV per list (ref 0 ... n), then bi check, then RD
-    inter = {}   # size -> dict of per-block arrays
+    packed_by_size = {}
+    parents = {}
     for s in me_sizes:
-        per_list = []
-        for li, refs in enumerate((refs_l0, refs_l1 if is_b else [])):
-            best = None
-            for ridx, ref in enumerate(refs):
-                centers = None
-                radius = search_range
-                pk = (li, ridx, 2 * s)
-                if pk in parent_mv:
-                    pmx, pmy, pny, pnx = parent_mv[pk]
-                    cny, cnx = h // s, w // s
-                    iy = np.minimum(np.arange(cny) // 2, pny - 1)
-                    ix = np.minimum(np.arange(cnx) // 2, pnx - 1)
-                    centers = (pmx[np.ix_(iy, ix)].ravel(),
-                               pmy[np.ix_(iy, ix)].ravel())
-                    radius = CHILD_RADIUS
-                fx, fy, cost, blocks_np, xs, ys, ny, nx = _me_one_ref(
-                    y_plane, ref, phase[id(ref)], s, qp, radius, centers)
-                parent_mv[(li, ridx, s)] = ((fx // 4).reshape(ny, nx),
-                                            (fy // 4).reshape(ny, nx),
-                                            ny, nx)
-                if best is None:
-                    best = [fx, fy, cost, np.full(len(fx), ridx)]
-                else:
-                    upd = cost < best[2]
-                    best[0] = np.where(upd, fx, best[0])
-                    best[1] = np.where(upd, fy, best[1])
-                    best[2] = np.where(upd, cost, best[2])
-                    best[3] = np.where(upd, ridx, best[3])
-            if best is not None:
-                best = _neighbor_adopt(blocks_np, refs, phase, best, s,
-                                       xs, ys, ny, nx, lam_m)
-            per_list.append(best)
-        blocks_np, xs, ys, ny, nx = _blocks_grid(y_plane, s)
-        n = len(blocks_np)
-        l0 = per_list[0]
+        has_parent = bool(parents)
+        # dict order must be stable across trace/call: key-sorted tuple
+        pt = tuple(parents[k] for k in sorted(parents)) if parents else ()
+        packed, parents = _me_size_program(
+            y_dev, phase, qpj, s, search_range if not has_parent
+            else CHILD_RADIUS, bit_depth, w, h, n_l0, n_l1, is_b, affine,
+            has_parent, pt)
+        packed_by_size[s] = packed
 
-        def sel_pred(refs, best):
-            """Per-block prediction at (best mv, best ref): gather per ref,
-            select by the block's chosen ref index."""
-            out = None
-            for ridx, ref in enumerate(refs):
-                p = gather_pred_planes(
-                    phase[id(ref)], jnp.asarray(xs), jnp.asarray(ys),
-                    jnp.asarray(best[0]), jnp.asarray(best[1]), s)
-                m = jnp.asarray(best[3] == ridx)[:, None, None]
-                out = p if out is None else jnp.where(m, p, out)
-            return out
-
-        dirs = np.ones(n, dtype=np.int32)
-        if is_b and per_list[1] is not None:
-            l1 = per_list[1]
-            # uni choice by SATD cost, then test bi (average of both best)
-            dirs = np.where(l1[2] < l0[2], 2, 1).astype(np.int32)
-            p0 = sel_pred(refs_l0, l0)
-            p1 = sel_pred(refs_l1, l1)
-            pbi = (p0 + p1 + 1) >> 1
-            ob = jnp.asarray(blocks_np, dtype=jnp.int32)
-            cbi = np.asarray(satd_batch(pbi, ob)).astype(np.float64) \
-                + math.sqrt(lam) * 8.0
-            cuni = np.where(dirs == 2, l1[2], l0[2])
-            dirs = np.where(cbi < cuni, 3, dirs)
-            pred_dev = jnp.where((jnp.asarray(dirs) == 3)[:, None, None], pbi,
-                                 jnp.where((jnp.asarray(dirs) == 2)
-                                           [:, None, None], p1, p0))
-        else:
-            pred_dev = sel_pred(refs_l0, l0)
-        # signalling bits: MVD vs the left-neighbour predictor (AMVP-rate
-        # analog; merge-adopted MVs get near-zero MVD) + flags
-        pmx = l0[0].reshape(ny, nx).copy()
-        pmy = l0[1].reshape(ny, nx).copy()
-        pmx[:, 1:], pmy[:, 1:] = pmx[:, :-1], pmy[:, :-1]
-        pmx[:, 0] = 0
-        pmy[:, 0] = 0
-        mvb = (np.log2(1 + np.abs(l0[0] - pmx.ravel()))
-               + np.log2(1 + np.abs(l0[1] - pmy.ravel()))) + 6.0
-        rd = np.asarray(_inter_rd(jnp.asarray(blocks_np, dtype=jnp.int32),
-                                  pred_dev, s, jnp.int32(qp), bit_depth,
-                                  jnp.asarray(mvb, dtype=jnp.float32)))
-        aff = np.zeros(n, np.int32)
-        acp0 = acp1 = None
-        if affine and s in AFFINE_ME_SIZES:
-            apred, acp0, acp1, adir = _affine_candidates(
-                blocks_np, xs, ys, s, per_list, refs_l0, refs_l1, phase,
-                is_b, qp, bit_depth)
-            acpb = (np.log2(1.0 + np.abs(acp0[:, :2]).sum(axis=(1, 2)))
-                    + AFFINE_BITS)
-            ard = np.asarray(_inter_rd(
-                jnp.asarray(blocks_np, dtype=jnp.int32),
-                jnp.asarray(apred), s, jnp.int32(qp), bit_depth,
-                jnp.asarray(acpb, dtype=jnp.float32)))
-            upd = ard < rd
-            aff = np.where(upd, 4, 0).astype(np.int32)
-            rd = np.where(upd, ard, rd)
-            dirs = np.where(upd, adir, dirs)
-        ent = {"cost": rd.reshape(ny, nx),
-               "dir": dirs.reshape(ny, nx),
-               "mvx0": l0[0].reshape(ny, nx), "mvy0": l0[1].reshape(ny, nx),
-               "ref0": l0[3].reshape(ny, nx),
-               "aff": aff.reshape(ny, nx)}
-        if acp0 is not None:
-            ent["cp0"] = acp0.reshape(ny, nx, 3, 2)
-            ent["cp1"] = acp1.reshape(ny, nx, 3, 2)
-        if is_b and per_list[1] is not None:
-            ent.update({"mvx1": l1[0].reshape(ny, nx),
-                        "mvy1": l1[1].reshape(ny, nx),
-                        "ref1": l1[3].reshape(ny, nx)})
+    # single sync point: pull every size's packed vector (queued async)
+    intra_res = unpack_results(np.asarray(packed_intra), sizes, w, h)
+    inter = {}
+    for s in me_sizes:
+        v = np.asarray(packed_by_size[s])
+        ny, nx = h // s, w // s
+        n = ny * nx
+        ent = {}
+        off = 0
+        for f in _FIELDS:
+            fv = v[off:off + n]
+            ent[f] = (fv if f == "cost"
+                      else fv.astype(np.int32)).reshape(ny, nx)
+            off += n
+        ent["cp0"] = v[off:off + n * 6].astype(np.int32) \
+            .reshape(ny, nx, 3, 2)
+        off += n * 6
+        ent["cp1"] = v[off:off + n * 6].astype(np.int32) \
+            .reshape(ny, nx, 3, 2)
         inter[s] = ent
 
     return _dp_backtrack_inter(intra_res, inter, w, h, qp, sizes, ctu_size,

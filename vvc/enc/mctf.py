@@ -19,8 +19,8 @@ import math
 import numpy as np
 
 from vvc.io.yuv import Frame
-from vvc.kernels.mc import interp_luma_planes, gather_pred_planes
-from vvc.enc.inter_search import _me_one_ref
+from vvc.kernels.mc import interp_luma_planes
+from vvc.enc.inter_search import me_pred_program
 
 BLOCK = 16
 
@@ -28,22 +28,20 @@ BLOCK = 16
 def _me_pred(cur_y: np.ndarray, ref_y: np.ndarray, bit_depth: int,
              radius: int = 8):
     """Motion-compensate ref toward cur at BLOCK granularity; returns the
-    prediction plane and the per-block SSE error map."""
+    prediction plane and the per-block SSE error map (one device
+    program — ME, gather, MSE and plane assembly all fused)."""
     import jax.numpy as jnp
+    import jax
     phase = interp_luma_planes(ref_y, bit_depth)
-    fx, fy, cost, blocks, xs, ys, ny, nx = _me_one_ref(
-        cur_y, ref_y, phase, BLOCK, qp=32, radius=radius)
-    pred = np.asarray(gather_pred_planes(
-        phase, jnp.asarray(xs), jnp.asarray(ys),
-        jnp.asarray(fx), jnp.asarray(fy), BLOCK))
     h, w = cur_y.shape
-    plane = np.zeros((ny * BLOCK, nx * BLOCK), dtype=np.int32)
-    err = np.zeros((ny, nx))
-    for i in range(len(xs)):
-        plane[ys[i]:ys[i] + BLOCK, xs[i]:xs[i] + BLOCK] = pred[i]
-        d = pred[i].astype(np.int64) - blocks[i]
-        err[ys[i] // BLOCK, xs[i] // BLOCK] = (d * d).mean()
+    lam_m = math.sqrt(0.57 * 2.0 ** ((32 - 12) / 3.0))
+    plane_d, err_d = me_pred_program(
+        jax.device_put(np.ascontiguousarray(cur_y).astype(np.int32)),
+        phase, BLOCK, radius, w, h, jnp.float32(lam_m))
+    plane = np.asarray(plane_d)
+    err = np.asarray(err_d).astype(np.float64)
     full = cur_y.copy()
+    ny, nx = err.shape
     full[:ny * BLOCK, :nx * BLOCK] = plane
     return full, err
 
