@@ -182,19 +182,29 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
     numpy oracle path.
     """
     has_inter = any(l.pred == 1 for l in leaves)
-    has_rect = any(l.w != l.h for l in leaves)
-    has_isp = any(l.isp for l in leaves)
-    encode_lossless = lossless and orig_planes is not None
-    has_bdpcm = any(l.bdpcm for l in leaves)
-    has_mrl = any(l.mrl for l in leaves)
-    if (use_native and not has_inter and not has_rect and not dep_quant
-            and not has_isp and lmcs_chroma is None
-            and not encode_lossless and not has_bdpcm and not has_mrl):
+    if use_native and not lossless and not any(l.bdpcm for l in leaves):
+        # full-tool native core (rect/MTT, ISP, MRL, dep-quant, LMCS
+        # chroma, inter+CIIP) — lossless/BDPCM stay on the numpy oracle
         from vvc.packer import native_recon
         if native_recon.available():
-            return native_recon.reconstruct_leaves_native(
+            pc = pred_cache
+            if has_inter and pc is None:
+                # decoder path: compute every inter leaf's prediction up
+                # front (batched prepass + per-leaf refined/affine/GPM)
+                from vvc.kernels.mc import batch_inter_preds, inter_pred_leaf
+                r0, r1 = refs if refs is not None else ([], [])
+                pc = batch_inter_preds(leaves, r0, r1, bit_depth,
+                                       inter_cfg)
+                for i, l in enumerate(leaves):
+                    if l.pred == 1 and i not in pc:
+                        pc[i] = tuple(
+                            inter_pred_leaf(l, comp, r0, r1, bit_depth,
+                                            inter_cfg)
+                            for comp in range(3))
+            return native_recon.reconstruct_leaves_native_v2(
                 leaves, recon_planes, qp, bit_depth, orig_planes,
-                chroma_qp_fn=chroma_qp, lossless=lossless)
+                chroma_qp_fn=chroma_qp, dep_quant=dep_quant,
+                pred_cache=pc, lmcs_chroma=lmcs_chroma)
     refs_l0, refs_l1 = refs if refs is not None else ([], [])
     y_pl, cb_pl, cr_pl = recon_planes
     h, w = y_pl.shape

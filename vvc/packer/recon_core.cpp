@@ -975,3 +975,608 @@ void alf_delta_classified_c(const int32_t* rec, int h, int w,
 }
 
 }  // extern "C"
+
+// ===========================================================================
+// v2: full-tool sequential reconstruction — rect/MTT leaves (wide-angle
+// intra), MRL reference lines, ISP sub-TUs (implicit DST7), dependent
+// quantization, LMCS chroma residual scaling, inter leaves (prediction
+// supplied by the batched MC prepass / mode-decision pass), CIIP blending.
+// Mirrors vvc/model/recon.py reconstruct_leaves bit-exactly (tests).
+// Reference: DecCu.cpp xReconIntraQT/xReconInter; IntraSearch.cpp
+// xIntraCodingTUBlock; the SIMD-everywhere architecture of
+// CommonLib/x86/*X86.h (SURVEY.md §2.2) — the tools-on path must never
+// fall back to per-leaf interpreted code (VERDICT r3 task 1).
+// ===========================================================================
+
+namespace {
+
+// extended intraPredAngle table (wide-angle modes; spec 8.4.5.2.7 range)
+const int ABS_ANG_EXT[33] = {0, 1, 2, 3, 4, 6, 8, 10, 12, 14, 16, 18, 20,
+                             23, 26, 29, 32, 35, 39, 45, 51, 57, 64, 73,
+                             86, 102, 128, 171, 256, 341, 512, 682, 1024};
+
+int pred_angle_ext(int vmode) {
+  int idx = vmode - 50;
+  int a = ABS_ANG_EXT[idx < 0 ? -idx : idx];
+  return idx < 0 ? -a : a;
+}
+
+int log2i(int v) { int l = 0; while ((1 << l) < v) l++; return l; }
+
+// mirror of vvc/kernels/intra.py wide_angle_remap (spec 8.4.5.2.7)
+int wide_angle_remap_c(int mode, int w, int h) {
+  if (w == h || mode < 2 || mode > 66) return mode;
+  int d = log2i(w) - log2i(h);
+  int ratio = d < 0 ? -d : d;
+  if (ratio > 2) ratio = 2;
+  if (w > h && mode < (ratio > 1 ? 8 + 2 * ratio : 8)) return mode + 65;
+  if (h > w && mode > (ratio > 1 ? 60 - 2 * ratio : 60)) return mode - 67;
+  return mode;
+}
+
+// rect reference line: C of length 2H+2W+3 (left 2H reversed, corner,
+// top 2W, 2 pads) — mirror of build_ref_line_rect
+void build_ref_line_rect_c(const int32_t* plane, int ph, int pw,
+                           const uint8_t* coded, int cw4, int x0, int y0,
+                           int bw, int bh, int bit_depth, int log2_unit,
+                           int32_t* c) {
+  int n = 2 * bh + 2 * bw + 3;
+  std::vector<uint8_t> avail(n, 0);
+  std::memset(c, 0, sizeof(int32_t) * n);
+  if (x0 > 0) {
+    for (int k = 0; k < 2 * bh; k++) {
+      int py = y0 + k;
+      int pyc = py < ph - 1 ? py : ph - 1;
+      if (py < ph &&
+          coded[(pyc >> log2_unit) * cw4 + ((x0 - 1) >> log2_unit)]) {
+        c[2 * bh - 1 - k] = plane[pyc * pw + x0 - 1];
+        avail[2 * bh - 1 - k] = 1;
+      }
+    }
+  }
+  if (x0 > 0 && y0 > 0 &&
+      coded[((y0 - 1) >> log2_unit) * cw4 + ((x0 - 1) >> log2_unit)]) {
+    c[2 * bh] = plane[(y0 - 1) * pw + x0 - 1];
+    avail[2 * bh] = 1;
+  }
+  if (y0 > 0) {
+    for (int k = 0; k < 2 * bw; k++) {
+      int px = x0 + k;
+      int pxc = px < pw - 1 ? px : pw - 1;
+      if (px < pw &&
+          coded[((y0 - 1) >> log2_unit) * cw4 + (pxc >> log2_unit)]) {
+        c[2 * bh + 1 + k] = plane[(y0 - 1) * pw + pxc];
+        avail[2 * bh + 1 + k] = 1;
+      }
+    }
+  }
+  int lim = 2 * bh + 2 * bw + 1;
+  int first = -1;
+  for (int i = 0; i < lim; i++)
+    if (avail[i]) { first = i; break; }
+  if (first < 0) {
+    for (int i = 0; i < n; i++) c[i] = 1 << (bit_depth - 1);
+    return;
+  }
+  for (int i = 0; i < first; i++) c[i] = c[first];
+  for (int i = first + 1; i < lim; i++)
+    if (!avail[i]) c[i] = c[i - 1];
+  c[lim] = c[lim - 1];
+  c[lim + 1] = c[lim - 1];
+}
+
+// MRL reference line at offset k (square; mirror of build_ref_line_mrl —
+// the offset line substitutes as the adjacent line, alternative-line
+// deviation documented there)
+void build_ref_line_mrl_c(const int32_t* plane, int ph, int pw,
+                          const uint8_t* coded, int cw4, int x0, int y0,
+                          int s, int bit_depth, int k, int log2_unit,
+                          int32_t* c) {
+  int n = 4 * s + 3;
+  std::vector<uint8_t> avail(n, 0);
+  std::memset(c, 0, sizeof(int32_t) * n);
+  int xl = x0 - 1 - k, yt = y0 - 1 - k;
+  if (xl >= 0) {
+    for (int i = 0; i < 2 * s; i++) {
+      int py = y0 + i;
+      int pyc = py < ph - 1 ? py : ph - 1;
+      if (py < ph && coded[(pyc >> log2_unit) * cw4 + (xl >> log2_unit)]) {
+        c[2 * s - 1 - i] = plane[pyc * pw + xl];
+        avail[2 * s - 1 - i] = 1;
+      }
+    }
+  }
+  if (xl >= 0 && yt >= 0 &&
+      coded[(yt >> log2_unit) * cw4 + (xl >> log2_unit)]) {
+    c[2 * s] = plane[yt * pw + xl];
+    avail[2 * s] = 1;
+  }
+  if (yt >= 0) {
+    for (int i = 0; i < 2 * s; i++) {
+      int px = x0 + i;
+      int pxc = px < pw - 1 ? px : pw - 1;
+      if (px < pw && coded[(yt >> log2_unit) * cw4 + (pxc >> log2_unit)]) {
+        c[2 * s + 1 + i] = plane[yt * pw + pxc];
+        avail[2 * s + 1 + i] = 1;
+      }
+    }
+  }
+  int lim = 4 * s + 1;
+  int first = -1;
+  for (int i = 0; i < lim; i++)
+    if (avail[i]) { first = i; break; }
+  if (first < 0) {
+    for (int i = 0; i < n; i++) c[i] = 1 << (bit_depth - 1);
+    return;
+  }
+  for (int i = 0; i < first; i++) c[i] = c[first];
+  for (int i = first + 1; i < lim; i++)
+    if (!avail[i]) c[i] = c[i - 1];
+  c[lim] = c[lim - 1];
+  c[lim + 1] = c[lim - 1];
+}
+
+// v-space angular prediction (wv×hv block, extended vertical-family mode
+// 34..82) incl. angular PDPC — mirror of angular_tables4_rect +
+// apply_pdpc_ang_np evaluated inline
+void predict_ang_vspace(const int32_t* cc, int vmode, int wv, int hv,
+                        int32_t* pv) {
+  int angle = pred_angle_ext(vmode);
+  int ia = angle < 0 ? inv_angle(angle) : 0;
+  int smooth_mode = vmode <= 66 ? vmode : 66;
+  int log2s = (log2i(wv) + log2i(hv)) >> 1;
+  const int32_t* filt = use_smooth_filter(smooth_mode, log2s) ? g_fg : g_fc;
+  int base = 2 * hv, last = 2 * hv + 2 * wv + 2;
+  auto c_pos = [&](int k) -> int {
+    if (k >= 0) return base + k <= last ? base + k : last;
+    int i = -k;
+    int v = base - ((i * ia + 256) >> 9);
+    return v < 0 ? 0 : v;
+  };
+  for (int y = 0; y < hv; y++) {
+    int off = ((y + 1) * angle) >> 5;
+    int f = ((y + 1) * angle) & 31;
+    const int32_t* fr = filt + 4 * f;
+    for (int x = 0; x < wv; x++) {
+      int e = x + off + 1;
+      int acc = 32;
+      for (int k = 0; k < 4; k++) acc += fr[k] * cc[c_pos(e + k - 1)];
+      pv[y * wv + x] = acc >> 6;
+    }
+  }
+  // angular PDPC (mirror of pdpc_ang_tables: diff form at 50, avg form
+  // 51..82)
+  if (vmode == 50) {
+    int scale = (log2i(wv) + log2i(hv) - 2) >> 2;
+    int corner = cc[2 * hv];
+    for (int y = 0; y < hv; y++) {
+      int left = cc[2 * hv - 1 - y];
+      for (int x = 0; x < wv; x++) {
+        int sh = (2 * x) >> scale;
+        int wl = sh < 31 ? 32 >> sh : 0;
+        pv[y * wv + x] += (wl * (left - corner)) >> 6;
+      }
+    }
+  } else if (vmode > 50) {
+    int ia2 = inv_angle(angle);
+    int v = 3 * ia2 - 2, fl = 0;
+    while ((1 << (fl + 1)) <= v) fl++;
+    int scale = log2i(hv) - (fl - 8);
+    if (scale > 2) scale = 2;
+    if (scale >= 0) {
+      int xmax = (3 << scale) < wv ? (3 << scale) : wv;
+      for (int x = 0; x < xmax; x++) {
+        int sh = (2 * x) >> scale;
+        int wl = sh < 31 ? 32 >> sh : 0;
+        if (!wl) continue;
+        int dy = (256 + (x + 1) * ia2) >> 9;
+        for (int y = 0; y < hv; y++) {
+          int row = y + dy;
+          if (row >= 2 * hv) continue;
+          int ref = cc[2 * hv - 1 - row];
+          int p = pv[y * wv + x];
+          pv[y * wv + x] = p + ((wl * (ref - p) + 32) >> 6);
+        }
+      }
+    }
+  }
+}
+
+// rect intra prediction (mirror of predict_intra_rect); c has layout
+// [left 2H rev, corner, top 2W, 2 pads]
+void predict_intra_rect_c(const int32_t* c, int mode, int bw, int bh,
+                          int bit_depth, int32_t* pred) {
+  int log2w = log2i(bw), log2h = log2i(bh);
+  auto leftv = [&](int k) { return c[2 * bh - 1 - k]; };
+  const int32_t* top = c + 2 * bh + 1;
+  if (mode == PLANAR) {
+    int bl = leftv(bh);
+    int ar = top[bw];
+    for (int y = 0; y < bh; y++)
+      for (int x = 0; x < bw; x++) {
+        int pv = ((bh - 1 - y) * top[x] + (y + 1) * bl) << log2w;
+        int ph = ((bw - 1 - x) * leftv(y) + (x + 1) * ar) << log2h;
+        pred[y * bw + x] = (pv + ph + bw * bh) >> (log2w + log2h + 1);
+      }
+  } else if (mode == DC) {
+    int64_t sum = 0;
+    int dc;
+    if (bw == bh) {
+      for (int k = 0; k < bw; k++) sum += top[k] + leftv(k);
+      dc = (int)((sum + bw) >> (log2w + 1));
+    } else if (bw > bh) {
+      for (int k = 0; k < bw; k++) sum += top[k];
+      dc = (int)((sum + (bw >> 1)) >> log2w);
+    } else {
+      for (int k = 0; k < bh; k++) sum += leftv(k);
+      dc = (int)((sum + (bh >> 1)) >> log2h);
+    }
+    for (int i = 0; i < bw * bh; i++) pred[i] = dc;
+  } else {
+    int m = wide_angle_remap_c(mode, bw, bh);
+    if (m >= DIA) {
+      std::vector<int32_t> pv(bw * bh);
+      predict_ang_vspace(c, m, bw, bh, pv.data());
+      std::memcpy(pred, pv.data(), sizeof(int32_t) * bw * bh);
+    } else {
+      // horizontal family: reversed line, v-space (h, w), transpose
+      int lim = 2 * bh + 2 * bw + 1;
+      std::vector<int32_t> ct(lim + 2);
+      for (int i = 0; i < lim; i++) ct[i] = c[lim - 1 - i];
+      ct[lim] = ct[lim - 1];
+      ct[lim + 1] = ct[lim - 1];
+      std::vector<int32_t> pv(bw * bh);
+      predict_ang_vspace(ct.data(), 68 - m, bh, bw, pv.data());
+      for (int y = 0; y < bw; y++)
+        for (int x = 0; x < bh; x++)
+          pred[x * bw + y] = pv[y * bh + x];
+    }
+  }
+  if ((mode == PLANAR || mode == DC) && (bw < bh ? bw : bh) >= 4) {
+    int scale = (log2w + log2h - 2) >> 2;
+    for (int y = 0; y < bh; y++) {
+      int sh_y = (2 * y) >> scale;
+      int wt = sh_y < 31 ? 32 >> sh_y : 0;
+      for (int x = 0; x < bw; x++) {
+        int sh_x = (2 * x) >> scale;
+        int wl = sh_x < 31 ? 32 >> sh_x : 0;
+        int64_t p = (int64_t)wl * leftv(y) + (int64_t)wt * top[x] +
+                    (int64_t)(64 - wl - wt) * pred[y * bw + x] + 32;
+        pred[y * bw + x] = (int32_t)(p >> 6);
+      }
+    }
+  }
+  int mx = (1 << bit_depth) - 1;
+  for (int i = 0; i < bw * bh; i++) {
+    int vv = pred[i];
+    pred[i] = vv < 0 ? 0 : (vv > mx ? mx : vv);
+  }
+}
+
+// rect transforms (mirror of fwd/inv_transform_np)
+void fwd_tr_wh(const int32_t* resi, int bw, int bh, int bit_depth,
+               int tr_h, int tr_v, int32_t* coeff) {
+  int log2w = log2i(bw), log2h = log2i(bh);
+  const int32_t* th = g_mats_t[tr_h][log2w];
+  const int32_t* tv = g_mats_t[tr_v][log2h];
+  int shift1 = log2w + bit_depth - 9;
+  int shift2 = log2h + 6;
+  std::vector<int64_t> tmp(bw * bh);
+  for (int y = 0; y < bh; y++)
+    for (int u = 0; u < bw; u++) {
+      int64_t acc = 0;
+      for (int x = 0; x < bw; x++)
+        acc += (int64_t)resi[y * bw + x] * th[u * bw + x];
+      tmp[y * bw + u] = (acc + (1 << (shift1 - 1))) >> shift1;
+    }
+  for (int v = 0; v < bh; v++)
+    for (int u = 0; u < bw; u++) {
+      int64_t acc = 0;
+      for (int y = 0; y < bh; y++)
+        acc += (int64_t)tv[v * bh + y] * tmp[y * bw + u];
+      int64_t r = (acc + (1 << (shift2 - 1))) >> shift2;
+      coeff[v * bw + u] =
+          r < -32768 ? -32768 : (r > 32767 ? 32767 : (int32_t)r);
+    }
+}
+
+void inv_tr_wh(const int32_t* coeff, int bw, int bh, int bit_depth,
+               int tr_h, int tr_v, int32_t* resi) {
+  int log2w = log2i(bw), log2h = log2i(bh);
+  const int32_t* th = g_mats_t[tr_h][log2w];
+  const int32_t* tv = g_mats_t[tr_v][log2h];
+  int shift2 = 20 - bit_depth;
+  std::vector<int64_t> tmp(bw * bh);
+  for (int y = 0; y < bh; y++)
+    for (int u = 0; u < bw; u++) {
+      int64_t acc = 0;
+      for (int v = 0; v < bh; v++)
+        acc += (int64_t)tv[v * bh + y] * coeff[v * bw + u];
+      int64_t r = (acc + 64) >> 7;
+      tmp[y * bw + u] = r < -32768 ? -32768 : (r > 32767 ? 32767 : r);
+    }
+  for (int y = 0; y < bh; y++)
+    for (int x = 0; x < bw; x++) {
+      int64_t acc = 0;
+      for (int u = 0; u < bw; u++) acc += tmp[y * bw + u] * th[u * bw + x];
+      int64_t r = (acc + (1 << (shift2 - 1))) >> shift2;
+      resi[y * bw + x] =
+          r < -32768 ? -32768 : (r > 32767 ? 32767 : (int32_t)r);
+    }
+}
+
+// rect-aware scalar quant (sqrt2-compensated scales on odd log2 area;
+// intra/inter dead-zone offsets 171/85 — mirror of quant_np/dequant_np;
+// rect scales derived exactly like rom/transform_mats.py *_RECT)
+int64_t rect_qscale(int base) { return ((int64_t)base * 181 + 128) >> 8; }
+int64_t rect_iqscale(int base) { return ((int64_t)base * 181 + 64) >> 7; }
+
+int quant_wh(const int32_t* coeff, int bw, int bh, int qp, int bit_depth,
+             int intra, int32_t* lev) {
+  int log2w = log2i(bw), log2h = log2i(bh);
+  int tshift = 15 - bit_depth - ((log2w + log2h) >> 1);
+  int qbits = 14 + qp / 6 + tshift;
+  int rect = (log2w + log2h) & 1;
+  int64_t scale = rect ? rect_qscale(QUANT_SCALES[qp % 6])
+                       : QUANT_SCALES[qp % 6];
+  int64_t offset = (int64_t)(intra ? 171 : 85) << (qbits - 9);
+  int nz = 0;
+  for (int i = 0; i < bw * bh; i++) {
+    int64_t a = coeff[i] < 0 ? -(int64_t)coeff[i] : coeff[i];
+    int64_t l = (a * scale + offset) >> qbits;
+    if (l > 32767) l = 32767;
+    lev[i] = coeff[i] < 0 ? (int32_t)-l : (int32_t)l;
+    nz |= l != 0;
+  }
+  return nz;
+}
+
+void dequant_wh(const int32_t* lev, int bw, int bh, int qp, int bit_depth,
+                int32_t* coeff) {
+  int log2w = log2i(bw), log2h = log2i(bh);
+  int tshift = 15 - bit_depth - ((log2w + log2h) >> 1);
+  int shift = 6 - tshift;
+  int rect = (log2w + log2h) & 1;
+  int64_t scale = rect ? rect_iqscale(INV_QUANT_SCALES[qp % 6])
+                       : INV_QUANT_SCALES[qp % 6];
+  int sh6 = qp / 6;
+  int64_t guard = DEQ_GUARD >> sh6;
+  for (int i = 0; i < bw * bh; i++) {
+    int64_t lv = (int64_t)lev[i] * scale;
+    if (lv > guard) lv = guard;
+    if (lv < -guard) lv = -guard;
+    lv <<= sh6;
+    int64_t cfin;
+    if (shift > 0)
+      cfin = (lv + (1 << (shift - 1))) >> shift;
+    else
+      cfin = lv << (-shift);
+    coeff[i] = cfin < -32768 ? -32768 : (cfin > 32767 ? 32767 : (int32_t)cfin);
+  }
+}
+
+// ISP geometry (mirror of vvc/kernels/isp.py)
+int isp_parts_c(int bw, int bh, int dir, int parts[4][4]) {
+  if (dir == 1) {              // horizontal
+    int k = bh >= 16 ? 4 : 2;
+    int sh = bh / k;
+    for (int i = 0; i < k; i++) {
+      parts[i][0] = 0; parts[i][1] = i * sh; parts[i][2] = bw;
+      parts[i][3] = sh;
+    }
+    return k;
+  }
+  int k = bw >= 16 ? 4 : 2;    // vertical
+  int sw = bw / k;
+  for (int i = 0; i < k; i++) {
+    parts[i][0] = i * sw; parts[i][1] = 0; parts[i][2] = sw;
+    parts[i][3] = bh;
+  }
+  return k;
+}
+
+void isp_tr_types_c(int sw, int sh, int* th, int* tv) {
+  *th = (sw >= 4 && sw <= 16) ? 1 : 0;   // DST7 : DCT2
+  *tv = (sh >= 4 && sh <= 16) ? 1 : 0;
+}
+
+// one v2 block: predict (unless ext_pred) + transform/quant roundtrip.
+// chroma_scale: cs_fwd/cs_inv (1<<11 fixed point) or 0 = off.
+// Returns cbf.  levels_io indexed [bh][bw] at the given stride.
+int recon_block_v2(int32_t* plane, int ph, int pw, uint8_t* coded, int cw4,
+                   const int32_t* orig, int x0, int y0, int bw, int bh,
+                   int mode, int qp, int bit_depth, int log2_unit,
+                   int32_t* levels_io, int lstride, int enc_mode, int tr_h,
+                   int tr_v, int lfnst, int mrl, int intra_blk,
+                   int dep_quant, double dq_lam, int64_t cs_fwd,
+                   int64_t cs_inv, const int32_t* ext_pred, int ciip) {
+  std::vector<int32_t> pred(bw * bh), buf(bw * bh), buf2(bw * bh);
+  if (ext_pred) {
+    std::memcpy(pred.data(), ext_pred, sizeof(int32_t) * bw * bh);
+    if (ciip) {
+      // CIIP: equal-weight blend with planar from RECON neighbours
+      std::vector<int32_t> c(4 * bw + 3), pl(bw * bh);
+      build_ref_line(plane, ph, pw, coded, cw4, x0, y0, bw, bit_depth,
+                     log2_unit, c.data());
+      predict_intra(c.data(), PLANAR, bw, bit_depth, pl.data());
+      for (int i = 0; i < bw * bh; i++)
+        pred[i] = (pred[i] + pl[i] + 1) >> 1;
+    }
+  } else if (bw == bh) {
+    std::vector<int32_t> c(4 * bw + 3);
+    if (mrl > 0)
+      build_ref_line_mrl_c(plane, ph, pw, coded, cw4, x0, y0, bw,
+                           bit_depth, mrl, log2_unit, c.data());
+    else
+      build_ref_line(plane, ph, pw, coded, cw4, x0, y0, bw, bit_depth,
+                     log2_unit, c.data());
+    if (mode >= 67)
+      predict_mip(c.data(), mode - 67, bw, bit_depth, pred.data());
+    else
+      predict_intra(c.data(), mode, bw, bit_depth, pred.data());
+  } else {
+    std::vector<int32_t> c(2 * bh + 2 * bw + 3);
+    build_ref_line_rect_c(plane, ph, pw, coded, cw4, x0, y0, bw, bh,
+                          bit_depth, log2_unit, c.data());
+    predict_intra_rect_c(c.data(), mode, bw, bh, bit_depth, pred.data());
+  }
+  int cbf = 0;
+  if (enc_mode) {
+    for (int y = 0; y < bh; y++)
+      for (int x = 0; x < bw; x++)
+        buf[y * bw + x] = orig[(y0 + y) * pw + x0 + x] - pred[y * bw + x];
+    if (cs_fwd) {
+      for (int i = 0; i < bw * bh; i++)
+        buf[i] = (int32_t)(((int64_t)buf[i] * cs_fwd + 1024) >> 11);
+    }
+    fwd_tr_wh(buf.data(), bw, bh, bit_depth, tr_h, tr_v, buf2.data());
+    if (lfnst) fwd_lfnst(buf2.data(), bw, mode, lfnst);
+    std::vector<int32_t> lv(bw * bh);
+    if (dep_quant) {
+      quant_depquant(buf2.data(), bw, bh, qp, bit_depth, dq_lam, lv.data());
+      cbf = 0;
+      for (int i = 0; i < bw * bh; i++) cbf |= lv[i] != 0;
+    } else {
+      cbf = quant_wh(buf2.data(), bw, bh, qp, bit_depth, intra_blk,
+                     lv.data());
+    }
+    for (int y = 0; y < bh; y++)
+      for (int x = 0; x < bw; x++)
+        levels_io[y * lstride + x] = lv[y * bw + x];
+  } else {
+    if (levels_io)
+      for (int y = 0; y < bh && !cbf; y++)
+        for (int x = 0; x < bw; x++)
+          if (levels_io[y * lstride + x]) { cbf = 1; break; }
+  }
+  int mx = (1 << bit_depth) - 1;
+  if (cbf) {
+    std::vector<int32_t> lv(bw * bh);
+    for (int y = 0; y < bh; y++)
+      for (int x = 0; x < bw; x++)
+        lv[y * bw + x] = levels_io[y * lstride + x];
+    if (dep_quant)
+      dequant_depquant(lv.data(), bw, bh, qp, bit_depth, buf2.data());
+    else
+      dequant_wh(lv.data(), bw, bh, qp, bit_depth, buf2.data());
+    if (lfnst) inv_lfnst(buf2.data(), bw, mode, lfnst);
+    inv_tr_wh(buf2.data(), bw, bh, bit_depth, tr_h, tr_v, buf.data());
+    if (cs_inv) {
+      for (int i = 0; i < bw * bh; i++)
+        buf[i] = (int32_t)(((int64_t)buf[i] * cs_inv + 1024) >> 11);
+    }
+    for (int y = 0; y < bh; y++)
+      for (int x = 0; x < bw; x++) {
+        int v = pred[y * bw + x] + buf[y * bw + x];
+        plane[(y0 + y) * pw + x0 + x] = v < 0 ? 0 : (v > mx ? mx : v);
+      }
+  } else {
+    for (int y = 0; y < bh; y++)
+      for (int x = 0; x < bw; x++)
+        plane[(y0 + y) * pw + x0 + x] = pred[y * bw + x];
+  }
+  // availability marking (mirror: whole block after recon)
+  int u0x = x0 >> log2_unit, u0y = y0 >> log2_unit;
+  int usw = bw >> log2_unit ? bw >> log2_unit : 1;
+  int ush = bh >> log2_unit ? bh >> log2_unit : 1;
+  for (int uy = 0; uy < ush; uy++)
+    std::memset(coded + (u0y + uy) * cw4 + u0x, 1, usw);
+  return cbf;
+}
+
+}  // namespace
+
+extern "C" {
+
+// v2 batched reconstruction — one call per (tile, component).
+// meta: int32 [n][16] = (x0, y0, w, h, pred, luma_mode, tr_h, tr_v,
+//   lfnst, chroma_mode, isp, mrl, ciip, 0, 0, 0) in LUMA coords.
+// comp: 0=Y, 1=Cb, 2=Cr (chroma geometry derived by >>1 here).
+// levels/offsets/cbf per component; preds: packed int32 prediction
+// buffer for inter leaves (this component's geometry), pred_off[i] or -1.
+// cs_*: LMCS chroma scaling tables (17 starts + 16 fwd + 16 inv, null =
+// off); luma_plane: full recon luma (CCLM + LMCS piece derivation).
+void recon_leaves_v2(int32_t* plane, int ph, int pw, uint8_t* coded,
+                     int cw4, const int32_t* orig, const int32_t* meta,
+                     int n, int32_t* levels, const int64_t* offsets,
+                     int32_t* cbf, const int32_t* preds,
+                     const int64_t* pred_off, int qp, int bit_depth,
+                     int log2_unit, int enc_mode, int dep_quant,
+                     double dq_lam, const int64_t* cs_starts,
+                     const int64_t* cs_fwd_t, const int64_t* cs_inv_t,
+                     const int32_t* luma_plane, int lh, int lw, int comp) {
+  std::vector<int32_t> predbuf;
+  for (int i = 0; i < n; i++) {
+    const int32_t* m = meta + 16 * i;
+    int x0 = m[0], y0 = m[1], bw = m[2], bh = m[3];
+    int is_inter = m[4], mode = m[5];
+    int tr_h = m[6], tr_v = m[7], lfnst = m[8], cmode = m[9];
+    int isp = m[10], mrl = m[11], ciip = m[12];
+    int64_t csf = 0, csi = 0;
+    if (comp != 0) {
+      x0 >>= 1; y0 >>= 1; bw >>= 1; bh >>= 1;
+      tr_h = tr_v = 0;
+      lfnst = 0;
+      isp = 0;
+      mrl = 0;
+      if (mode >= 67) mode = 0;   // chroma DM of a MIP leaf = planar
+      if (cs_starts) {
+        // LMCS chroma residual scaling: piece from the mapped-domain
+        // luma recon average of this leaf (luma pass already complete)
+        int64_t sum = 0;
+        int lx0 = m[0], ly0 = m[1], lbw = m[2], lbh = m[3];
+        for (int y = 0; y < lbh; y++)
+          for (int x = 0; x < lbw; x++)
+            sum += luma_plane[(ly0 + y) * lw + lx0 + x];
+        int64_t avg = sum / (lbw * lbh);
+        int pi = 0;
+        for (int k = 1; k <= 16; k++) {
+          if (cs_starts[k] <= avg) pi = k; else break;
+        }
+        if (pi > 15) pi = 15;
+        csf = cs_fwd_t[pi];
+        csi = cs_inv_t[pi];
+      }
+    }
+    int32_t* lv = levels + offsets[i];
+    int32_t* lv_arg = lv;
+    if (!enc_mode && !cbf[i]) lv_arg = nullptr;
+    const int32_t* ext = nullptr;
+    if (is_inter && pred_off[i] >= 0) {
+      ext = preds + pred_off[i];
+    } else if (comp != 0 && cmode >= 1 && luma_plane && !is_inter) {
+      predbuf.resize(bw * bh);
+      cclm_predict(luma_plane, lh, lw, plane, ph, pw, coded, cw4,
+                   log2_unit, x0, y0, bw, bit_depth, predbuf.data(),
+                   cmode);
+      ext = predbuf.data();
+    }
+    if (isp && comp == 0 && !is_inter) {
+      // ISP: sub-TUs in coding order, each seeing the previous through
+      // the availability map; implicit DST7/DCT2 per dimension
+      int parts[4][4];
+      int k = isp_parts_c(bw, bh, isp, parts);
+      int any = 0;
+      for (int p = 0; p < k; p++) {
+        int xo = parts[p][0], yo = parts[p][1];
+        int sw = parts[p][2], sh = parts[p][3];
+        int sth, stv;
+        isp_tr_types_c(sw, sh, &sth, &stv);
+        any |= recon_block_v2(
+            plane, ph, pw, coded, cw4, orig, x0 + xo, y0 + yo, sw, sh,
+            mode, qp, bit_depth, log2_unit, lv + yo * bw + xo, bw,
+            enc_mode, sth, stv, 0, 0, 1, dep_quant, dq_lam, 0, 0,
+            nullptr, 0);
+      }
+      cbf[i] = any;
+    } else {
+      cbf[i] = recon_block_v2(plane, ph, pw, coded, cw4, orig, x0, y0, bw,
+                              bh, mode, qp, bit_depth, log2_unit, lv, bw,
+                              enc_mode, tr_h, tr_v, lfnst, mrl,
+                              is_inter ? 0 : 1, dep_quant, dq_lam, csf,
+                              csi, ext, ciip);
+    }
+  }
+}
+
+}  // extern "C"
