@@ -45,32 +45,48 @@ def bench_ai():
 
 
 def bench_ra1080():
+    """North-star point: 17 frames = one REAL GOP16 (I + full hierarchy),
+    multi-ref RPLs (2 per list — vvc/enc/gop.py), every tool on.
+    VERDICT r3 weak #7: the 9-frame 'GOP16' measured an easier-than-CTC
+    structure.  Per-phase host timings ride the JSON (vvc.utils.perf)."""
     from vvc.io.synth import synth_frame
     from vvc.enc.encoder import encode_sequence
     from vvc.dec.decoder import decode_stream
-    W, H, QP = 1920, 1080, 32
+    from vvc.utils import perf
+    W, H, QP, F = 1920, 1080, 32, 17
     tools = dict(qp=QP, mode="ra", gop_size=16, mtt=True, isp=True,
                  dep_quant=True, bdof=True, dmvr=True, lmcs=True,
                  affine=True, mmvd=True, ciip=True, mctf=True,
                  gpm=True, amvr=True, smvd=True, bcw=True, mrl=True)
-    # warmup: 3-frame mini-RA compiles every (I/B, shape) program once;
-    # with a warm .jax_cache this is fast
-    warm = [synth_frame(W, H, t) for t in range(3)]
-    encode_sequence(warm, **{**tools, "gop_size": 2})
-    frames = [synth_frame(W, H, t) for t in range(9)]
+    # warmup: 5-frame mini-RA compiles every (I/B, ref-count) program
+    # once; with a warm .jax_cache this is fast
+    warm = [synth_frame(W, H, t) for t in range(5)]
+    encode_sequence(warm, **{**tools, "gop_size": 4})
+    frames = [synth_frame(W, H, t) for t in range(F)]
+    perf.reset()
     t0 = time.perf_counter()
     bs, recons, stats = encode_sequence(frames, **tools)
     enc_fps = len(frames) / (time.perf_counter() - t0)
+    phases = {k: round(v / len(frames), 3)
+              for k, v in perf.totals().items()}
     t0 = time.perf_counter()
     decode_stream(bs)
     dec_fps = len(frames) / (time.perf_counter() - t0)
-    return {"metric": "ra_encode_fps_1080p_gop16_tools_on",
-            "value": round(enc_fps, 4), "unit": "frames/s/chip",
-            "vs_baseline": round(enc_fps / VTM_RA1080_ANCHOR_FPS, 4),
-            "decode_fps_1080p": round(dec_fps, 3),
-            "bits": sum(s["bits"] for s in stats),
-            "mean_psnr_y": round(sum(s["psnr_y"] for s in stats)
-                                 / len(stats), 3)}
+    out = {"metric": "ra_encode_fps_1080p_gop16_tools_on",
+           "value": round(enc_fps, 4), "unit": "frames/s/chip",
+           "vs_baseline": round(enc_fps / VTM_RA1080_ANCHOR_FPS, 4),
+           "decode_fps_1080p": round(dec_fps, 3),
+           "bits": sum(s["bits"] for s in stats),
+           "mean_psnr_y": round(sum(s["psnr_y"] for s in stats)
+                                / len(stats), 3),
+           "n_frames": F,
+           "phase_s_per_frame": phases}
+    try:
+        ai = bench_ai()
+        out["ai_encode_fps_416x240_qp32"] = ai["value"]
+    except Exception:
+        pass
+    return out
 
 
 def main():

@@ -292,9 +292,9 @@ class TreeWriter(TreeCoder):
         if x0 >= self.w or y0 >= self.h:
             return
         inside = (x0 + w <= self.w) and (y0 + h <= self.h)
-        if not inside:
-            # implicit QT, no flag (square nodes only — frames are padded
-            # to min-CU multiples, so the implicit cascade ends inside)
+        if not inside or w > 64 or h > 64:
+            # implicit QT, no flag: picture-boundary nodes (spec 7.4.11)
+            # and CTU-128 nodes above MaxCUSize 64 (CommonDef MAX_CU_SIZE)
             half = w >> 1
             for (dx, dy) in ((0, 0), (half, 0), (0, half), (half, half)):
                 self._tree(x0 + dx, y0 + dy, half, half, qt_allowed)
@@ -661,8 +661,9 @@ class TreeWriter(TreeCoder):
             else:
                 assert leaf.mrl == 0, "MRL needs an in-CTU above line"
             # intra_subpartitions_mode_flag (+ split direction when both
-            # legal); reference: CABACWriter::intra_luma_pred_modes ISP part
-            if self.isp_enabled:
+            # legal); spec 7.3.11.5 parses ISP only on ref line 0
+            # (reference: CABACWriter::intra_luma_pred_modes ISP part)
+            if self.isp_enabled and leaf.mrl == 0:
                 from vvc.kernels.isp import isp_allowed
                 can_h, can_v = isp_allowed(w, h)
                 if can_h or can_v:
@@ -795,7 +796,9 @@ class TreeReader(TreeCoder):
         if x0 >= self.w or y0 >= self.h:
             return
         inside = (x0 + w <= self.w) and (y0 + h <= self.h)
-        if not inside:
+        if not inside or w > 64 or h > 64:
+            # implicit QT, no flag: picture-boundary nodes (spec 7.4.11)
+            # and CTU-128 nodes above MaxCUSize 64 (CommonDef MAX_CU_SIZE)
             half = w >> 1
             for (dx, dy) in ((0, 0), (half, 0), (0, half), (half, half)):
                 self._tree(x0 + dx, y0 + dy, half, half, qt_allowed)
@@ -867,6 +870,14 @@ class TreeReader(TreeCoder):
                         i1 = j1 + (1 if j1 >= i0 else 0)
                         cands = self._merge_list(x0, y0, size)
                         uni = gpm_uni_candidates(cands)
+                        # corrupt-stream guard: coded gpm indices must land
+                        # on real uni candidates (matches the 'termination
+                        # missing' style of stream validation)
+                        if (i0 >= len(uni) or i1 >= len(uni)
+                                or uni[i0] is None or uni[i1] is None):
+                            raise ValueError(
+                                "gpm merge idx out of candidate range "
+                                "(corrupt stream)")
                         c0, c1 = uni[i0], uni[i1]
                         lst, pmv, prf = c0
                         mvt = [(0, 0), (0, 0)]
@@ -1077,7 +1088,8 @@ class TreeReader(TreeCoder):
             if (y0 % self.ctu) > 0:
                 if dec.decode_bin(ctxs("INTRA_LUMA_REF_IDX", 0)):
                     mrl = 1 + dec.decode_bin(ctxs("INTRA_LUMA_REF_IDX", 1))
-            if self.isp_enabled:
+            # spec 7.3.11.5: intra_subpartitions syntax only on ref line 0
+            if self.isp_enabled and mrl == 0:
                 from vvc.kernels.isp import isp_allowed
                 can_h, can_v = isp_allowed(w, h)
                 if (can_h or can_v) and dec.decode_bin(ctxs("ISP_MODE", 0)):

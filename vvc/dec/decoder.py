@@ -67,6 +67,13 @@ def decode_stream(data: bytes, verify_hash: bool = True,
             frames.append(frame)
             pocs.append(poc)
             dpb[poc] = frame
+            # DPB window: without spec RPL-based marking the decoder
+            # bounds memory with a sliding POC window far wider than any
+            # GOP structure we emit (reference analog: sps DPB size;
+            # [verify] real ref_pic_list marking once spec HLS lands)
+            for p in [p for p in dpb if p < poc - 64]:
+                del dpb[p]
+                col_dpb.pop(p, None)
         elif nal.nal_type == NalUnitType.SUFFIX_SEI:
             st = _check_hash_sei(nal.payload, frames[-1]) if frames else None
             hash_status.append(st)
@@ -140,15 +147,22 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
                                          sps.bit_depth, sps.lossless)
         else:
             inter_cfg = None
+            fwd_lut = None
             if inter:
                 inter_cfg = {"bdof": sps.bdof, "dmvr": sps.dmvr,
                              "cur_poc": sh.poc, "ref_pocs": ref_pocs}
+                if lmcs_cw is not None:
+                    # inter slices: MC preds (original-domain refs) are
+                    # forward-mapped before residual addition (Reshape)
+                    from vvc.kernels.lmcs import build_luts
+                    fwd_lut, _ = build_luts(lmcs_cw, sps.bit_depth)
             reconstruct_leaves(leaves, recon, sh.qp, sps.bit_depth,
                                lossless=sps.lossless,
                                refs=refs if inter else None,
                                dep_quant=sps.dep_quant,
                                inter_cfg=inter_cfg,
-                               lmcs_chroma=lmcs_cw)
+                               lmcs_chroma=lmcs_cw,
+                               lmcs_fwd_lut=fwd_lut)
 
     def do_wpp_rows():
         from vvc.cabac.sao_syntax import read_sao_params
@@ -271,7 +285,7 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
         for comp in range(3):
             per_comp = {k: v[comp] for k, v in sao_params.items()}
             sao_filter_plane(recon[comp], per_comp, sps.ctu_size,
-                             sps.bit_depth, cols,
+                             sps.bit_depth, tiles,
                              comp_scale=0 if comp == 0 else 1)
     if sps.alf and alf_hdr is not None:
         from vvc.kernels.alf import apply_alf_plane, apply_alf_classified

@@ -567,6 +567,12 @@ def _dp_backtrack_inter(intra_res, inter, w, h, qp, sizes, ctu_size, min_cu):
     def walk(x0, y0, s):
         if x0 >= w or y0 >= h:
             return
+        if s > 64:
+            # MaxCUSize 64: CTU-128 nodes split implicitly (no flag)
+            half = s // 2
+            for dx, dy in ((0, 0), (half, 0), (0, half), (half, half)):
+                walk(x0 + dx, y0 + dy, half)
+            return
         inside = x0 + s <= w and y0 + s <= h
         if not inside:
             half = s // 2

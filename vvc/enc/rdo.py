@@ -591,9 +591,12 @@ TT_FLAG_BITS = _SB["MTT_SPLIT_BINARY"][0]  # binary flag = 0 (TT)
 
 
 def _candidate_sizes(ctu_size: int, min_cu: int):
+    """Leaf/TB candidate sizes: capped at 64 (MaxCUSize/MaxTbSize 64 —
+    CTU 128 nodes split implicitly before coding; reference: CommonDef
+    MAX_CU_SIZE vs MAX_TB_SIZEY)."""
     sizes = []
     s = min_cu
-    while s <= ctu_size:
+    while s <= min(ctu_size, 64):
         sizes.append(s)
         s <<= 1
     return sizes
@@ -602,7 +605,7 @@ def _candidate_sizes(ctu_size: int, min_cu: int):
 def _candidate_shapes(ctu_size: int, min_cu: int, mtt: bool):
     if mtt:
         from vvc.model.partition import shape_lattice
-        return shape_lattice(ctu_size, True)
+        return shape_lattice(min(ctu_size, 64), True)
     return tuple((s, s) for s in _candidate_sizes(ctu_size, min_cu))
 
 
@@ -840,6 +843,12 @@ def _dp_backtrack(results, w, h, qp, sizes, ctu_size, min_cu, mtt=False):
     def walk(x0, y0, s):
         if x0 >= w or y0 >= h:
             return
+        if s > 64:
+            # MaxCUSize 64: CTU-128 nodes split implicitly (no flag)
+            half = s // 2
+            for dx, dy in ((0, 0), (half, 0), (0, half), (half, half)):
+                walk(x0 + dx, y0 + dy, half)
+            return
         inside = x0 + s <= w and y0 + s <= h
         if not inside:
             half = s // 2
@@ -1037,6 +1046,12 @@ def _dp_backtrack_mtt(results, w, h, qp, shapes, ctu_size, min_cu):
 
     def walk(x0, y0, bw, bh, qt_allowed):
         if x0 >= w or y0 >= h:
+            return
+        if bw > 64 or bh > 64:
+            # MaxCUSize 64: CTU-128 nodes split implicitly (no flag)
+            half = bw >> 1
+            for dx, dy in ((0, 0), (half, 0), (0, half), (half, half)):
+                walk(x0 + dx, y0 + dy, half, half, qt_allowed)
             return
         if not (x0 + bw <= w and y0 + bh <= h):
             half = bw >> 1

@@ -65,8 +65,11 @@ def _component_stats(orig: np.ndarray, rec: np.ndarray, cs: int,
     # EO: flat index (class, ctu, cat 0..4) → two bincounts total
     cats = np.empty((4, h, w), dtype=np.int64)
     for ec in range(4):
-        for t0, t1 in tiles_c:
-            cats[ec, :, t0:t1] = eo_categories_region(rec, t0, t1, ec)
+        for tb in tiles_c:
+            t0, t1 = tb[0], tb[1]
+            r0, r1 = (tb[2], tb[3]) if len(tb) == 4 else (0, h)
+            cats[ec, r0:r1, t0:t1] = eo_categories_region(rec, t0, t1, ec,
+                                                          r0, r1)
     base = (np.arange(4)[:, None, None] * (ny * nx) + ctu_idx[None]) * 5
     flat = (base + cats).reshape(-1)
     nbin = 4 * ny * nx * 5
@@ -131,8 +134,12 @@ def decide_sao_frame(orig_planes, recon_planes, qp: int, bit_depth: int,
     Each component signals complete params ([verify]: the reference shares
     chroma type between cb/cr)."""
     h, w = orig_planes[0].shape
-    tiles_l = [(t0, min(t1, w)) for t0, t1 in tiles]
-    tiles_c = [(t0 >> 1, min(t1 >> 1, w >> 1)) for t0, t1 in tiles]
+    tiles4 = [(tb[0], tb[1], tb[2], tb[3]) if len(tb) == 4
+              else (tb[0], tb[1], 0, h) for tb in tiles]
+    tiles_l = [(x0, min(x1, w), y0, min(y1, h))
+               for x0, x1, y0, y1 in tiles4]
+    tiles_c = [(x0 >> 1, min(x1 >> 1, w >> 1), y0 >> 1,
+                min(y1 >> 1, h >> 1)) for x0, x1, y0, y1 in tiles4]
     per_comp = [
         _decide_component(orig_planes[0], recon_planes[0], ctu_size, qp,
                           bit_depth, tiles_l),

@@ -36,18 +36,23 @@ class SaoParams:
 
 
 def eo_categories(src: np.ndarray, x0: int, y0: int, w: int, h: int,
-                  eo_class: int, lim_x0: int, lim_x1: int) -> np.ndarray:
+                  eo_class: int, lim_x0: int, lim_x1: int,
+                  lim_y0: int = 0, lim_y1: int | None = None) -> np.ndarray:
     """Category map (0..4) for a CTU region of the pre-SAO plane.
 
-    lim_x0/lim_x1: tile x bounds — neighbours outside are unavailable.
+    lim_*: tile bounds — neighbours outside are unavailable (the
+    loop_filter_across_tiles=0 semantics on BOTH axes; ADVICE r3 #2).
     """
     ph, pw = src.shape
+    if lim_y1 is None:
+        lim_y1 = ph
     dx, dy = EO_DIRS[eo_class]
     ys, xs = np.mgrid[y0:y0 + h, x0:x0 + w]
     ax, ay = xs - dx, ys - dy
     bx, by = xs + dx, ys + dy
-    valid = ((ax >= lim_x0) & (ax < lim_x1) & (ay >= 0) & (ay < ph)
-             & (bx >= lim_x0) & (bx < lim_x1) & (by >= 0) & (by < ph))
+    valid = ((ax >= lim_x0) & (ax < lim_x1) & (ay >= lim_y0) & (ay < lim_y1)
+             & (bx >= lim_x0) & (bx < lim_x1) & (by >= lim_y0)
+             & (by < lim_y1))
     axc, ayc = np.clip(ax, 0, pw - 1), np.clip(ay, 0, ph - 1)
     bxc, byc = np.clip(bx, 0, pw - 1), np.clip(by, 0, ph - 1)
     c = src[y0:y0 + h, x0:x0 + w]
@@ -64,13 +69,16 @@ def eo_categories(src: np.ndarray, x0: int, y0: int, w: int, h: int,
 
 
 def eo_categories_region(src: np.ndarray, x0: int, x1: int,
-                         eo_class: int) -> np.ndarray:
-    """Full-height category map for plane columns [x0, x1) with neighbours
+                         eo_class: int, y0: int = 0,
+                         y1: int | None = None) -> np.ndarray:
+    """Category map for the plane rectangle [y0:y1, x0:x1) with neighbours
     limited to the region (tile) — pure slicing, no index gathers.  Equal
     to assembling per-CTU eo_categories over the region (encoder stats
     fast path)."""
+    if y1 is None:
+        y1 = src.shape[0]
     dx, dy = EO_DIRS[eo_class]
-    c = src[:, x0:x1].astype(np.int32)
+    c = src[y0:y1, x0:x1].astype(np.int32)
     h, w = c.shape
     p = np.pad(c, 1, mode="edge")
     na = p[1 - dy:1 - dy + h, 1 - dx:1 - dx + w]
@@ -92,7 +100,8 @@ def eo_categories_region(src: np.ndarray, x0: int, x1: int,
 
 def apply_sao_region(dst: np.ndarray, src: np.ndarray, params: SaoParams,
                      x0: int, y0: int, w: int, h: int, bit_depth: int,
-                     lim_x0: int, lim_x1: int):
+                     lim_x0: int, lim_x1: int, lim_y0: int = 0,
+                     lim_y1: int | None = None):
     """Apply one CTU's SAO in place on dst (classify from src)."""
     if params.mode == SAO_OFF:
         return
@@ -104,7 +113,8 @@ def apply_sao_region(dst: np.ndarray, src: np.ndarray, params: SaoParams,
         for k in range(4):
             off[band == ((params.band_pos + k) & 31)] = params.offsets[k]
     else:
-        cat = eo_categories(src, x0, y0, w, h, params.eo_class, lim_x0, lim_x1)
+        cat = eo_categories(src, x0, y0, w, h, params.eo_class, lim_x0,
+                            lim_x1, lim_y0, lim_y1)
         lut = np.array([0] + list(params.offsets), dtype=np.int32)
         off = lut[cat]
     dst[y0:y0 + h, x0:x0 + w] = np.clip(region + off, 0, maxv)
@@ -115,7 +125,8 @@ def sao_filter_plane(plane: np.ndarray, ctu_params: dict, ctu_size: int,
     """Apply per-CTU SAO over a whole plane in place.
 
     ctu_params: {(ctu_x, ctu_y) luma coords: SaoParams}.  comp_scale=1 for
-    chroma (halved geometry).  tile_bounds: [(tx0, tx1), ...] luma coords.
+    chroma (halved geometry).  tile_bounds: [(tx0, tx1, ty0, ty1), ...]
+    luma coords (2-tuples = full-height columns, back-compat).
     """
     src = plane.copy()
     h, w = plane.shape
@@ -125,10 +136,13 @@ def sao_filter_plane(plane: np.ndarray, ctu_params: dict, ctu_size: int,
         if x0 >= w or y0 >= h:
             continue
         rw, rh = min(cs, w - x0), min(cs, h - y0)
-        lim = (0, w)
-        for tx0, tx1 in tile_bounds:
+        lim = (0, w, 0, h)
+        for tb in tile_bounds:
+            tx0, tx1 = tb[0], tb[1]
+            ty0, ty1 = (tb[2], tb[3]) if len(tb) == 4 else (0, h << comp_scale)
             t0, t1 = tx0 >> comp_scale, tx1 >> comp_scale
-            if t0 <= x0 < t1:
-                lim = (t0, min(t1, w))
+            r0, r1 = ty0 >> comp_scale, ty1 >> comp_scale
+            if t0 <= x0 < t1 and r0 <= y0 < r1:
+                lim = (t0, min(t1, w), r0, min(r1, h))
                 break
         apply_sao_region(plane, src, p, x0, y0, rw, rh, bit_depth, *lim)

@@ -159,7 +159,8 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
                        orig_planes=None, use_native: bool = True,
                        lossless: bool = False, refs=None,
                        dep_quant: bool = False, inter_cfg=None,
-                       lmcs_chroma=None, pred_cache=None):
+                       lmcs_chroma=None, pred_cache=None,
+                       lmcs_fwd_lut=None):
     """Reconstruct all leaves in z-order into recon_planes (y, cb, cr).
 
     Encoder mode: orig_planes given, leaf.lev_* are None → derives and
@@ -176,6 +177,10 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
     pred_cache: {leaf_index: (pred_y, pred_cb, pred_cr)} inter
     predictions computed by the decision pass (encoder) — skips the MC
     recompute here.
+    lmcs_fwd_lut: LMCS forward LUT applied to every inter leaf's LUMA
+    prediction (inter slices code residuals in the mapped domain while
+    references live in the original domain; reference: Reshape /
+    spec 8.7.5.2 — both codec halves apply it here identically).
 
     Dispatches to the native core (vvc.packer.native_recon) when built —
     bit-exact mirror of this function; pass use_native=False to force the
@@ -201,6 +206,9 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
                             inter_pred_leaf(l, comp, r0, r1, bit_depth,
                                             inter_cfg)
                             for comp in range(3))
+            if lmcs_fwd_lut is not None and pc:
+                pc = {i: (lmcs_fwd_lut[p[0]], p[1], p[2])
+                      for i, p in pc.items()}
             return native_recon.reconstruct_leaves_native_v2(
                 leaves, recon_planes, qp, bit_depth, orig_planes,
                 chroma_qp_fn=chroma_qp, dep_quant=dep_quant,
@@ -267,6 +275,8 @@ def reconstruct_leaves(leaves, recon_planes, qp: int, bit_depth: int = 8,
                                           bit_depth, inter_cfg)
                 pred_cr = inter_pred_leaf(leaf, 2, refs_l0, refs_l1,
                                           bit_depth, inter_cfg)
+            if lmcs_fwd_lut is not None:
+                pred_y = lmcs_fwd_lut[pred_y]
             if leaf.ciip:
                 pred_y = _ciip_blend(pred_y, y_pl, coded_y, x0, y0, lw,
                                      bit_depth)
