@@ -85,6 +85,11 @@ def encode_multihost(frames, n_hosts: int = 2, gop_size: int = 16,
                         for f in sub))
         jobs.append((start, yuv, (count, h, w), bit_depth, kwargs))
     if processes and len(jobs) > 1:
+        # children must pin their backend BEFORE importing vvc (spawn
+        # re-imports the module tree; the container's sitecustomize would
+        # otherwise grab the TPU tunnel in every worker).  In production
+        # each host process targets its own slice via this same variable.
+        os.environ.setdefault("VVC_JAX_PLATFORM", "cpu")
         ctx = mp.get_context("spawn")
         with ctx.Pool(len(jobs)) as pool:
             results = pool.map(_encode_segment, jobs)
