@@ -58,11 +58,14 @@ def bench_ra1080():
                  dep_quant=True, bdof=True, dmvr=True, lmcs=True,
                  affine=True, mmvd=True, ciip=True, mctf=True,
                  gpm=True, amvr=True, smvd=True, bcw=True, mrl=True)
-    # warmup: 5-frame mini-RA compiles every (I/B, ref-count) program
-    # once; with a warm .jax_cache this is fast
-    warm = [synth_frame(W, H, t) for t in range(5)]
-    encode_sequence(warm, **{**tools, "gop_size": 4})
+    # warmup: the SAME 17-frame GOP16 structure — a gop_size=4 mini-run
+    # does not compile every (slice-type, ref-count) program variant the
+    # real GOP16 uses, so first-run compiles leaked into the timed
+    # region (VERDICT r4 weak #2: ledgered 0.0493 vs driver 0.0294).
+    # With a warm .jax_cache the warmup costs one encode pass, not the
+    # compiles.
     frames = [synth_frame(W, H, t) for t in range(F)]
+    encode_sequence(frames, **tools)
     perf.reset()
     t0 = time.perf_counter()
     bs, recons, stats = encode_sequence(frames, **tools)

@@ -418,23 +418,28 @@ class Encoder:
         tile_by = tuple(t[0] for t in rows[1:])
         if sps.deblocking and not sps.lossless:
             from vvc.kernels.deblock import deblock_frame
-            deblock_frame(recon, leaves, qp, bd, tile_x_bounds=tile_bx,
-                          tile_y_bounds=tile_by)
+            with perf.phase("filt_deblock"):
+                deblock_frame(recon, leaves, qp, bd, tile_x_bounds=tile_bx,
+                              tile_y_bounds=tile_by)
         sao_params = None
         if sps.sao and not sps.lossless:
             from vvc.enc.sao_enc import decide_sao_frame
             from vvc.kernels.sao import sao_filter_plane
-            sao_params = decide_sao_frame(
-                (frame.y, frame.cb, frame.cr), recon, qp, bd,
-                sps.ctu_size, tiles)
-            for comp in range(3):
-                per_comp = {k: v[comp] for k, v in sao_params.items()}
-                sao_filter_plane(recon[comp], per_comp, sps.ctu_size, bd,
-                                 tiles, comp_scale=0 if comp == 0 else 1)
+            with perf.phase("filt_sao"):
+                sao_params = decide_sao_frame(
+                    (frame.y, frame.cb, frame.cr), recon, qp, bd,
+                    sps.ctu_size, tiles)
+                for comp in range(3):
+                    per_comp = {k: v[comp] for k, v in sao_params.items()}
+                    sao_filter_plane(recon[comp], per_comp, sps.ctu_size,
+                                     bd, tiles,
+                                     comp_scale=0 if comp == 0 else 1)
         alf_hdr = None
         if sps.alf and not sps.lossless:
             from vvc.enc.alf_enc import decide_alf_frame
             from vvc.kernels.alf import apply_alf_plane, apply_delta_gated
+            perf_alf = perf.phase("filt_alf")
+            perf_alf.__enter__()
             luma_c, flags, chroma_c, luma_delta = decide_alf_frame(
                 (frame.y, frame.cb, frame.cr), recon, qp, bd, sps.ctu_size)
             flag_list = [flags[(x0, y0)]
@@ -461,6 +466,7 @@ class Encoder:
                        flag_list if luma_c is not None else None,
                        chroma_c if chroma_c is not None else None,
                        cc_cb, cc_cr)
+            perf_alf.__exit__(None, None, None)
 
         perf_filters.__exit__(None, None, None)
         # phase 4: entropy — WPP row substreams or per-tile (parallel).

@@ -50,6 +50,7 @@ from vvc.kernels.transform import fwd_transform_batch, inv_transform_batch
 from vvc.kernels.quant import quant_batch, dequant_batch
 from vvc.model.frame import Leaf
 from vvc.model.partition import SPLIT_NONE, SPLIT_QT
+from vvc.enc import me as me_mod
 
 ME_SIZES_MIN = 8       # integer ME at sizes >= this (8×8 searches a small
                        # window centered on the parent 16×16 MV)
@@ -59,9 +60,6 @@ CHILD_RADIUS = 8       # refinement radius around the parent-MV center —
                        # Σ child radii (reference: xTZSearch's predictor-
                        # centered window, SURVEY §2.3 InterSearch)
 
-MERGE_CAND_BITS = 3.0   # approximate merge-candidate signalling cost
-AFFINE_ME_SIZES = (16, 32, 64)   # spec: AMVP affine needs w,h >= 16
-AFFINE_BITS = 18.0               # flag + type + extra CPMV MVD overhead
 
 
 def _mv_bits(d):
@@ -172,229 +170,218 @@ def _inter_rd_dev(orig, pred, qp, bit_depth: int, extra_bits):
     return sse + lam * (rate + extra_bits)
 
 
-def _affine_pred_dev(planes, xs, ys, size: int, cp, bit_depth: int):
-    """Device affine luma prediction (PROF-less) from the ref's phase
-    planes: per-4×4-subblock MVs from CPMVs, each subblock gathered at its
-    own quarter-pel phase — the batched analog of affine_pred_batch_np
-    used for SEARCH SCORING (reconstruction runs the normative host
-    predictor).  cp [N,3,2] qpel; returns [N,S,S] int32."""
-    from vvc.kernels.affine import AFF_SHIFT, SB
-    n = cp.shape[0]
-    cpl = cp.astype(jnp.int64)
-    lw = int(size).bit_length() - 1
-    dhx = ((cpl[:, 1, 0] - cpl[:, 0, 0]) << AFF_SHIFT) >> lw
-    dhy = ((cpl[:, 1, 1] - cpl[:, 0, 1]) << AFF_SHIFT) >> lw
-    dvx, dvy = -dhy, dhx                                   # 4-param
-    c = jnp.arange(size // SB, dtype=jnp.int64) * SB + SB // 2
-    bx = ((cpl[:, 0, 0] << AFF_SHIFT)[:, None, None]
-          + dhx[:, None, None] * c[None, None, :]
-          + dvx[:, None, None] * c[None, :, None])
-    by = ((cpl[:, 0, 1] << AFF_SHIFT)[:, None, None]
-          + dhy[:, None, None] * c[None, None, :]
-          + dvy[:, None, None] * c[None, :, None])
-
-    def rnd(v):
-        off = (1 << (AFF_SHIFT - 1))
-        return jnp.where(v >= 0, (v + off) >> AFF_SHIFT,
-                         -((-v + off) >> AFF_SHIFT))
-
-    mvx = jnp.clip(rnd(bx), -(1 << 17), (1 << 17) - 1).astype(jnp.int32)
-    mvy = jnp.clip(rnd(by), -(1 << 17), (1 << 17) - 1).astype(jnp.int32)
-    nb = size // SB
-    sub_x = (xs[:, None, None]
-             + (jnp.arange(nb) * SB)[None, None, :]).astype(jnp.int32)
-    sub_y = (ys[:, None, None]
-             + (jnp.arange(nb) * SB)[None, :, None]).astype(jnp.int32)
-    sub_x = jnp.broadcast_to(sub_x, (n, nb, nb)).reshape(-1)
-    sub_y = jnp.broadcast_to(sub_y, (n, nb, nb)).reshape(-1)
-    pred = gather_pred_planes(planes, sub_x, sub_y,
-                              mvx.reshape(-1), mvy.reshape(-1), SB)
-    return (pred.reshape(n, nb, nb, SB, SB).transpose(0, 1, 3, 2, 4)
-            .reshape(n, size, size))
+def _reorder_children(f, nye: int, nxe: int, ny8: int, nx8: int):
+    """Child field [4·N16e, …] (parent-major, sub (0,0),(0,1),(1,0),(1,1))
+    → raster [ny8·nx8, …]."""
+    tail = f.shape[1:]
+    g = f.reshape((nye, nxe, 2, 2) + tail)
+    perm = (0, 2, 1, 3) + tuple(range(4, 4 + len(tail)))
+    g = g.transpose(perm).reshape((2 * nye, 2 * nxe) + tail)
+    return g[:ny8, :nx8].reshape((-1,) + tail)
 
 
-@partial(jax.jit, static_argnames=("size", "radius", "bit_depth", "w", "h",
-                                  "n_l0", "n_l1", "is_b", "affine",
-                                  "has_parent"))
-def _me_size_program(y, phase, qp, size: int, radius: int, bit_depth: int,
-                     w: int, h: int, n_l0: int, n_l1: int, is_b: bool,
-                     affine: bool, has_parent: bool, parents):
-    """One device program per size class: ME over every (list, ref) +
-    neighbour adoption + bi check + affine + RD.  phase [R,4,4,H,W] stacks
-    the unique refs' quarter-pel planes (list l's ref r = stack index
-    l * n_l0 bookkeeping is done by the caller via l0/l1 index maps: stack
-    holds l0 refs then l1 refs).  parents: {(l, r): (pmx, pmy)} int-pel
-    parent MV grids from the 2× size, or empty.  Returns the per-block
-    result fields + this size's parent grids for the next level."""
-    s = size
-    ny, nx = h // s, w // s
-    n = ny * nx
-    blocks = (y[:ny * s, :nx * s].reshape(ny, s, nx, s)
-              .transpose(0, 2, 1, 3).reshape(-1, s, s))
-    ob = blocks.astype(jnp.int32)
-    bf = blocks.astype(jnp.float32)
-    xs = (jnp.tile(jnp.arange(nx), ny) * s).astype(jnp.int32)
-    ys = (jnp.repeat(jnp.arange(ny), nx) * s).astype(jnp.int32)
-    lam = 0.57 * jnp.exp2((qp.astype(jnp.float32) - 12.0) / 3.0)
-    lam_m = jnp.sqrt(lam)
+def _finish(l0, l1, ob, qp, bit_depth: int, lam_m, ny: int, nx: int,
+            is_b: bool, affine_res):
+    """Per-block list selection + bi check + RD + pack (shared by parent
+    and child grids).  l0/l1: dict(mvy, mvx, cost, pred, ref) raster [N];
+    affine_res: None or per-list list of (cost, cp [N,3,2] (x,y), pred)."""
+    n = ob.shape[0]
     zero = jnp.zeros(n, jnp.int32)
-
-    def expand_parent(p):
-        """Parent int-MV grid [pny,pnx] → per-child-block center [N]."""
-        pny, pnx = p.shape
-        iy = jnp.minimum(jnp.arange(ny) // 2, pny - 1)
-        ix = jnp.minimum(jnp.arange(nx) // 2, pnx - 1)
-        return p[iy[:, None], ix[None, :]].reshape(-1)
-
-    per_list = []
-    new_parents = {}
-    n_refs = (n_l0, n_l1 if is_b else 0)
-    for li in (0, 1):
-        best = None
-        for ridx in range(n_refs[li]):
-            st = ridx if li == 0 else n_l0 + ridx
-            pl = phase[st]
-            ref_f = pl[0, 0].astype(jnp.float32)
-            if has_parent:
-                cx0 = expand_parent(parents[2 * (li * n_l0 + ridx)])
-                cy0 = expand_parent(parents[2 * (li * n_l0 + ridx) + 1])
-            else:
-                cx0, cy0 = zero, zero
-            ix, iy = _int_me_dev(bf, ref_f, xs, ys, s, radius, lam_m,
-                                 cx0, cy0)
-            fx, fy, cost = _frac_refine_dev(ob, pl, xs, ys, ix * 4, iy * 4,
-                                            s, lam_m)
-            new_parents[2 * (li * n_l0 + ridx)] = \
-                (fx // 4).reshape(ny, nx)
-            new_parents[2 * (li * n_l0 + ridx) + 1] = \
-                (fy // 4).reshape(ny, nx)
-            if best is None:
-                best = [fx, fy, cost, jnp.full(n, ridx, jnp.int32)]
-            else:
-                upd = cost < best[2]
-                best = [jnp.where(upd, fx, best[0]),
-                        jnp.where(upd, fy, best[1]),
-                        jnp.where(upd, cost, best[2]),
-                        jnp.where(upd, ridx, best[3])]
-        per_list.append(best)
-
-    def gather_sel(li, mx, my, rf):
-        """Prediction at (mv, ref) per block, selecting by ref index."""
-        out = None
-        for ridx in range(n_refs[li]):
-            st = ridx if li == 0 else n_l0 + ridx
-            p = gather_pred_planes(phase[st], xs, ys, mx, my, s)
-            m = (rf == ridx)[:, None, None]
-            out = p if out is None else jnp.where(m, p, out)
-        return out
-
-    def neighbor_adopt(li, best):
-        """Merge-mode RDO analog: left/above neighbours' (MV, ref) as
-        prediction hypotheses at merge-level rate (reference:
-        EncCu::xCheckRDCostMerge2Nx2N)."""
-        for axis in ("left", "above"):
-            gx = best[0].reshape(ny, nx)
-            gy = best[1].reshape(ny, nx)
-            gr = best[3].reshape(ny, nx)
-            if axis == "left":
-                gx = jnp.concatenate([gx[:, :1], gx[:, :-1]], axis=1)
-                gy = jnp.concatenate([gy[:, :1], gy[:, :-1]], axis=1)
-                gr = jnp.concatenate([gr[:, :1], gr[:, :-1]], axis=1)
-                valid = (jnp.arange(nx) > 0)[None, :].repeat(ny, 0)
-            else:
-                gx = jnp.concatenate([gx[:1, :], gx[:-1, :]], axis=0)
-                gy = jnp.concatenate([gy[:1, :], gy[:-1, :]], axis=0)
-                gr = jnp.concatenate([gr[:1, :], gr[:-1, :]], axis=0)
-                valid = (jnp.arange(ny) > 0)[:, None].repeat(nx, 1)
-            cmx, cmy, crf = gx.reshape(-1), gy.reshape(-1), gr.reshape(-1)
-            pred_c = gather_sel(li, cmx, cmy, crf)
-            cost_c = (satd_batch(pred_c, ob).astype(jnp.float32)
-                      + lam_m * MERGE_CAND_BITS)
-            upd = valid.reshape(-1) & (cost_c < best[2])
-            best = [jnp.where(upd, cmx, best[0]),
-                    jnp.where(upd, cmy, best[1]),
-                    jnp.where(upd, cost_c, best[2]),
-                    jnp.where(upd, crf, best[3])]
-        return best
-
-    l0 = neighbor_adopt(0, per_list[0])
     dirs = jnp.ones(n, jnp.int32)
-    if is_b and per_list[1] is not None:
-        l1 = neighbor_adopt(1, per_list[1])
-        dirs = jnp.where(l1[2] < l0[2], 2, 1)
-        p0 = gather_sel(0, l0[0], l0[1], l0[3])
-        p1 = gather_sel(1, l1[0], l1[1], l1[3])
-        pbi = (p0 + p1 + 1) >> 1
+    if is_b and l1 is not None:
+        dirs = jnp.where(l1["cost"] < l0["cost"], 2, 1)
+        pbi = (l0["pred"] + l1["pred"] + 1) >> 1
         cbi = satd_batch(pbi, ob).astype(jnp.float32) + lam_m * 8.0
-        cuni = jnp.where(dirs == 2, l1[2], l0[2])
+        cuni = jnp.where(dirs == 2, l1["cost"], l0["cost"])
         dirs = jnp.where(cbi < cuni, 3, dirs)
         pred = jnp.where((dirs == 3)[:, None, None], pbi,
-                         jnp.where((dirs == 2)[:, None, None], p1, p0))
+                         jnp.where((dirs == 2)[:, None, None],
+                                   l1["pred"], l0["pred"]))
     else:
-        l1 = [zero, zero, jnp.zeros(n, jnp.float32), zero]
-        pred = gather_sel(0, l0[0], l0[1], l0[3])
+        l1 = dict(mvy=zero, mvx=zero, ref=zero)
+        pred = l0["pred"]
     # signalling bits: MVD vs the left-neighbour predictor (AMVP-rate
-    # analog; merge-adopted MVs get near-zero MVD) + flags
-    pmx = l0[0].reshape(ny, nx)
-    pmy = l0[1].reshape(ny, nx)
+    # analog) + flags
+    pmx = l0["mvx"].reshape(ny, nx)
+    pmy = l0["mvy"].reshape(ny, nx)
     pmx = jnp.concatenate([jnp.zeros((ny, 1), pmx.dtype), pmx[:, :-1]], 1)
     pmy = jnp.concatenate([jnp.zeros((ny, 1), pmy.dtype), pmy[:, :-1]], 1)
-    mvb = (jnp.log2(1.0 + jnp.abs(l0[0] - pmx.reshape(-1))
+    mvb = (jnp.log2(1.0 + jnp.abs(l0["mvx"] - pmx.reshape(-1))
                     .astype(jnp.float32))
-           + jnp.log2(1.0 + jnp.abs(l0[1] - pmy.reshape(-1))
+           + jnp.log2(1.0 + jnp.abs(l0["mvy"] - pmy.reshape(-1))
                       .astype(jnp.float32)) + 6.0)
     rd = _inter_rd_dev(ob, pred, qp, bit_depth, mvb)
     aff = zero
     cp0 = jnp.zeros((n, 3, 2), jnp.int32)
     cp1 = jnp.zeros((n, 3, 2), jnp.int32)
-    if affine and s in AFFINE_ME_SIZES:
-        from vvc.kernels.affine import _affine_me_jit
-        acosts, acps, apreds = [], [], []
-        for li in (0, 1):
-            if n_refs[li] == 0:
-                continue
-            best = (l0, l1)[li]
-            st = 0 if li == 0 else n_l0
-            seed_ok = best[3] == 0
-            sx = jnp.where(seed_ok, best[0], 0).astype(jnp.float32)
-            sy = jnp.where(seed_ok, best[1], 0).astype(jnp.float32)
-            ref_f = phase[st][0, 0].astype(jnp.float32)
-            cp = _affine_me_jit(bf, ref_f, xs, ys, sx, sy, s, 4, 4)
-            apred = _affine_pred_dev(phase[st], xs, ys, s, cp, bit_depth)
-            mvbits = jnp.log2(1.0 + jnp.abs(cp[:, :2])
-                              .sum(axis=(1, 2)).astype(jnp.float32))
-            c = (satd_batch(apred, ob).astype(jnp.float32)
-                 + lam_m * (AFFINE_BITS + 2.0 * mvbits))
-            acosts.append(c)
-            acps.append(cp)
-            apreds.append(apred)
-        if len(acosts) == 2:
-            adir = jnp.where(acosts[1] < acosts[0], 2, 1)
+    if affine_res:
+        if len(affine_res) == 2:
+            adir = jnp.where(affine_res[1][0] < affine_res[0][0], 2, 1)
             apred = jnp.where((adir == 2)[:, None, None],
-                              apreds[1], apreds[0])
-            acp1 = acps[1]
+                              affine_res[1][2], affine_res[0][2])
+            acp1 = affine_res[1][1]
         else:
             adir = jnp.ones(n, jnp.int32)
-            apred = apreds[0]
-            acp1 = jnp.zeros_like(acps[0])
-        acpb = (jnp.log2(1.0 + jnp.abs(acps[0][:, :2])
-                         .sum(axis=(1, 2)).astype(jnp.float32))
-                + AFFINE_BITS)
+            apred = affine_res[0][2]
+            acp1 = jnp.zeros((n, 3, 2), jnp.int32)
+        acp0 = affine_res[0][1]
+        # rate proxy: seed MV costs like the translational MVD (mvb) +
+        # affine flag/type/idx bins + the corner-delta MVDs (reference
+        # signals CPMV MVDs vs affine AMVP predictors, not absolutes)
+        dcp = jnp.abs(acp0[:, 1] - acp0[:, 0]).astype(jnp.float32)
+        acpb = (mvb + 6.0 + jnp.log2(1.0 + dcp[:, 0])
+                + jnp.log2(1.0 + dcp[:, 1]))
         ard = _inter_rd_dev(ob, apred, qp, bit_depth, acpb)
         upd = ard < rd
         aff = jnp.where(upd, 4, 0)
         rd = jnp.where(upd, ard, rd)
         dirs = jnp.where(upd, adir, dirs)
-        cp0 = acps[0]
-        cp1 = acp1
-    out = [rd, dirs.astype(jnp.float32), l0[0].astype(jnp.float32),
-           l0[1].astype(jnp.float32), l0[3].astype(jnp.float32),
-           l1[0].astype(jnp.float32), l1[1].astype(jnp.float32),
-           l1[3].astype(jnp.float32), aff.astype(jnp.float32),
+        cp0, cp1 = acp0, acp1
+    out = [rd, dirs.astype(jnp.float32), l0["mvx"].astype(jnp.float32),
+           l0["mvy"].astype(jnp.float32), l0["ref"].astype(jnp.float32),
+           l1["mvx"].astype(jnp.float32), l1["mvy"].astype(jnp.float32),
+           l1["ref"].astype(jnp.float32), aff.astype(jnp.float32),
            cp0.reshape(n, -1).astype(jnp.float32).reshape(-1),
            cp1.reshape(n, -1).astype(jnp.float32).reshape(-1)]
-    packed = jnp.concatenate([o.reshape(-1) for o in out])
-    return packed, new_parents
+    return jnp.concatenate([o.reshape(-1) for o in out])
+
+
+@partial(jax.jit, static_argnames=("size", "bit_depth", "w", "h", "n_l0",
+                                   "n_l1", "is_b", "affine", "children"))
+def _me_v2_program(y, refpad, coarse, qp, size: int, bit_depth: int,
+                   w: int, h: int, n_l0: int, n_l1: int, is_b: bool,
+                   affine: bool, children: bool):
+    """One device program per size class over every (list, ref): window
+    fetch → int refine → qpel refine → bi/affine/RD → packed fields
+    (vvc.enc.me window engine; VERDICT r4 task 1).
+
+    refpad [R, h+2P, w+2P] edge-padded refs (l0 then l1); coarse
+    [R, nc_y, nc_x, 2] full-pel (mvy, mvx) grid for this size (the
+    16-grid when children=True).  children=True additionally evaluates
+    the four 8×8 sub-blocks of every 16×16 block on static sub-slices of
+    the parent windows; returns (packed_parent, packed_child|None)."""
+    s = size
+    if children:
+        ny8, nx8 = h // 8, w // 8
+        nye, nxe = (ny8 + 1) // 2, (nx8 + 1) // 2
+    else:
+        nye, nxe = h // s, w // s
+    n = nye * nxe
+    yp = y
+    if nye * s > h or nxe * s > w:
+        yp = jnp.pad(y, ((0, max(0, nye * s - h)),
+                         (0, max(0, nxe * s - w))), mode="edge")
+    blocks = (yp[:nye * s, :nxe * s].reshape(nye, s, nxe, s)
+              .transpose(0, 2, 1, 3).reshape(-1, s, s))
+    ob = blocks.astype(jnp.int32)
+    xs = (jnp.tile(jnp.arange(nxe), nye) * s).astype(jnp.int32)
+    ys = (jnp.repeat(jnp.arange(nye), nxe) * s).astype(jnp.int32)
+    lam = 0.57 * jnp.exp2((qp.astype(jnp.float32) - 12.0) / 3.0)
+    lam_m = jnp.sqrt(lam)
+
+    nc_y, nc_x = coarse.shape[1], coarse.shape[2]
+    giy = jnp.minimum(jnp.repeat(jnp.arange(nye), nxe), nc_y - 1)
+    gix = jnp.minimum(jnp.tile(jnp.arange(nxe), nye), nc_x - 1)
+
+    n_refs = (n_l0, n_l1 if is_b else 0)
+    per_list = [None, None]
+    ref0_res = [None, None]
+    child_list = [None, None]
+    for li in (0, 1):
+        best = cbest = None
+        for ridx in range(n_refs[li]):
+            st = ridx if li == 0 else n_l0 + ridx
+            cy = coarse[st, giy, gix, 0]
+            cx = coarse[st, giy, gix, 1]
+            cy, cx, sy, sx = me_mod._win_centers(cy, cx, ys, xs, h, w, s)
+            win = me_mod._gather_windows(refpad[st], sy, sx,
+                                         s + 2 * me_mod.WIN_M)
+            res = me_mod._eval_from_win(win, ob, cy, cx, lam_m, s,
+                                        bit_depth)
+            if ridx == 0:
+                ref0_res[li] = res
+            ent = dict(mvy=res["mvy"], mvx=res["mvx"], cost=res["cost"],
+                       pred=res["pred"], ref=jnp.full(n, ridx, jnp.int32))
+            best = ent if best is None else _run_min(best, ent)
+            if children:
+                subs = ((0, 0), (0, 8), (8, 0), (8, 8))
+                wsc = 8 + 2 * me_mod.WIN_M
+                winc = jnp.stack([win[:, oy:oy + wsc, ox:ox + wsc]
+                                  for oy, ox in subs], 1) \
+                    .reshape(-1, wsc, wsc)
+                obc = (yp[:nye * 16, :nxe * 16]
+                       .reshape(nye, 2, 8, nxe, 2, 8)
+                       .transpose(0, 3, 1, 4, 2, 5)
+                       .reshape(-1, 8, 8).astype(jnp.int32))
+                cres = me_mod._eval_from_win(
+                    winc, obc, jnp.repeat(cy, 4), jnp.repeat(cx, 4),
+                    lam_m, 8, bit_depth)
+                cent = dict(mvy=cres["mvy"], mvx=cres["mvx"],
+                            cost=cres["cost"], pred=cres["pred"],
+                            ref=jnp.full(4 * n, ridx, jnp.int32))
+                cbest = cent if cbest is None else _run_min(cbest, cent)
+        per_list[li] = best
+        child_list[li] = cbest
+
+    aff_res = None
+    if affine and s in me_mod.AFFINE_ME_SIZES:
+        aff_res = []
+        for li in (0, 1):
+            if n_refs[li] == 0:
+                continue
+            r0 = ref0_res[li]
+            ac, da, db, apred = me_mod.affine_search_win(
+                r0["w2"], ob, r0["mvy"], r0["mvx"], r0["iy"], r0["ix"],
+                lam_m, s, bit_depth)
+            # cpmv (x, y) for the CENTER-rooted candidate field
+            # dq(x,y) = (a(x−s/2) − b(y−s/2), b(x−s/2) + a(y−s/2)) with
+            # a·s = da, b·s = db (qpel); cp1 − cp0 = (da, db) so the
+            # normative 4-param derivation recovers the searched field
+            sx_, sy_ = r0["mvx"], r0["mvy"]
+            cp = jnp.stack([
+                jnp.stack([sx_ + (db - da) // 2, sy_ - (da + db) // 2], -1),
+                jnp.stack([sx_ + (da + db) // 2, sy_ + (db - da) // 2], -1),
+                jnp.stack([sx_ - (da + db) // 2, sy_ + (da - db) // 2], -1)],
+                axis=1)
+            aff_res.append((ac, cp.astype(jnp.int32), apred))
+
+    # parent grids: slice synthetic rows/cols before the finish pass
+    nyv, nxv = h // s, w // s
+    if children and (nye != nyv or nxe != nxv):
+        def _sl(f):
+            tail = f.shape[1:]
+            return (f.reshape((nye, nxe) + tail)[:nyv, :nxv]
+                    .reshape((-1,) + tail))
+        per_list = [None if d is None else {k: _sl(v) for k, v in d.items()}
+                    for d in per_list]
+        if aff_res is not None:
+            aff_res = [(_sl(c), _sl(cp), _sl(p)) for c, cp, p in aff_res]
+        ob_f = (y[:nyv * s, :nxv * s].reshape(nyv, s, nxv, s)
+                .transpose(0, 2, 1, 3).reshape(-1, s, s).astype(jnp.int32))
+    else:
+        ob_f = ob
+    packed = _finish(per_list[0], per_list[1], ob_f, qp, bit_depth, lam_m,
+                     nyv, nxv, is_b, aff_res)
+    packed_c = None
+    if children:
+        cl = [None if d is None else
+              {k: _reorder_children(v, nye, nxe, ny8, nx8)
+               for k, v in d.items()} for d in child_list]
+        ob8 = (y[:ny8 * 8, :nx8 * 8].reshape(ny8, 8, nx8, 8)
+               .transpose(0, 2, 1, 3).reshape(-1, 8, 8).astype(jnp.int32))
+        packed_c = _finish(cl[0], cl[1], ob8, qp, bit_depth, lam_m,
+                           ny8, nx8, is_b, None)
+    return packed, packed_c
+
+
+def _run_min(best, ent):
+    m = ent["cost"] < best["cost"]
+    mm = m[:, None, None]
+    return dict(mvy=jnp.where(m, ent["mvy"], best["mvy"]),
+                mvx=jnp.where(m, ent["mvx"], best["mvx"]),
+                cost=jnp.where(m, ent["cost"], best["cost"]),
+                pred=jnp.where(mm, ent["pred"], best["pred"]),
+                ref=jnp.where(m, ent["ref"], best["ref"]))
 
 
 _FIELDS = ("cost", "dir", "mvx0", "mvy0", "ref0", "mvx1", "mvy1", "ref1",
@@ -437,12 +424,12 @@ def rdo_inter_partition(y_plane: np.ndarray, refs_l0, refs_l1, qp: int,
     refs_l0 / refs_l1: lists of reference luma planes (decode order nearest
     first).  Returns (split_map, leaf_map, leaves) with inter fields set.
 
-    ME is hierarchical: the largest size searches ±search_range around
-    zero; every smaller size searches ±CHILD_RADIUS around its parent
-    block's integer MV (effective range grows with depth — the TZSearch
-    predictor-centering analog, exhaustively batched on the MXU).  All
-    device work is queued async; ONE packed transfer per size brings the
-    frame's decisions back.
+    ME is window-based (vvc.enc.me): one coarse full-search on cached
+    4×-downsampled refs gives per-size centers for the whole frame; each
+    size class then runs ONE device program (window fetch → static-slice
+    int refine → in-window qpel DCTIF refine → bi/affine/RD).  8×8 rides
+    its 16×16 parent's program.  All device work is queued async; one
+    packed transfer per size brings the frame's decisions back.
     """
     h, w = y_plane.shape
     sizes = _candidate_sizes(ctu_size, min_cu)
@@ -453,38 +440,42 @@ def rdo_inter_partition(y_plane: np.ndarray, refs_l0, refs_l1, qp: int,
                                   tuple(sizes), jnp.int32(qp), bit_depth,
                                   w, h)
 
-    # quarter-pel phase planes per ref, stacked [R,4,4,H,W] (device, once);
-    # stack layout: l0 refs then l1 refs (duplicates share via id cache)
-    cache = {}
-    stack = []
+    # edge-padded + ds4 reference planes, cached per PICTURE across
+    # frames (vvc.enc.me.pic_dev); stack layout: l0 refs then l1 refs
     n_l0, n_l1 = len(refs_l0), len(refs_l1) if is_b else 0
+    pads, dss = [], []
     for ref in list(refs_l0) + (list(refs_l1) if is_b else []):
-        if id(ref) in cache:
-            stack.append(stack[cache[id(ref)]])
-        else:
-            cache[id(ref)] = len(stack)
-            stack.append(interp_luma_planes(ref, bit_depth))
-    phase = jnp.stack(stack)
+        pp, ds = me_mod.pic_dev(ref)
+        pads.append(pp)
+        dss.append(ds)
+    refpad = jnp.stack(pads)
     y_dev = jax.device_put(np.ascontiguousarray(y_plane).astype(np.int32))
+    _, yds = me_mod._prep_ref(y_dev, h, w)
+    h4, w4 = (h + 3) // 4, (w + 3) // 4
+    coarse = me_mod._coarse_program(yds, jnp.stack(dss), h4, w4,
+                                    me_mod.COARSE_R)
     qpj = jnp.int32(qp)
 
-    me_sizes = sorted([s for s in sizes if s >= ME_SIZES_MIN], reverse=True)
+    me_sizes = sorted([s for s in sizes if ME_SIZES_MIN <= s <= 64],
+                      reverse=True)
     packed_by_size = {}
-    parents = {}
     for s in me_sizes:
-        has_parent = bool(parents)
-        # dict order must be stable across trace/call: key-sorted tuple
-        pt = tuple(parents[k] for k in sorted(parents)) if parents else ()
-        packed, parents = _me_size_program(
-            y_dev, phase, qpj, s, search_range if not has_parent
-            else CHILD_RADIUS, bit_depth, w, h, n_l0, n_l1, is_b, affine,
-            has_parent, pt)
-        packed_by_size[s] = packed
+        if s == 8 or h < s or w < s:
+            continue                       # 8 rides the 16-program
+        children = (s == 16 and 8 in me_sizes)
+        pk, pkc = _me_v2_program(y_dev, refpad, coarse[s], qpj, s,
+                                 bit_depth, w, h, n_l0, n_l1, is_b,
+                                 affine, children)
+        packed_by_size[s] = pk
+        if children:
+            packed_by_size[8] = pkc
 
     # single sync point: pull every size's packed vector (queued async)
     intra_res = unpack_results(np.asarray(packed_intra), sizes, w, h)
     inter = {}
     for s in me_sizes:
+        if s not in packed_by_size:
+            continue
         v = np.asarray(packed_by_size[s])
         ny, nx = h // s, w // s
         n = ny * nx

@@ -142,5 +142,15 @@ def lib():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_int]
+    l.tr_create.restype = ctypes.c_void_p
+    l.tr_create.argtypes = [ctypes.c_int] * 9
+    l.tr_destroy.argtypes = [ctypes.c_void_p]
+    l.tr_read.restype = ctypes.c_int64
+    l.tr_read.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
     _lib = l
     return _lib

@@ -826,6 +826,646 @@ void tw_cu(Enc& e, TreeCtx& t, TwArgs& a, const int32_t* rec) {
   t.set_cu(x0, y0, size, is_mip ? PLANAR : mode, d);
 }
 
+// ------------------------------------------------------- native tree READER
+//
+// Full-tool-set CU syntax parser (decoder side): the per-bin Python ↔
+// ctypes loop of vvc/cabac/cu_syntax.py:TreeReader was the decode wall
+// (VERDICT r4 #2: 1.2 fps vs the reference decoders' 30–60).  Parsing in
+// VVC is deliberately decoupled from motion derivation (OpenVVC's
+// vcl_*.c / drv_*.c split, SURVEY §2.6) — this parser emits flat int32
+// leaf records + a level buffer; Python derives merge/AMVP lists from
+// the records afterwards.  Bit-exact mirror of TreeReader (non-lossless
+// paths; lossless/BDPCM streams fall back to Python).
+
+constexpr int TR_NREC = 56;
+enum TrRec {
+  R_X0, R_Y0, R_W, R_H, R_KIND, R_SKIP, R_MERGE, R_MERGE_IDX,
+  R_MMVD, R_MMVD_CI, R_MMVD_DI, R_MMVD_GI,
+  R_GPM, R_GPM_GM, R_GPM_I0, R_GPM_I1, R_CIIP,
+  R_DIR, R_AFFINE, R_SMVD, R_IMV, R_BCW,
+  R_REF0, R_REF1, R_MVP0, R_MVP1,
+  R_MVD0X, R_MVD0Y, R_MVD1X, R_MVD1Y,
+  R_CP0 = 30,            // 30..41: cpmvd [list][cp][xy]
+  R_MODE = 42, R_MIP, R_MRL, R_ISP, R_CHROMA, R_MTS, R_LFNST, R_BDPCM,
+  R_CBF_Y = 50, R_CBF_CB, R_CBF_CR, R_OFF_Y, R_OFF_CB, R_OFF_CR,
+};
+
+// context-set order — keep in sync with native.py TR_SET_ORDER
+enum TrSet {
+  S_SPLIT, S_SPLIT_QT, S_MTT_VERT, S_MTT_BIN,
+  S_SAO_TYPE, S_SAO_MERGE,
+  S_SKIP, S_PRED_MODE, S_MERGE_FLAG, S_MERGE_IDX,
+  S_GPM_FLAG, S_GPM_IDX, S_MMVD_FLAG, S_MMVD_CAND, S_MMVD_DIST,
+  S_CIIP, S_AFFINE_FLAG, S_AFFINE_TYPE, S_INTER_DIR, S_REF_IDX,
+  S_MVP, S_MVD, S_IMV, S_SMVD, S_BCW, S_ROOT_CBF,
+  S_MIP, S_MRL, S_ISP, S_MPM_FLAG, S_NOT_PLANAR,
+  S_CCLM_FLAG, S_CCLM_MODE, S_CHROMA_DM,
+  S_CBF_LUMA, S_MTS_IDX, S_LFNST_IDX, S_CBF_CB, S_CBF_CR,
+  S_NSETS
+};
+
+int tb_read(Dec& d, int n) {
+  int k = 31 - __builtin_clz((unsigned)n);
+  int u = (1 << (k + 1)) - n;
+  int v = k ? (int)d.eps(k) : 0;
+  if (v >= u) {
+    v = (v << 1) | d.ep();
+    v -= u;
+  }
+  return v;
+}
+
+int eg_read(Dec& d, int k) {
+  int v = 0;
+  while (d.ep()) {
+    v += 1 << k;
+    k++;
+  }
+  if (k) v += (int)d.eps(k);
+  return v;
+}
+
+// tool-flag bits for tr_create (keep in sync with native.py)
+enum TrFlag {
+  F_MTS = 1, F_CCLM = 2, F_MIP = 4, F_LFNST = 8, F_ISP = 16, F_MTT = 32,
+  F_AFFINE = 64, F_MMVD = 128, F_CIIP = 256, F_GPM = 512, F_AMVR = 1024,
+  F_SMVD = 2048, F_BCW = 4096, F_HAS_SMVD_REFS = 8192,
+};
+
+struct TrCtx {
+  int w, h, ctu, min_cu;
+  int flags;
+  int slice_type;                 // 0=B 1=P 2=I
+  int n_ref0, n_ref1, max_merge;
+  int w4, h4;
+  std::vector<int16_t> mode_map;  // intra mode (inter/uncoded → planar/-1)
+  std::vector<int8_t> depth_map;
+  std::vector<uint8_t> coded_map;
+  std::vector<uint8_t> skip_map;
+  std::vector<uint8_t> intra_map;  // coded && !inter (for pred_mode ctx)
+
+  TrCtx(int w_, int h_, int ctu_, int mc, int flags_, int st, int nr0,
+        int nr1, int mm)
+      : w(w_), h(h_), ctu(ctu_), min_cu(mc), flags(flags_), slice_type(st),
+        n_ref0(nr0), n_ref1(nr1), max_merge(mm),
+        w4((w_ + 3) >> 2), h4((h_ + 3) >> 2),
+        mode_map((size_t)w4 * h4, -1), depth_map((size_t)w4 * h4, 0),
+        coded_map((size_t)w4 * h4, 0), skip_map((size_t)w4 * h4, 0),
+        intra_map((size_t)w4 * h4, 0) {}
+
+  bool f(int bit) const { return (flags & bit) != 0; }
+  bool inter_slice() const { return slice_type != 2; }
+  bool is_b() const { return slice_type == 0; }
+  int log2(int v) const { return 31 - __builtin_clz((unsigned)v); }
+
+  bool in4(int x, int y) const {
+    return x >= 0 && y >= 0 && (x >> 2) < w4 && (y >> 2) < h4;
+  }
+  size_t i4(int x, int y) const {
+    return (size_t)(y >> 2) * w4 + (x >> 2);
+  }
+  int mode_at(int x, int y) const {
+    if (!in4(x, y)) return -1;
+    size_t i = i4(x, y);
+    return coded_map[i] ? mode_map[i] : -1;
+  }
+  int depth_at(int x, int y) const {
+    if (!in4(x, y)) return -1;
+    size_t i = i4(x, y);
+    return coded_map[i] ? depth_map[i] : -1;
+  }
+  void set_cu(int x0, int y0, int bw, int bh, int mode, int depth,
+              int skip, int is_intra) {
+    for (int yy = y0 >> 2; yy < ((y0 + bh) >> 2) && yy < h4; yy++)
+      for (int xx = x0 >> 2; xx < ((x0 + bw) >> 2) && xx < w4; xx++) {
+        size_t i = (size_t)yy * w4 + xx;
+        mode_map[i] = (int16_t)mode;
+        depth_map[i] = (int8_t)depth;
+        coded_map[i] = 1;
+        skip_map[i] = (uint8_t)skip;
+        intra_map[i] = (uint8_t)is_intra;
+      }
+  }
+  int skip_ctx(int x0, int y0) const {
+    int c = 0;
+    if (in4(x0 - 1, y0) && skip_map[i4(x0 - 1, y0)]) c++;
+    if (in4(x0, y0 - 1) && skip_map[i4(x0, y0 - 1)]) c++;
+    return c;
+  }
+  int pred_mode_ctx(int x0, int y0) const {
+    if (in4(x0 - 1, y0) && intra_map[i4(x0 - 1, y0)]) return 1;
+    if (in4(x0, y0 - 1) && intra_map[i4(x0, y0 - 1)]) return 1;
+    return 0;
+  }
+};
+
+struct TrArgs {
+  CtxArray ctx;
+  const int32_t* setoff;          // [S_NSETS]
+  const int32_t* res_off;
+  int32_t* recs;                  // [cap][TR_NREC]
+  int64_t rec_cap;
+  int32_t* levels;
+  int64_t lev_cap;
+  int32_t* sao;                   // [n_ctus][21] or nullptr
+  int sao_stride;
+  int tile_x0;
+  int64_t n_rec = 0;
+  int64_t lev_cursor = 0;
+  bool overflow = false;
+  int tid(int set, int i) const { return setoff[set] + i; }
+};
+
+// partition legality — exact port of vvc/model/partition.py
+constexpr int P_MIN_QT_LEAF = 8, P_MIN_SIDE = 8, P_MAX_BT = 64,
+              P_MAX_TT = 32, P_MAX_AR_LOG2 = 2;
+
+bool shape_ok(int w, int h) {
+  int lw = 31 - __builtin_clz((unsigned)w);
+  int lh = 31 - __builtin_clz((unsigned)h);
+  int d = lw > lh ? lw - lh : lh - lw;
+  return (w < h ? w : h) >= P_MIN_SIDE && d <= P_MAX_AR_LOG2;
+}
+
+void allowed_splits_c(int w, int h, bool qt_allowed, bool mtt, bool* out) {
+  out[0] = qt_allowed && w == h && w > P_MIN_QT_LEAF;
+  if (!mtt) {
+    out[1] = out[2] = out[3] = out[4] = false;
+    return;
+  }
+  out[1] = h >= 2 * P_MIN_SIDE && h <= P_MAX_BT && w <= P_MAX_BT &&
+           shape_ok(w, h >> 1);
+  out[2] = w >= 2 * P_MIN_SIDE && w <= P_MAX_BT && h <= P_MAX_BT &&
+           shape_ok(w >> 1, h);
+  out[3] = h >= 4 * P_MIN_SIDE && h <= P_MAX_TT && w <= P_MAX_TT &&
+           shape_ok(w, h >> 2);
+  out[4] = w >= 4 * P_MIN_SIDE && w <= P_MAX_TT && h <= P_MAX_TT &&
+           shape_ok(w >> 2, h);
+}
+
+int32_t* tr_alloc_rec(TrArgs& a, int x0, int y0, int w, int h) {
+  if (a.n_rec >= a.rec_cap) {
+    a.overflow = true;
+    return nullptr;
+  }
+  int32_t* r = a.recs + a.n_rec * TR_NREC;
+  a.n_rec++;
+  for (int i = 0; i < TR_NREC; i++) r[i] = 0;
+  r[R_X0] = x0; r[R_Y0] = y0; r[R_W] = w; r[R_H] = h;
+  r[R_OFF_Y] = r[R_OFF_CB] = r[R_OFF_CR] = -1;
+  r[R_BCW] = 2;
+  return r;
+}
+
+int32_t* tr_lev(TrArgs& a, int n) {
+  if (a.lev_cursor + n > a.lev_cap) {
+    a.overflow = true;
+    return nullptr;
+  }
+  int32_t* p = a.levels + a.lev_cursor;
+  a.lev_cursor += n;
+  return p;
+}
+
+void tr_residuals(Dec& d, TrCtx& t, TrArgs& a, int32_t* r, int pred) {
+  int w = r[R_W], h = r[R_H];
+  int cbf_cb = d.bin(a.ctx, a.tid(S_CBF_CB, 0));
+  int cbf_cr = d.bin(a.ctx, a.tid(S_CBF_CR, cbf_cb));
+  r[R_CBF_CB] = cbf_cb;
+  r[R_CBF_CR] = cbf_cr;
+  ResCtx rc{a.ctx, a.res_off};
+  int cw = w >> 1, ch = h >> 1;
+  if (r[R_ISP]) {
+    if (cbf_cb) {
+      int32_t* p = tr_lev(a, cw * ch);
+      if (!p) return;
+      r[R_OFF_CB] = (int32_t)(p - a.levels);
+      dec_residual(d, rc, p, cw, ch, 0);
+    }
+    if (cbf_cr) {
+      int32_t* p = tr_lev(a, cw * ch);
+      if (!p) return;
+      r[R_OFF_CR] = (int32_t)(p - a.levels);
+      dec_residual(d, rc, p, cw, ch, 0);
+    }
+    // sub-TU luma: assemble into one w×h block
+    int32_t* p = tr_lev(a, w * h);
+    if (!p) return;
+    std::memset(p, 0, (size_t)w * h * sizeof(int32_t));
+    bool any = false;
+    int prev = 0;
+    int k, sw, sh;
+    if (r[R_ISP] == 1) {               // ISP_HOR
+      k = h >= 16 ? 4 : 2; sw = w; sh = h / k;
+    } else {                           // ISP_VER
+      k = w >= 16 ? 4 : 2; sw = w / k; sh = h;
+    }
+    std::vector<int32_t> sub((size_t)sw * sh);
+    for (int i = 0; i < k; i++) {
+      int xo = r[R_ISP] == 2 ? i * sw : 0;
+      int yo = r[R_ISP] == 1 ? i * sh : 0;
+      int sub_cbf = d.bin(a.ctx, a.tid(S_CBF_LUMA, 2 + prev));
+      if (sub_cbf) {
+        dec_residual(d, rc, sub.data(), sw, sh, 1);
+        for (int yy = 0; yy < sh; yy++)
+          std::memcpy(p + (size_t)(yo + yy) * w + xo,
+                      sub.data() + (size_t)yy * sw,
+                      (size_t)sw * sizeof(int32_t));
+        any = true;
+      }
+      prev = sub_cbf;
+    }
+    if (any) {
+      r[R_OFF_Y] = (int32_t)(p - a.levels);
+      r[R_CBF_Y] = 1;
+    } else {
+      a.lev_cursor -= (int64_t)w * h;  // roll back unused buffer
+    }
+    return;
+  }
+  int cbf_y = d.bin(a.ctx, a.tid(S_CBF_LUMA, 0));
+  r[R_CBF_Y] = cbf_y;
+  int mts = 0, lfn = 0;
+  bool mts_sig = t.f(F_MTS) && cbf_y && w >= 8 && w <= 32 && h >= 8 &&
+                 h <= 32 && pred == 0;
+  if (mts_sig)
+    while (mts < 4 && d.bin(a.ctx, a.tid(S_MTS_IDX, mts))) mts++;
+  bool lfn_sig = t.f(F_LFNST) && cbf_y && mts == 0 && pred == 0 &&
+                 w == h && w >= 8;
+  if (lfn_sig && d.bin(a.ctx, a.tid(S_LFNST_IDX, 0)))
+    lfn = 1 + d.bin(a.ctx, a.tid(S_LFNST_IDX, 1));
+  r[R_MTS] = mts;
+  r[R_LFNST] = lfn;
+  if (cbf_cb) {
+    int32_t* p = tr_lev(a, cw * ch);
+    if (!p) return;
+    r[R_OFF_CB] = (int32_t)(p - a.levels);
+    dec_residual(d, rc, p, cw, ch, 0);
+  }
+  if (cbf_cr) {
+    int32_t* p = tr_lev(a, cw * ch);
+    if (!p) return;
+    r[R_OFF_CR] = (int32_t)(p - a.levels);
+    dec_residual(d, rc, p, cw, ch, 0);
+  }
+  if (cbf_y) {
+    int32_t* p = tr_lev(a, w * h);
+    if (!p) return;
+    r[R_OFF_Y] = (int32_t)(p - a.levels);
+    dec_residual(d, rc, p, w, h, 1);
+  }
+}
+
+int tr_read_merge_idx(Dec& d, TrCtx& t, TrArgs& a) {
+  if (t.max_merge <= 1) return 0;
+  if (!d.bin(a.ctx, a.tid(S_MERGE_IDX, 0))) return 0;
+  int idx = 1;
+  while (idx < t.max_merge - 1 && d.ep()) idx++;
+  return idx;
+}
+
+int tr_read_gpm_idx(Dec& d, TrArgs& a, int n) {
+  if (n <= 1) return 0;
+  if (!d.bin(a.ctx, a.tid(S_GPM_IDX, 0))) return 0;
+  int idx = 1;
+  while (idx < n - 1 && d.ep()) idx++;
+  return idx;
+}
+
+int tr_read_ref_idx(Dec& d, TrCtx& t, TrArgs& a, int lst) {
+  int n = lst == 0 ? t.n_ref0 : t.n_ref1;
+  if (n <= 1) return 0;
+  if (!d.bin(a.ctx, a.tid(S_REF_IDX, 0))) return 0;
+  if (n == 2 || !d.bin(a.ctx, a.tid(S_REF_IDX, 1))) return 1;
+  int ridx = 2;
+  while (ridx < n - 1 && d.ep()) ridx++;
+  return ridx;
+}
+
+void tr_read_mvd(Dec& d, TrArgs& a, int* out) {
+  int gt0[2], gt1[2];
+  for (int i = 0; i < 2; i++) gt0[i] = d.bin(a.ctx, a.tid(S_MVD, 0));
+  for (int i = 0; i < 2; i++)
+    gt1[i] = gt0[i] ? d.bin(a.ctx, a.tid(S_MVD, 1)) : 0;
+  for (int i = 0; i < 2; i++) {
+    if (!gt0[i]) {
+      out[i] = 0;
+      continue;
+    }
+    int v = gt1[i] ? (eg_read(d, 1) + 2) : 1;
+    out[i] = d.ep() ? -v : v;
+  }
+}
+
+void tr_cu_intra(Dec& d, TrCtx& t, TrArgs& a, int x0, int y0, int w, int h) {
+  int32_t* r = tr_alloc_rec(a, x0, y0, w, h);
+  if (!r) return;
+  int mode;
+  int is_mip = 0, mrl = 0, isp = 0;
+  if (t.f(F_MIP) && w == h && w >= 8 && w <= 32)
+    is_mip = d.bin(a.ctx, a.tid(S_MIP, 0));
+  if (is_mip) {
+    mode = 67 + tb_read(d, K_MIP_MODES);
+  } else {
+    if ((y0 % t.ctu) > 0 && d.bin(a.ctx, a.tid(S_MRL, 0)))
+      mrl = 1 + d.bin(a.ctx, a.tid(S_MRL, 1));
+    if (t.f(F_ISP) && mrl == 0 && w <= 64 && h <= 64) {
+      bool can_h = h >= 8, can_v = w >= 8;
+      if ((can_h || can_v) && d.bin(a.ctx, a.tid(S_ISP, 0))) {
+        if (can_h && can_v)
+          isp = 1 + d.bin(a.ctx, a.tid(S_ISP, 1));
+        else
+          isp = can_h ? 1 : 2;
+      }
+    }
+    int left = t.mode_at(x0 - 1, y0 + h - 1);
+    int above = (y0 % t.ctu) == 0 ? -1 : t.mode_at(x0 + w - 1, y0 - 1);
+    int mpm[6];
+    mpm_list6(left, above, mpm);
+    if (d.bin(a.ctx, a.tid(S_MPM_FLAG, 0))) {
+      if (d.bin(a.ctx, a.tid(S_NOT_PLANAR, 0))) {
+        int idx = 1;
+        while (idx - 1 < 4 && d.ep()) idx++;
+        mode = mpm[idx];
+      } else {
+        mode = mpm[0];
+      }
+    } else {
+      bool in_mpm[67] = {false};
+      int n_mpm = 0;
+      for (int i = 0; i < 6; i++)
+        if (!in_mpm[mpm[i]]) { in_mpm[mpm[i]] = true; n_mpm++; }
+      int rank = tb_read(d, 67 - n_mpm);
+      mode = 0;
+      for (int m = 0; m < 67; m++) {
+        if (in_mpm[m]) continue;
+        if (rank == 0) { mode = m; break; }
+        rank--;
+      }
+    }
+  }
+  int chroma = 0;
+  if (t.f(F_CCLM) && w == h) {
+    if (d.bin(a.ctx, a.tid(S_CCLM_FLAG, 0))) {
+      if (d.bin(a.ctx, a.tid(S_CCLM_MODE, 0)))
+        chroma = 1;
+      else
+        chroma = 2 + d.ep();
+    }
+  }
+  if (!chroma) d.bin(a.ctx, a.tid(S_CHROMA_DM, 0));  // DM (must be 1)
+  r[R_KIND] = 0;
+  r[R_MODE] = mode;
+  r[R_MIP] = is_mip;
+  r[R_MRL] = is_mip ? 0 : mrl;
+  r[R_ISP] = isp;
+  r[R_CHROMA] = chroma;
+  tr_residuals(d, t, a, r, 0);
+  int dep = 2 * t.log2(t.ctu) - t.log2(w) - t.log2(h);
+  t.set_cu(x0, y0, w, h, is_mip ? PLANAR : mode, dep, 0, 1);
+}
+
+void tr_cu(Dec& d, TrCtx& t, TrArgs& a, int x0, int y0, int w, int h) {
+  if (!t.inter_slice() || w != h) {
+    // rect leaves are intra-only (MTT gated to intra slices)
+    tr_cu_intra(d, t, a, x0, y0, w, h);
+    return;
+  }
+  int size = w;
+  int dep = 2 * t.log2(t.ctu) - 2 * t.log2(size);
+  int skip = d.bin(a.ctx, a.tid(S_SKIP, t.skip_ctx(x0, y0)));
+  if (skip) {
+    int32_t* r = tr_alloc_rec(a, x0, y0, w, h);
+    if (!r) return;
+    r[R_KIND] = 1;
+    r[R_SKIP] = 1;
+    r[R_MERGE] = 1;
+    r[R_MERGE_IDX] = tr_read_merge_idx(d, t, a);
+    r[R_DIR] = 1;  // derived later from the candidate
+    t.set_cu(x0, y0, w, h, PLANAR, dep, 1, 0);
+    return;
+  }
+  int intra = d.bin(a.ctx, a.tid(S_PRED_MODE, t.pred_mode_ctx(x0, y0)));
+  if (intra) {
+    tr_cu_intra(d, t, a, x0, y0, w, h);
+    return;
+  }
+  int32_t* r = tr_alloc_rec(a, x0, y0, w, h);
+  if (!r) return;
+  r[R_KIND] = 1;
+  int merge = d.bin(a.ctx, a.tid(S_MERGE_FLAG, 0));
+  if (merge) {
+    r[R_MERGE] = 1;
+    bool gpm_sig = t.f(F_GPM) && t.is_b() && size >= 8 && size <= 64 &&
+                   t.max_merge >= 2;
+    int is_gpm = gpm_sig ? d.bin(a.ctx, a.tid(S_GPM_FLAG, 0)) : 0;
+    if (is_gpm) {
+      r[R_GPM] = 1;
+      r[R_GPM_GM] = (int32_t)d.eps(6);
+      int i0 = tr_read_gpm_idx(d, a, t.max_merge);
+      int j1 = tr_read_gpm_idx(d, a, t.max_merge - 1);
+      r[R_GPM_I0] = i0;
+      r[R_GPM_I1] = j1 + (j1 >= i0 ? 1 : 0);
+      if (d.bin(a.ctx, a.tid(S_ROOT_CBF, 0))) tr_residuals(d, t, a, r, 1);
+      t.set_cu(x0, y0, w, h, PLANAR, dep, 0, 0);
+      return;
+    }
+    int is_mmvd = t.f(F_MMVD) ? d.bin(a.ctx, a.tid(S_MMVD_FLAG, 0)) : 0;
+    if (is_mmvd) {
+      r[R_MMVD] = 1;
+      r[R_MMVD_CI] = d.bin(a.ctx, a.tid(S_MMVD_CAND, 0));
+      int di = 0;
+      if (d.bin(a.ctx, a.tid(S_MMVD_DIST, 0))) {
+        di = 1;
+        while (di < 7 && d.ep()) di++;
+      }
+      r[R_MMVD_DI] = di;
+      r[R_MMVD_GI] = (int32_t)d.eps(2);
+    } else {
+      r[R_MERGE_IDX] = tr_read_merge_idx(d, t, a);
+      bool ciip_sig = t.f(F_CIIP) && size * size >= 64 && size < 128;
+      if (ciip_sig) r[R_CIIP] = d.bin(a.ctx, a.tid(S_CIIP, 0));
+    }
+  } else {
+    int affine = 0;
+    if (t.f(F_AFFINE) && size >= 16 && d.bin(a.ctx, a.tid(S_AFFINE_FLAG, 0)))
+      affine = d.bin(a.ctx, a.tid(S_AFFINE_TYPE, 0)) ? 6 : 4;
+    r[R_AFFINE] = affine;
+    int dir = 1;
+    if (t.is_b()) {
+      int lg = t.log2(size);
+      int c = lg + 1 - 4;           // size.bit_length()-4 = log2+1-4
+      if (c > 4) c = 4;
+      if (d.bin(a.ctx, a.tid(S_INTER_DIR, c)))
+        dir = 3;
+      else if (d.bin(a.ctx, a.tid(S_INTER_DIR, 5)))
+        dir = 2;
+    }
+    r[R_DIR] = dir;
+    if (affine) {
+      int ncp = affine == 4 ? 2 : 3;
+      for (int l = 0; l < 2; l++) {
+        if (!((dir >> l) & 1)) continue;
+        r[l == 0 ? R_REF0 : R_REF1] = tr_read_ref_idx(d, t, a, l);
+        for (int cp = 0; cp < ncp; cp++) {
+          int mvd[2];
+          tr_read_mvd(d, a, mvd);
+          r[R_CP0 + l * 6 + cp * 2] = mvd[0];
+          r[R_CP0 + l * 6 + cp * 2 + 1] = mvd[1];
+        }
+        r[l == 0 ? R_MVP0 : R_MVP1] = d.bin(a.ctx, a.tid(S_MVP, 0));
+      }
+    } else {
+      int smvd = 0;
+      if (t.f(F_SMVD) && dir == 3 && t.f(F_HAS_SMVD_REFS))
+        smvd = d.bin(a.ctx, a.tid(S_SMVD, 0));
+      r[R_SMVD] = smvd;
+      bool any_mvd = false;
+      for (int l = 0; l < 2; l++) {
+        if (!((dir >> l) & 1)) continue;
+        if (smvd && l == 1) {
+          r[l == 0 ? R_MVP0 : R_MVP1] = d.bin(a.ctx, a.tid(S_MVP, 0));
+          continue;
+        }
+        if (!smvd) r[l == 0 ? R_REF0 : R_REF1] = tr_read_ref_idx(d, t, a, l);
+        int mvd[2];
+        tr_read_mvd(d, a, mvd);
+        r[l == 0 ? R_MVD0X : R_MVD1X] = mvd[0];
+        r[l == 0 ? R_MVD0Y : R_MVD1Y] = mvd[1];
+        if (mvd[0] || mvd[1]) any_mvd = true;
+        r[l == 0 ? R_MVP0 : R_MVP1] = d.bin(a.ctx, a.tid(S_MVP, 0));
+      }
+      int imv = 0;
+      if (t.f(F_AMVR) && any_mvd && d.bin(a.ctx, a.tid(S_IMV, 0)))
+        imv = 1 + d.bin(a.ctx, a.tid(S_IMV, 1));
+      r[R_IMV] = imv;
+      if (t.f(F_BCW) && dir == 3 && d.bin(a.ctx, a.tid(S_BCW, 0))) {
+        static const int32_t kBcw[4] = {0, 1, 3, 4};
+        r[R_BCW] = kBcw[d.eps(2)];
+      }
+    }
+  }
+  if (d.bin(a.ctx, a.tid(S_ROOT_CBF, 0))) tr_residuals(d, t, a, r, 1);
+  t.set_cu(x0, y0, w, h, PLANAR, dep, 0, 0);
+}
+
+void tr_tree(Dec& d, TrCtx& t, TrArgs& a, int x0, int y0, int w, int h,
+             bool qt_allowed) {
+  if (x0 >= t.w || y0 >= t.h || a.overflow) return;
+  bool inside = (x0 + w <= t.w) && (y0 + h <= t.h);
+  if (!inside || w > 64 || h > 64) {
+    int half = w >> 1;
+    tr_tree(d, t, a, x0, y0, half, half, qt_allowed);
+    tr_tree(d, t, a, x0 + half, y0, half, half, qt_allowed);
+    tr_tree(d, t, a, x0, y0 + half, half, half, qt_allowed);
+    tr_tree(d, t, a, x0 + half, y0 + half, half, half, qt_allowed);
+    return;
+  }
+  bool can[5];
+  allowed_splits_c(w, h, qt_allowed, t.f(F_MTT), can);
+  bool any = can[0] || can[1] || can[2] || can[3] || can[4];
+  int dep = 2 * t.log2(t.ctu) - t.log2(w) - t.log2(h);
+  int c = (t.depth_at(x0 - 1, y0) > dep ? 1 : 0) +
+          (t.depth_at(x0, y0 - 1) > dep ? 1 : 0);
+  int split = any ? d.bin(a.ctx, a.tid(S_SPLIT, c)) : 0;
+  if (!split) {
+    tr_cu(d, t, a, x0, y0, w, h);
+    return;
+  }
+  bool is_qt;
+  if (can[0] && (can[1] || can[2] || can[3] || can[4]))
+    is_qt = d.bin(a.ctx, a.tid(S_SPLIT_QT, w == t.ctu ? 1 : 0));
+  else
+    is_qt = can[0];
+  if (is_qt) {
+    int hw = w >> 1, hh = h >> 1;
+    tr_tree(d, t, a, x0, y0, hw, hh, true);
+    tr_tree(d, t, a, x0 + hw, y0, hw, hh, true);
+    tr_tree(d, t, a, x0, y0 + hh, hw, hh, true);
+    tr_tree(d, t, a, x0 + hw, y0 + hh, hw, hh, true);
+    return;
+  }
+  bool can_hor = can[1] || can[3], can_ver = can[2] || can[4];
+  bool vert;
+  if (can_hor && can_ver)
+    vert = d.bin(a.ctx, a.tid(S_MTT_VERT, w == h ? 0 : 1));
+  else
+    vert = can_ver;
+  bool can_b = vert ? can[2] : can[1];
+  bool can_t = vert ? can[4] : can[3];
+  bool is_bt;
+  if (can_b && can_t)
+    is_bt = d.bin(a.ctx, a.tid(S_MTT_BIN, 0));
+  else
+    is_bt = can_b;
+  if (is_bt) {
+    if (vert) {
+      int hw = w >> 1;
+      tr_tree(d, t, a, x0, y0, hw, h, false);
+      tr_tree(d, t, a, x0 + hw, y0, hw, h, false);
+    } else {
+      int hh = h >> 1;
+      tr_tree(d, t, a, x0, y0, w, hh, false);
+      tr_tree(d, t, a, x0, y0 + hh, w, hh, false);
+    }
+  } else {
+    if (vert) {
+      int q = w >> 2;
+      tr_tree(d, t, a, x0, y0, q, h, false);
+      tr_tree(d, t, a, x0 + q, y0, 2 * q, h, false);
+      tr_tree(d, t, a, x0 + 3 * q, y0, q, h, false);
+    } else {
+      int q = h >> 2;
+      tr_tree(d, t, a, x0, y0, w, q, false);
+      tr_tree(d, t, a, x0, y0 + q, w, 2 * q, false);
+      tr_tree(d, t, a, x0, y0 + 3 * q, w, q, false);
+    }
+  }
+}
+
+void tr_sao(Dec& d, TrCtx& t, TrArgs& a, int cx, int cy) {
+  int ci = (cy / t.ctu) * a.sao_stride + (cx / t.ctu);
+  int32_t* p = a.sao + (size_t)ci * 21;
+  const int32_t* lft = cx - t.ctu >= a.tile_x0
+                           ? a.sao + (size_t)(ci - 1) * 21 : nullptr;
+  const int32_t* up = cy >= t.ctu
+                          ? a.sao + (size_t)(ci - a.sao_stride) * 21
+                          : nullptr;
+  if (lft && d.bin(a.ctx, a.tid(S_SAO_MERGE, 0))) {
+    std::memcpy(p, lft, 21 * sizeof(int32_t));
+    return;
+  }
+  if (up && d.bin(a.ctx, a.tid(S_SAO_MERGE, 0))) {
+    std::memcpy(p, up, 21 * sizeof(int32_t));
+    return;
+  }
+  for (int comp = 0; comp < 3; comp++) {
+    int32_t* q = p + comp * 7;
+    if (!d.bin(a.ctx, a.tid(S_SAO_TYPE, 0))) {
+      for (int i = 0; i < 7; i++) q[i] = 0;
+      continue;
+    }
+    int mode = d.ep() ? 2 : 1;   // EO : BO
+    q[0] = mode;
+    int mags[4];
+    for (int k = 0; k < 4; k++) {
+      int m = 0;
+      while (m < MAX_SAO_OFF && d.ep()) m++;
+      mags[k] = m;
+    }
+    if (mode == 1) {  // BO
+      for (int k = 0; k < 4; k++)
+        q[3 + k] = (mags[k] != 0 && d.ep()) ? -mags[k] : mags[k];
+      q[2] = (int32_t)d.eps(5);
+      q[1] = 0;
+    } else {          // EO: cats 1,2 positive; 3,4 negative
+      q[3] = mags[0]; q[4] = mags[1]; q[5] = -mags[2]; q[6] = -mags[3];
+      q[1] = (int32_t)d.eps(2);
+      q[2] = 0;
+    }
+  }
+}
+
 void tw_tree(Enc& e, TreeCtx& t, TwArgs& a, int x0, int y0, int size) {
   if (x0 >= t.w || y0 >= t.h) return;
   bool inside = (x0 + size <= t.w) && (y0 + size <= t.h);
@@ -899,6 +1539,45 @@ void dec_residual_c(void* d, int32_t* states, const int32_t* offsets,
                     int32_t* levels, int w, int h, int is_luma) {
   ResCtx rc{CtxArray{states}, offsets};
   dec_residual(*(Dec*)d, rc, levels, w, h, is_luma);
+}
+
+void* tr_create(int w, int h, int ctu, int min_cu, int flags,
+                int slice_type, int nr0, int nr1, int max_merge) {
+  return new TrCtx(w, h, ctu, min_cu, flags, slice_type, nr0, nr1,
+                   max_merge);
+}
+void tr_destroy(void* t) { delete (TrCtx*)t; }
+
+// Reads the CTUs in [cx0,cx1) x [cy0,cy1).  Emits leaf records into
+// recs (cap rec_cap) + level buffer (cap lev_cap); sao != null → per-CTU
+// SAO params read first into sao[ci*21..].  snapshot_out != null copies
+// the full ctx state after the FIRST CTU (WPP stagger).  Returns the
+// number of leaf records, or -1 on buffer overflow; *lev_used gets the
+// level-buffer cursor.
+int64_t tr_read(void* tr, void* dec, int32_t* states,
+                const int32_t* set_offsets, const int32_t* res_offsets,
+                int cx0, int cx1, int cy0, int cy1,
+                int32_t* recs, int64_t rec_cap,
+                int32_t* levels, int64_t lev_cap,
+                int32_t* sao, int sao_stride, int tile_x0,
+                int32_t* snapshot_out, int n_ctx, int64_t* lev_used) {
+  TrCtx& t = *(TrCtx*)tr;
+  Dec& d = *(Dec*)dec;
+  TrArgs a{CtxArray{states}, set_offsets, res_offsets, recs, rec_cap,
+           levels, lev_cap, sao, sao_stride, tile_x0};
+  bool first = true;
+  for (int cy = cy0; cy < cy1; cy += t.ctu)
+    for (int cx = cx0; cx < cx1; cx += t.ctu) {
+      if (sao) tr_sao(d, t, a, cx, cy);
+      tr_tree(d, t, a, cx, cy, t.ctu, t.ctu, true);
+      if (first && snapshot_out)
+        std::memcpy(snapshot_out, states,
+                    (size_t)n_ctx * 4 * sizeof(int32_t));
+      first = false;
+      if (a.overflow) return -1;
+    }
+  *lev_used = a.lev_cursor;
+  return a.n_rec;
 }
 
 void* tw_create(int w, int h, int ctu, int min_cu, int flags) {

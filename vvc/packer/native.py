@@ -219,3 +219,79 @@ class NativeBinDecoder:
         if getattr(self, "_h", None) and self._l:
             self._l.dec_destroy(self._h)
             self._h = None
+
+
+# context-set order consumed by the native tree READER — keep in sync
+# with the TrSet enum in cabac_core.cpp
+TR_SET_ORDER = [
+    "SPLIT_CU_FLAG", "SPLIT_QT_FLAG", "MTT_SPLIT_VERT", "MTT_SPLIT_BINARY",
+    "SAO_TYPE", "SAO_MERGE",
+    "CU_SKIP_FLAG", "PRED_MODE", "MERGE_FLAG", "MERGE_IDX",
+    "GPM_FLAG", "GPM_IDX", "MMVD_FLAG", "MMVD_CAND", "MMVD_DIST",
+    "CIIP_FLAG", "AFFINE_FLAG", "AFFINE_TYPE", "INTER_DIR", "REF_IDX",
+    "MVP_FLAG", "MVD", "IMV_FLAG", "SMVD_FLAG", "BCW_IDX", "ROOT_CBF",
+    "MIP_FLAG", "INTRA_LUMA_REF_IDX", "ISP_MODE", "INTRA_LUMA_MPM_FLAG",
+    "INTRA_LUMA_NOT_PLANAR",
+    "CCLM_FLAG", "CCLM_MODE", "INTRA_CHROMA_PRED_MODE",
+    "CBF_LUMA", "MTS_IDX", "LFNST_IDX", "CBF_CB", "CBF_CR",
+]
+
+TR_NREC = 56
+
+# tool-flag bits for tr_create — keep in sync with TrFlag in
+# cabac_core.cpp
+TR_F_MTS, TR_F_CCLM, TR_F_MIP, TR_F_LFNST = 1, 2, 4, 8
+TR_F_ISP, TR_F_MTT, TR_F_AFFINE, TR_F_MMVD = 16, 32, 64, 128
+TR_F_CIIP, TR_F_GPM, TR_F_AMVR, TR_F_SMVD = 256, 512, 1024, 2048
+TR_F_BCW, TR_F_HAS_SMVD_REFS = 4096, 8192
+
+
+class NativeTreeReader:
+    """Native full-tool-set CU syntax parser (decoder): one C call per
+    tile / WPP row emits flat leaf records + a level buffer; Python then
+    derives merge/AMVP motion from the records (parse ∥ derive split —
+    OpenVVC vcl/drv architecture, SURVEY §2.6).  Non-lossless only."""
+
+    def __init__(self, width, height, ctu, min_cu, flags, slice_type,
+                 n_ref0, n_ref1, max_merge):
+        self._l = lib()
+        self._h = self._l.tr_create(width, height, ctu, min_cu, flags,
+                                    slice_type, n_ref0, n_ref1, max_merge)
+        self._wh = (width, height)
+        self._ctu = ctu
+
+    def read(self, dec: NativeBinDecoder, ctxs, cx0, cx1, cy0, cy1,
+             sao_arr=None, sao_stride=0, tile_x0=0, snapshot=False,
+             rec_cap=None):
+        """Parses CTUs [cx0,cx1)×[cy0,cy1).  Returns (recs [N, TR_NREC],
+        levels int32, snapshot|None)."""
+        w, h = self._wh
+        if rec_cap is None:
+            span_x = max(1, cx1 - cx0)
+            span_y = max(1, cy1 - cy0)
+            rec_cap = (span_x // 8 + 2) * (span_y // 8 + 2) * 2
+        lev_cap = max(1 << 16, (cx1 - cx0 + 64) * (cy1 - cy0 + 64) * 3)
+        recs = np.empty((rec_cap, TR_NREC), dtype=np.int32)
+        levels = np.empty(lev_cap, dtype=np.int32)
+        set_off = np.array([ctxs.index(nm, 0) for nm in TR_SET_ORDER],
+                           dtype=np.int32)
+        res_off = np.ascontiguousarray(ctxs.residual_offsets())
+        snap = np.empty_like(ctxs.states) if snapshot else None
+        lev_used = ctypes.c_int64(0)
+        n = self._l.tr_read(
+            self._h, dec._h, _ptr(ctxs.states), _ptr(set_off),
+            _ptr(res_off), cx0, cx1, cy0, cy1,
+            _ptr(recs), rec_cap, _ptr(levels), lev_cap,
+            _ptr(sao_arr) if sao_arr is not None else None,
+            sao_stride, tile_x0,
+            _ptr(snap) if snapshot else None, ctxs.states.shape[0],
+            ctypes.byref(lev_used))
+        if n < 0:
+            raise ValueError("native tree reader buffer overflow "
+                             "(corrupt stream?)")
+        return recs[:n], levels[:lev_used.value], snap
+
+    def __del__(self):
+        if getattr(self, "_h", None) and self._l:
+            self._l.tr_destroy(self._h)
+            self._h = None
