@@ -62,16 +62,17 @@ def decode_stream(data: bytes, verify_hash: bool = True,
         elif nal.nal_type in (NalUnitType.IDR_N_LP, NalUnitType.IDR_W_RADL,
                               NalUnitType.TRAIL, NalUnitType.CRA):
             assert sps is not None and pps is not None, "slice before SPS/PPS"
-            frame, poc = _decode_slice(nal.payload, sps, pps, wavefront, dpb,
-                                       col_dpb, aps_store)
+            frame, poc, retained = _decode_slice(
+                nal.payload, sps, pps, wavefront, dpb, col_dpb, aps_store)
             frames.append(frame)
             pocs.append(poc)
             dpb[poc] = frame
-            # DPB window: without spec RPL-based marking the decoder
-            # bounds memory with a sliding POC window far wider than any
-            # GOP structure we emit (reference analog: sps DPB size;
-            # [verify] real ref_pic_list marking once spec HLS lands)
-            for p in [p for p in dpb if p < poc - 64]:
+            # RPL-based DPB marking (spec:
+            # Slice::applyReferencePictureListBasedMarking): the header's
+            # retention list names every picture a later picture still
+            # references; drop the rest (replaces the r4 POC-64 window)
+            keep = {poc} | {poc - d for d in retained}
+            for p in [p for p in dpb if p not in keep]:
                 del dpb[p]
                 col_dpb.pop(p, None)
         elif nal.nal_type == NalUnitType.SUFFIX_SEI:
@@ -164,6 +165,116 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
                                lmcs_chroma=lmcs_cw,
                                lmcs_fwd_lut=fwd_lut)
 
+    # native full-tool-set parser (cabac_core.cpp tr_read): one C call
+    # per row/tile replaces the per-bin Python syntax loop — the decode
+    # wall (VERDICT r4 #2).  Lossless/trace streams use the Python path.
+    from vvc.utils.trace import active as _trace
+    import os as _os
+    use_native_tr = (native_packer.available() and not sps.lossless
+                     and not _trace().enabled
+                     and not _os.environ.get("VVC_NO_NATIVE_TR"))
+
+    def _tr_flags():
+        f = 0
+        for on, bit in ((sps.mts_intra, native_packer.TR_F_MTS),
+                        (sps.cclm, native_packer.TR_F_CCLM),
+                        (sps.mip, native_packer.TR_F_MIP),
+                        (sps.lfnst, native_packer.TR_F_LFNST),
+                        (sps.isp, native_packer.TR_F_ISP),
+                        (sps.max_mtt_depth_intra > 0,
+                         native_packer.TR_F_MTT),
+                        (sps.affine, native_packer.TR_F_AFFINE),
+                        (sps.mmvd, native_packer.TR_F_MMVD),
+                        (sps.ciip, native_packer.TR_F_CIIP),
+                        (sps.gpm, native_packer.TR_F_GPM),
+                        (sps.amvr, native_packer.TR_F_AMVR),
+                        (sps.smvd, native_packer.TR_F_SMVD),
+                        (sps.bcw, native_packer.TR_F_BCW)):
+            if on:
+                f |= bit
+        if _smvd_ref_pair() is not None:
+            f |= native_packer.TR_F_HAS_SMVD_REFS
+        return f
+
+    def _smvd_ref_pair():
+        l0p, l1p = ref_pocs
+        past = [(sh.poc - p, i) for i, p in enumerate(l0p) if p < sh.poc]
+        fut = [(p - sh.poc, i) for i, p in enumerate(l1p) if p > sh.poc]
+        if not past or not fut:
+            return None
+        return (min(past)[1], min(fut)[1])
+
+    nx_ctu = -(-sps.width // sps.ctu_size)
+    ny_ctu = -(-sps.height // sps.ctu_size)
+
+    def _sao_from_arr(arr, cx0, cx1, cy0, cy1, out):
+        from vvc.kernels.sao import SaoParams
+        cs = sps.ctu_size
+        for cy in range(cy0, cy1, cs):
+            for cx in range(cx0, cx1, cs):
+                ci = (cy // cs) * nx_ctu + (cx // cs)
+                ps = []
+                for c in range(3):
+                    q = arr[ci, c * 7:(c + 1) * 7]
+                    ps.append(SaoParams(int(q[0]), int(q[1]), int(q[2]),
+                                        tuple(int(v) for v in q[3:7])))
+                out[(cx, cy)] = tuple(ps)
+
+    def _derive(recs, lev, mstate):
+        from vvc.dec.record_derive import derive_leaves
+        return derive_leaves(
+            recs, lev, None, mstate, sh.slice_type, n_ref, 6, col,
+            sh.poc, ref_pocs, _smvd_ref_pair(), sps.ctu_size)
+
+    def do_wpp_rows_native():
+        mstate = MotionState(sps.width, sps.height)
+        tr = native_packer.NativeTreeReader(
+            sps.width, sps.height, sps.ctu_size, sps.min_cu_size,
+            _tr_flags(), sh.slice_type, n_ref[0], n_ref[1], 6)
+        sao_arr = (np.zeros((nx_ctu * ny_ctu, 21), np.int32)
+                   if sps.sao else None)
+        leaves = []
+        inherit = None
+        for r, cy in enumerate(range(0, sps.height, sps.ctu_size)):
+            ctxs = SliceContexts(sh.qp)
+            if inherit is not None:
+                ctxs.states[:] = inherit
+            dec = native_packer.NativeBinDecoder(substreams[r], ctxs)
+            recs, lev, snap = tr.read(
+                dec, ctxs, 0, sps.width, cy, cy + sps.ctu_size,
+                sao_arr=sao_arr, sao_stride=nx_ctu, snapshot=True)
+            assert dec.decode_bin_trm() == 1, "row substream termination"
+            inherit = snap
+            leaves.extend(_derive(recs, lev, mstate))
+        if sao_arr is not None:
+            _sao_from_arr(sao_arr, 0, sps.width, 0, sps.height, sao_params)
+        _recon(leaves)
+        return leaves
+
+    def do_tile_native(i):
+        tx0, tx1, ty0, ty1 = tiles[i]
+        ctxs = SliceContexts(sh.qp)
+        dec = native_packer.NativeBinDecoder(substreams[i], ctxs)
+        mstate = MotionState(sps.width, sps.height)
+        tr = native_packer.NativeTreeReader(
+            sps.width, sps.height, sps.ctu_size, sps.min_cu_size,
+            _tr_flags(), sh.slice_type, n_ref[0], n_ref[1], 6)
+        sao_arr = (np.zeros((nx_ctu * ny_ctu, 21), np.int32)
+                   if sps.sao else None)
+        recs, lev, _ = tr.read(dec, ctxs, tx0, min(tx1, sps.width),
+                               ty0, min(ty1, sps.height),
+                               sao_arr=sao_arr, sao_stride=nx_ctu,
+                               tile_x0=tx0, tile_y0=ty0)
+        assert dec.decode_bin_trm() == 1, \
+            "tile substream termination missing"
+        local_sao = {}
+        if sao_arr is not None:
+            _sao_from_arr(sao_arr, tx0, min(tx1, sps.width), ty0,
+                          min(ty1, sps.height), local_sao)
+        leaves = _derive(recs, lev, mstate)
+        _recon(leaves)
+        return leaves, local_sao
+
     def do_wpp_rows():
         from vvc.cabac.sao_syntax import read_sao_params
         state = CodingState(sps.width, sps.height)
@@ -254,16 +365,18 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
         _recon(reader.leaves)
         return reader.leaves, local_sao
 
+    tile_fn = do_tile_native if use_native_tr else do_tile
     if pps.wpp:
-        all_leaves.extend(do_wpp_rows())
+        all_leaves.extend(do_wpp_rows_native() if use_native_tr
+                          else do_wpp_rows())
     elif len(tiles) > 1:
         import concurrent.futures
         with concurrent.futures.ThreadPoolExecutor(len(tiles)) as ex:
-            for leaves, ls in ex.map(do_tile, range(len(tiles))):
+            for leaves, ls in ex.map(tile_fn, range(len(tiles))):
                 all_leaves.extend(leaves)
                 sao_params.update(ls)
     else:
-        leaves, ls = do_tile(0)
+        leaves, ls = tile_fn(0)
         all_leaves.extend(leaves)
         sao_params.update(ls)
 
@@ -312,7 +425,7 @@ def _decode_slice(rbsp: bytes, sps, pps, wavefront: bool = False,
     if col_dpb is not None:
         col_dpb[sh.poc] = motion_field_from_leaves(
             all_leaves, sps.width, sps.height, sh.poc, ref_pocs)
-    return Frame(*recon, sps.bit_depth), sh.poc
+    return Frame(*recon, sps.bit_depth), sh.poc, sh.retained_deltas
 
 
 def _check_hash_sei(payload: bytes, frame: Frame):

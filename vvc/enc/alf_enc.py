@@ -57,44 +57,30 @@ def derive_classified_filters(o: np.ndarray, r: np.ndarray, qp: int,
     then classes merged while the RD cost (Σ residual err + λ·filter
     rate) improves.  Clip level per filter chosen by direct SSE test."""
     from vvc.kernels.alf import (alf_classify, pair_transpose_perms,
-                                 diamond_pairs, pair_features)
+                                 alf_stats_dev)
+    import jax.numpy as jnp
     lam = rd_lambda(qp)
     cls4, tr4 = alf_classify(r, bit_depth)
     h, w = o.shape
-    feats = pair_features(r, 3)                       # [12, H, W]
-    npair = feats.shape[0]
+    npair = 12
     perms = pair_transpose_perms(3)
-    t = (o - r).astype(np.float64)
-    # per-class normal equations with transpose-permuted features
-    # stats on a 2×2-subsampled pixel grid (the spec subsamples Laplacian
-    # positions similarly [verify]); errors/gains below use all pixels
-    fpx = np.repeat(np.repeat(cls4, 4, 0), 4, 1)[:h, :w][::2, ::2].ravel()
-    tpx = np.repeat(np.repeat(tr4, 4, 0), 4, 1)[:h, :w][::2, ::2].ravel()
-    fm = (feats[:, ::2, ::2].reshape(npair, -1).astype(np.float64))
-    tv = t[::2, ::2].ravel()
-    # per-(class, transpose) segments via one sort, then tiny per-segment
-    # matmuls; the geometric transpose becomes a 12×12 index permutation
-    # applied to each segment's raw covariance (A'[i,j] = a[P[i],P[j]])
-    key = fpx * 4 + tpx
-    order = np.argsort(key, kind="stable")
-    ks = key[order]
-    Fs = fm[:, order]
-    ts = tv[order]
-    bounds = np.searchsorted(ks, np.arange(101))
+    # per-(class, transpose) normal equations on a 2×2-subsampled grid,
+    # accumulated on DEVICE (vvc.kernels.alf.alf_stats_dev); the
+    # geometric transpose becomes a 12×12 index permutation applied to
+    # each group's raw covariance (A'[i,j] = a[P[i],P[j]])
+    A100, B100, sse0_d, npx_d = alf_stats_dev(
+        jnp.asarray(o, jnp.int32), jnp.asarray(r, jnp.int32),
+        jnp.asarray(cls4, jnp.int32), jnp.asarray(tr4, jnp.int32))
+    A100 = np.asarray(A100, np.float64)
+    B100 = np.asarray(B100, np.float64)
     A = np.zeros((25, npair, npair))
     B = np.zeros((25, npair))
     for b in range(100):
-        s0v, s1v = bounds[b], bounds[b + 1]
-        if s0v == s1v:
-            continue
-        F = Fs[:, s0v:s1v]
-        a = F @ F.T
-        bb = F @ ts[s0v:s1v]
         P = perms[b & 3]
-        A[b >> 2] += a[np.ix_(P, P)]
-        B[b >> 2] += bb[P]
-    sse0 = np.bincount(fpx, tv * tv, minlength=25)
-    npx = np.bincount(fpx, minlength=25)
+        A[b >> 2] += A100[b][np.ix_(P, P)]
+        B[b >> 2] += B100[b][P]
+    sse0 = np.asarray(sse0_d, np.float64)
+    npx = np.asarray(npx_d, np.float64)
     # rescale to full-plane magnitudes so err and λ·rate stay comparable
     A *= 4.0
     B *= 4.0

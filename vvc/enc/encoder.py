@@ -140,18 +140,22 @@ class Encoder:
         applied to inter luma predictions (reference: Reshape — MC preds
         are forward-mapped before residual addition)."""
         from vvc.enc.mode_decide import decide_modes
+        from vvc.utils import perf
         sps = self.sps
-        preds = decide_modes(leaves_t, (frame.y, frame.cb, frame.cr), qp,
-                             sps.bit_depth, sps, inter_cfg=inter_cfg,
-                             refs=refs)
+        with perf.phase("recon_decide"):
+            preds = decide_modes(leaves_t, (frame.y, frame.cb, frame.cr),
+                                 qp, sps.bit_depth, sps,
+                                 inter_cfg=inter_cfg, refs=refs)
         rf = recon_frame if recon_frame is not None else frame
-        reconstruct_leaves(leaves_t, recon, qp, sps.bit_depth,
-                           orig_planes=(rf.y, rf.cb, rf.cr),
-                           lossless=sps.lossless, refs=refs,
-                           dep_quant=sps.dep_quant, inter_cfg=inter_cfg,
-                           lmcs_chroma=lmcs_chroma,
-                           pred_cache=preds if preds else None,
-                           lmcs_fwd_lut=lmcs_fwd)
+        with perf.phase("recon_exec"):
+            reconstruct_leaves(leaves_t, recon, qp, sps.bit_depth,
+                               orig_planes=(rf.y, rf.cb, rf.cr),
+                               lossless=sps.lossless, refs=refs,
+                               dep_quant=sps.dep_quant,
+                               inter_cfg=inter_cfg,
+                               lmcs_chroma=lmcs_chroma,
+                               pred_cache=preds if preds else None,
+                               lmcs_fwd_lut=lmcs_fwd)
 
     def _entropy_rows_wpp(self, split_map, leaf_map, qp, sao_params,
                           slice_type=SliceType.I, n_ref=(0, 0),
@@ -296,7 +300,7 @@ class Encoder:
 
     def encode_frame(self, frame: Frame, poc: int, rdo_result=None,
                      slice_type=SliceType.I, refs_l0=(), refs_l1=(),
-                     qp=None, col=None):
+                     qp=None, col=None, retained_pocs=()):
         """Returns (nal_units, recon Frame, stats dict).
 
         rdo_result: optional precomputed (split_map, leaf_map, leaves) from
@@ -519,7 +523,9 @@ class Encoder:
 
         sh = SliceHeader(pps.pps_id, int(slice_type), poc, qp,
                          l0_deltas=tuple(poc - p for p, _ in refs_l0),
-                         l1_deltas=tuple(poc - p for p, _ in refs_l1))
+                         l1_deltas=tuple(poc - p for p, _ in refs_l1),
+                         retained_deltas=tuple(poc - p
+                                               for p in retained_pocs))
         # filter/reshaper parameters ride APS NALs ahead of the slice
         # (reference: EncGOP xWriteAPS; ids cycle per picture like the
         # reference's ALF APS pool)
@@ -584,7 +590,9 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
                     ciip: bool = False, gpm: bool = False,
                     mrl: bool = False, amvr: bool = False,
                     smvd: bool = False, bcw: bool = False,
-                    poc_base: int = 0, _precomputed_rdo=None):
+                    poc_base: int = 0, _precomputed_rdo=None,
+                    checkpoint_path: str | None = None,
+                    resume: bool = False):
     """Encode frames (list of Frame) → (annexb bytes, recons, stats).
 
     mode: "ai" (all-intra), "ldp" (low-delay P), "ra" (random access
@@ -592,6 +600,11 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
     target_kbps > 0 enables R-λ rate control (vvc.enc.ratectrl); QP then
     tracks the bit budget instead of the fixed base QP.
     recons/stats are returned in display (POC) order.
+    checkpoint_path: encoder state (DPB recons, RC, NALs so far) is
+    written there after each temporal-layer-0 anchor — the GOP-boundary
+    checkpoint of SURVEY §5.4 (all cross-GOP state is explicit arrays);
+    resume=True continues an interrupted encode from it, byte-identical
+    to an uninterrupted run (tests/test_checkpoint.py).
     poc_base: slice-header POC offset — multi-host GOP-segment encoding
     (vvc.shard.dcn) gives each segment its global POC range so the
     concatenated stream (parcat) decodes in true display order."""
@@ -695,13 +708,36 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
     needed_after.reverse()
     from vvc.model.motion import motion_field_from_leaves
     from vvc.common.types import SliceType as ST
+    start_ei = 0
+    ck_key = (len(frames), qp, mode, gop_size, intra_period, target_kbps,
+              poc_base, w, h, bit_depth)
+    if resume and checkpoint_path:
+        import os as _os
+        import pickle as _pickle
+        if _os.path.exists(checkpoint_path):
+            with open(checkpoint_path, "rb") as fh:
+                ck = _pickle.load(fh)
+            assert ck["key"] == ck_key, "checkpoint/config mismatch"
+            start_ei = ck["next_ei"]
+            nals = ck["nals"]
+            dpb = ck["dpb"]
+            col_dpb = ck["col_dpb"]
+            rc = ck["rc"]
+            for p, r in ck["recons"].items():
+                recons[p] = r
+            for p, st_ in ck["stats"].items():
+                stats[p] = st_
     for ei, e in enumerate(order):
+        if ei < start_ei:
+            continue
         f = frames[e.poc]
         if mctf and mode != "ai" and e.tid == 0 and len(frames) > 1:
             # MCTF pre-filter on temporal-layer-0 anchors (reference:
             # EncTemporalFilter applied in EncLib::encodePrep)
             from vvc.enc.mctf import mctf_filter
-            f = mctf_filter(frames, e.poc, qp, bit_depth)
+            from vvc.utils import perf
+            with perf.phase("mctf"):
+                f = mctf_filter(frames, e.poc, qp, bit_depth)
         refs_l0 = [(p + poc_base, dpb[p]) for p in e.l0]
         refs_l1 = [(p + poc_base, dpb[p]) for p in e.l1]
         # collocated picture: L1[0] for B, L0[0] for P (reference:
@@ -719,7 +755,9 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
             f, e.poc + poc_base,
             rdo_results[e.poc] if rdo_results is not None else None,
             slice_type=e.slice_type, refs_l0=refs_l0, refs_l1=refs_l1,
-            qp=pic_qp, col=col)
+            qp=pic_qp, col=col,
+            retained_pocs=tuple(p + poc_base
+                                for p in sorted(needed_after[ei])))
         col_dpb[e.poc] = motion_field_from_leaves(
             enc.last_leaves, w, h, e.poc + poc_base,
             (tuple(p + poc_base for p in e.l0),
@@ -743,4 +781,18 @@ def encode_sequence(frames, qp: int = 32, bit_depth: int = 8,
         for p in [p for p in dpb if p not in needed_after[ei]]:
             del dpb[p]
             col_dpb.pop(p, None)
+        if (checkpoint_path and ei + 1 < len(order)
+                and order[ei + 1].tid == 0):
+            import pickle as _pickle
+            with open(checkpoint_path + ".tmp", "wb") as fh:
+                _pickle.dump({"key": ck_key, "next_ei": ei + 1,
+                              "nals": nals, "dpb": dpb,
+                              "col_dpb": col_dpb, "rc": rc,
+                              "recons": {p: r for p, r in enumerate(recons)
+                                         if r is not None},
+                              "stats": {p: st_ for p, st_
+                                        in enumerate(stats)
+                                        if st_ is not None}}, fh)
+            import os as _os
+            _os.replace(checkpoint_path + ".tmp", checkpoint_path)
     return write_annexb(nals), recons, stats

@@ -19,8 +19,7 @@ import math
 import numpy as np
 
 from vvc.io.yuv import Frame
-from vvc.kernels.mc import interp_luma_planes
-from vvc.enc.inter_search import me_pred_program
+from vvc.enc import me as me_mod
 
 BLOCK = 16
 
@@ -28,16 +27,21 @@ BLOCK = 16
 def _me_pred(cur_y: np.ndarray, ref_y: np.ndarray, bit_depth: int,
              radius: int = 8):
     """Motion-compensate ref toward cur at BLOCK granularity; returns the
-    prediction plane and the per-block SSE error map (one device
-    program — ME, gather, MSE and plane assembly all fused)."""
+    prediction plane and the per-block SSE error map (r5: window-ME
+    engine — coarse ds4 full-search + per-block window refine; the old
+    phase-plane gather path cost ~1 s/ref at 1080p)."""
     import jax.numpy as jnp
-    import jax
-    phase = interp_luma_planes(ref_y, bit_depth)
+    refpad, refds = me_mod.pic_dev(ref_y)
     h, w = cur_y.shape
+    cur_dev = jnp.asarray(np.ascontiguousarray(cur_y), jnp.int32)
+    _, cds = me_mod._prep_ref(cur_dev, h, w)
+    h4, w4 = (h + 3) // 4, (w + 3) // 4
+    coarse = me_mod._coarse_program(cds, refds[None], h4, w4,
+                                    me_mod.COARSE_R)
     lam_m = math.sqrt(0.57 * 2.0 ** ((32 - 12) / 3.0))
-    plane_d, err_d = me_pred_program(
-        jax.device_put(np.ascontiguousarray(cur_y).astype(np.int32)),
-        phase, BLOCK, radius, w, h, jnp.float32(lam_m))
+    plane_d, err_d = me_mod.me_pred_v2(cur_dev, refpad, coarse[16][0],
+                                       w, h, bit_depth,
+                                       jnp.float32(lam_m))
     plane = np.asarray(plane_d)
     err = np.asarray(err_d).astype(np.float64)
     full = cur_y.copy()

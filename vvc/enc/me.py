@@ -414,3 +414,36 @@ def _affine_dctif_pred(w2f, qy, qx, s: int, bit_depth: int):
         .reshape(n, s, s)
     return jnp.clip(jnp.round(pred / 4096.0), 0,
                     (1 << bit_depth) - 1).astype(jnp.int32)
+
+
+# --------------------------------------------------------------------
+# standalone ME + prediction (MCTF consumer) on the window engine
+# --------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("w", "h", "bit_depth"))
+def me_pred_v2(cur, refpad, coarse16, w: int, h: int, bit_depth: int,
+               lam_m):
+    """Single-ref 16×16 ME + qpel prediction + per-block MSE (consumer:
+    vvc.enc.mctf).  cur [H,W] int32, refpad the PAD-padded ref, coarse16
+    [nc_y, nc_x, 2] full-pel grid.  Returns (pred plane [ny*16, nx*16],
+    err [ny, nx] f32)."""
+    s = 16
+    ny, nx = h // s, w // s
+    blocks = (cur[:ny * s, :nx * s].reshape(ny, s, nx, s)
+              .transpose(0, 2, 1, 3).reshape(-1, s, s)).astype(jnp.int32)
+    xs = (jnp.tile(jnp.arange(nx), ny) * s).astype(jnp.int32)
+    ys = (jnp.repeat(jnp.arange(ny), nx) * s).astype(jnp.int32)
+    nc_y, nc_x = coarse16.shape[0], coarse16.shape[1]
+    giy = jnp.minimum(jnp.repeat(jnp.arange(ny), nx), nc_y - 1)
+    gix = jnp.minimum(jnp.tile(jnp.arange(nx), ny), nc_x - 1)
+    cy = coarse16[giy, gix, 0]
+    cx = coarse16[giy, gix, 1]
+    cy, cx, sy, sx = _win_centers(cy, cx, ys, xs, h, w, s)
+    win = _gather_windows(refpad, sy, sx, s + 2 * WIN_M)
+    res = _eval_from_win(win, blocks, cy, cx, lam_m, s, bit_depth)
+    pred = res["pred"]
+    d = (pred - blocks).astype(jnp.float32)
+    err = (d * d).mean(axis=(1, 2)).reshape(ny, nx)
+    plane = (pred.reshape(ny, nx, s, s).transpose(0, 2, 1, 3)
+             .reshape(ny * s, nx * s))
+    return plane, err

@@ -326,10 +326,26 @@ def decide_modes(leaves, orig_planes, qp: int, bit_depth: int, sps,
                         and (plan[0][2] or plan[0][3]))
                     comps = [c for (_, _, dx, dy) in plan for c in (dx, dy)]
                     if getattr(sps, "amvr", False) and any(comps):
+                        # engage a coarser MVD tier only when the EG1-bin
+                        # saving on the rescaled MVDs beats the 1-2 IMV
+                        # flag bins (pure write-time decision; prevents
+                        # flag overhead on near-zero MVDs)
+                        def _bins(vals):
+                            t = 0
+                            for c in vals:
+                                a = abs(c)
+                                t += 1 + (a > 0) + (a > 1)
+                                if a > 1:
+                                    t += 2 * max(0, (a - 2)
+                                                 .bit_length() - 1) + 2
+                            return t
+                        base_bits = _bins(comps)
                         if all(c % 16 == 0 for c in comps):
-                            leaf.imv = 2
+                            if _bins([c >> 4 for c in comps]) + 2 < base_bits:
+                                leaf.imv = 2
                         elif all(c % 4 == 0 for c in comps):
-                            leaf.imv = 1
+                            if _bins([c >> 2 for c in comps]) + 2 < base_bits:
+                                leaf.imv = 1
             preds[li] = (pred_y, pred_cb, pred_cr)
             # evolve the mirrored motion state exactly like writer/reader
             if leaf.affine:

@@ -11,7 +11,11 @@ from vvc.hls.ps import SPS, PPS, SliceHeader
 
 
 def parse_sps(rbsp: bytes) -> SPS:
+    from vvc.hls.ps import LEVEL_MAX_LUMA_PS
     br = BitReader(rbsp)
+    profile = br.read(7)
+    tier = br.read(1)
+    level = br.read(8)
     sps_id = br.read(4)
     chroma = br.read(2)
     width = br.read_ue()
@@ -20,8 +24,23 @@ def parse_sps(rbsp: bytes) -> SPS:
     ctu = 1 << (br.read_ue() + 5)
     min_cu = 1 << (br.read_ue() + 2)
     mtt = br.read_ue()
-    flags = [bool(br.read_flag()) for _ in range(21)]
-    return SPS(sps_id, width, height, bit_depth, chroma, ctu, min_cu, mtt, *flags)
+    names = ("mip", "isp", "mrl", "cclm", "mts_intra", "lfnst",
+             "dep_quant", "sao", "alf", "lmcs", "deblocking", "lossless",
+             "bdof", "dmvr", "affine", "mmvd", "ciip", "gpm", "amvr",
+             "smvd", "bcw")
+    flags = {n: bool(br.read_flag()) for n in names}
+    # level conformance (spec A.4.1): the stream must not exceed the
+    # signalled level's MaxLumaPs
+    max_ps = LEVEL_MAX_LUMA_PS.get(level)
+    if max_ps is not None and width * height > max_ps:
+        raise ValueError(
+            f"picture {width}x{height} exceeds level {level/16:.1f} "
+            f"MaxLumaPs {max_ps}")
+    return SPS(sps_id=sps_id, width=width, height=height,
+               bit_depth=bit_depth, chroma_format_idc=chroma,
+               profile_idc=profile, tier_flag=tier, level_idc=level,
+               ctu_size=ctu, min_cu_size=min_cu,
+               max_mtt_depth_intra=mtt, **flags)
 
 
 def parse_pps(rbsp: bytes) -> PPS:
@@ -48,6 +67,7 @@ def parse_slice_header(rbsp: bytes, init_qp: int, num_tiles: int = 1,
     stype = br.read_ue()
     poc = br.read(16)
     qp = br.read_se() + init_qp
+    retained = tuple(br.read_se() for _ in range(br.read_ue()))
     l0_deltas = l1_deltas = ()
     if stype != 2:
         l0_deltas = tuple(br.read_se() for _ in range(br.read_ue()))
@@ -75,5 +95,6 @@ def parse_slice_header(rbsp: bytes, init_qp: int, num_tiles: int = 1,
         subs.append(payload[off:off + sz])
         off += sz
     subs.append(payload[off:])
-    return (SliceHeader(pps_id, stype, poc, qp, l0_deltas, l1_deltas),
+    return (SliceHeader(pps_id, stype, poc, qp, l0_deltas, l1_deltas,
+                        retained_deltas=retained),
             subs, alf, lmcs_cw)

@@ -16,11 +16,35 @@ from __future__ import annotations
 import dataclasses
 
 
+# Level limits: general_level_idc/16 -> max luma picture size (spec
+# Annex A Table A.1 MaxLumaPs)
+LEVEL_MAX_LUMA_PS = {
+    16: 36864, 32: 122880, 35: 245760, 48: 552960, 51: 983040,
+    64: 2228224, 67: 2228224, 80: 8912896, 83: 8912896,
+    86: 8912896, 96: 35651584, 99: 35651584, 102: 35651584,
+}
+
+
+def derive_level(width: int, height: int) -> int:
+    """Smallest general_level_idc whose MaxLumaPs fits the picture
+    (spec A.4.1; idc = level number x 16)."""
+    ps = width * height
+    for lv in sorted(LEVEL_MAX_LUMA_PS):
+        if ps <= LEVEL_MAX_LUMA_PS[lv]:
+            return lv
+    return 102
+
+
 @dataclasses.dataclass(frozen=True)
 class SPS:
     sps_id: int = 0
     width: int = 0
     height: int = 0
+    # profile_tier_level (spec 7.3.3; first syntax in the SPS):
+    # profile 1 = Main-10 analog of this custom format
+    profile_idc: int = 1
+    tier_flag: int = 0
+    level_idc: int = 0                # 0 = derive from picture size
     bit_depth: int = 8
     chroma_format_idc: int = 1        # 4:2:0
     ctu_size: int = 64
@@ -72,3 +96,8 @@ class SliceHeader:
     # nearest first (reference: ReferencePictureList / RPL in slice header)
     l0_deltas: tuple = ()
     l1_deltas: tuple = ()
+    # RPL-based DPB marking (spec: non-active RPL entries keep pictures
+    # alive; Slice::applyReferencePictureListBasedMarking): POC deltas
+    # (poc - kept_poc, may be negative) of every decoded picture a LATER
+    # picture still references -- the decoder retains exactly these
+    retained_deltas: tuple = ()

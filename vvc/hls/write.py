@@ -13,7 +13,12 @@ from vvc.hls.ps import SPS, PPS, SliceHeader
 
 
 def write_sps(sps: SPS) -> bytes:
+    from vvc.hls.ps import derive_level
     bw = BitWriter()
+    # profile_tier_level first (spec 7.3.3)
+    bw.write(sps.profile_idc, 7)
+    bw.write(sps.tier_flag, 1)
+    bw.write(sps.level_idc or derive_level(sps.width, sps.height), 8)
     bw.write(sps.sps_id, 4)
     bw.write(sps.chroma_format_idc, 2)
     bw.write_ue(sps.width)
@@ -65,6 +70,11 @@ def write_slice_header(sh: SliceHeader, init_qp: int,
     bw.write_ue(sh.slice_type)
     bw.write(sh.poc & 0xFFFF, 16)
     bw.write_se(sh.qp - init_qp)
+    # RPL-based DPB retention list (PH-in-SH layout; spec
+    # sh_picture_header_in_slice_header_flag + RPL marking)
+    bw.write_ue(len(sh.retained_deltas))
+    for d in sh.retained_deltas:
+        bw.write_se(d)
     if sh.slice_type != 2:            # P/B: explicit RPL as POC deltas
         bw.write_ue(len(sh.l0_deltas))
         for d in sh.l0_deltas:

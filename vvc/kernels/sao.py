@@ -146,3 +146,72 @@ def sao_filter_plane(plane: np.ndarray, ctu_params: dict, ctu_size: int,
                 lim = (t0, min(t1, w), r0, min(r1, h))
                 break
         apply_sao_region(plane, src, p, x0, y0, rw, rh, bit_depth, *lim)
+
+
+# ------------------------------------------------------------------
+# device-side encoder statistics (VERDICT r4 task 7: the numpy bincount
+# stats pass cost ~4 s/frame at 1080p — 2×8.3M-element float64 bincounts
+# per component; on device the same stats are one-hot block reductions)
+# ------------------------------------------------------------------
+
+def sao_stats_dev(orig, rec, validx, validy, cs: int, bit_depth: int):
+    """Per-CTU SAO statistics on device.
+
+    orig/rec [H,W] int32 device arrays; validx [W] / validy [H] bool
+    (False at tile-boundary columns/rows — positions whose EO neighbours
+    would cross a region edge classify as category 0, matching
+    eo_categories_region's edge rule).  Returns device arrays
+    (eo_d [4,4,ny,nx] f32, eo_n f32, bo_d [ny,nx,32] f32, bo_n f32)."""
+    import jax
+    global _SAO_STATS_JIT
+    if _SAO_STATS_JIT is None:
+        from functools import partial
+        _SAO_STATS_JIT = jax.jit(_sao_stats_impl,
+                                 static_argnames=("cs", "bit_depth"))
+    return _SAO_STATS_JIT(orig, rec, validx, validy, cs, bit_depth)
+
+
+_SAO_STATS_JIT = None
+
+
+def _sao_stats_impl(orig, rec, validx, validy, cs: int, bit_depth: int):
+    import jax.numpy as jnp
+    h, w = orig.shape
+    ny, nx = -(-h // cs), -(-w // cs)
+    py, px = ny * cs - h, nx * cs - w
+    diff = (orig - rec).astype(jnp.float32)
+
+    def blocksum(v):
+        vp = jnp.pad(v, ((0, py), (0, px)))
+        return vp.reshape(ny, cs, nx, cs).sum(axis=(1, 3))
+
+    rp = jnp.pad(rec, 1, mode="edge")
+    eo_d, eo_n = [], []
+    for ec, (dx, dy) in enumerate(EO_DIRS):
+        na = rp[1 - dy:1 - dy + h, 1 - dx:1 - dx + w]
+        nb = rp[1 + dy:1 + dy + h, 1 + dx:1 + dx + w]
+        t = jnp.sign(rec - na) + jnp.sign(rec - nb)
+        valid = jnp.ones((h, w), bool)
+        if dx:
+            valid = valid & validx[None, :]
+        if dy:
+            valid = valid & validy[:, None]
+        cd, cn = [], []
+        for cat, tv in ((1, -2), (2, -1), (3, 1), (4, 2)):
+            m = (t == tv) & valid
+            mf = m.astype(jnp.float32)
+            cd.append(blocksum(diff * mf))
+            cn.append(blocksum(mf))
+        eo_d.append(jnp.stack(cd))
+        eo_n.append(jnp.stack(cn))
+    eo_d = jnp.stack(eo_d)                       # [4,4,ny,nx]
+    eo_n = jnp.stack(eo_n)
+    band = rec >> (bit_depth - 5)
+    bo_d, bo_n = [], []
+    for b in range(32):
+        m = (band == b).astype(jnp.float32)
+        bo_d.append(blocksum(diff * m))
+        bo_n.append(blocksum(m))
+    bo_d = jnp.stack(bo_d, axis=-1)              # [ny,nx,32]
+    bo_n = jnp.stack(bo_n, axis=-1)
+    return eo_d, eo_n, bo_d, bo_n

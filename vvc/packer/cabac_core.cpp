@@ -970,6 +970,7 @@ struct TrArgs {
   int32_t* sao;                   // [n_ctus][21] or nullptr
   int sao_stride;
   int tile_x0;
+  int tile_y0;
   int64_t n_rec = 0;
   int64_t lev_cursor = 0;
   bool overflow = false;
@@ -1428,7 +1429,7 @@ void tr_sao(Dec& d, TrCtx& t, TrArgs& a, int cx, int cy) {
   int32_t* p = a.sao + (size_t)ci * 21;
   const int32_t* lft = cx - t.ctu >= a.tile_x0
                            ? a.sao + (size_t)(ci - 1) * 21 : nullptr;
-  const int32_t* up = cy >= t.ctu
+  const int32_t* up = cy - t.ctu >= a.tile_y0
                           ? a.sao + (size_t)(ci - a.sao_stride) * 21
                           : nullptr;
   if (lft && d.bin(a.ctx, a.tid(S_SAO_MERGE, 0))) {
@@ -1559,12 +1560,12 @@ int64_t tr_read(void* tr, void* dec, int32_t* states,
                 int cx0, int cx1, int cy0, int cy1,
                 int32_t* recs, int64_t rec_cap,
                 int32_t* levels, int64_t lev_cap,
-                int32_t* sao, int sao_stride, int tile_x0,
+                int32_t* sao, int sao_stride, int tile_x0, int tile_y0,
                 int32_t* snapshot_out, int n_ctx, int64_t* lev_used) {
   TrCtx& t = *(TrCtx*)tr;
   Dec& d = *(Dec*)dec;
   TrArgs a{CtxArray{states}, set_offsets, res_offsets, recs, rec_cap,
-           levels, lev_cap, sao, sao_stride, tile_x0};
+           levels, lev_cap, sao, sao_stride, tile_x0, tile_y0};
   bool first = true;
   for (int cy = cy0; cy < cy1; cy += t.ctu)
     for (int cx = cx0; cx < cx1; cx += t.ctu) {

@@ -261,8 +261,8 @@ class NativeTreeReader:
         self._ctu = ctu
 
     def read(self, dec: NativeBinDecoder, ctxs, cx0, cx1, cy0, cy1,
-             sao_arr=None, sao_stride=0, tile_x0=0, snapshot=False,
-             rec_cap=None):
+             sao_arr=None, sao_stride=0, tile_x0=0, tile_y0=0,
+             snapshot=False, rec_cap=None):
         """Parses CTUs [cx0,cx1)×[cy0,cy1).  Returns (recs [N, TR_NREC],
         levels int32, snapshot|None)."""
         w, h = self._wh
@@ -283,7 +283,7 @@ class NativeTreeReader:
             _ptr(res_off), cx0, cx1, cy0, cy1,
             _ptr(recs), rec_cap, _ptr(levels), lev_cap,
             _ptr(sao_arr) if sao_arr is not None else None,
-            sao_stride, tile_x0,
+            sao_stride, tile_x0, tile_y0,
             _ptr(snap) if snapshot else None, ctxs.states.shape[0],
             ctypes.byref(lev_used))
         if n < 0:
